@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregations (SURVEY §2B; reference ops R20/R22/R25 —
+  * accuracy agg ipynb:301-305, confusion-matrix pivot ipynb:380).
+  *
+  * Scale notes: all grouped aggregates compile to HashAggregateExec
+  * with partial (map-side) + final phases, so the shuffle carries one
+  * row per (partition × group), not per input row. Doubles rounded to
+  * 4 decimals AFTER aggregation for FP-stable oracle hashing.
+  */
+object AggQueries {
+
+  /** TPC-H-Q1-shaped hash aggregate over lineitem. */
+  def aggHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** count(distinct) per group — Catalyst plans the distinct via
+    * Expand + two-phase aggregate; at scale the partial distinct
+    * happens before the shuffle. */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_suppkey")
+
+  /** HLL approximate distinct users — self-checked (±5% band vs exact
+    * in AggSpec); no DuckDB oracle because HLL estimates are
+    * implementation-specific. */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Revenue by (nation, mktsegment) with ROLLUP subtotal rows.
+    * Null ordering pinned to NULLS FIRST to match Spark's asc default
+    * (DuckDB defaults to NULLS LAST — oracle says NULLS FIRST
+    * explicitly). */
+  def aggRollup(s: SparkSession, dir: String): DataFrame = {
+    // SQL form: the DataFrame rollup trips Spark's ambiguous-self-join
+    // detector on the joined frame (dataset-id metadata), while the
+    // SQL path resolves cleanly. BROADCAST hint keeps nation local.
+    t(s, dir, "customer").createOrReplaceTempView("graft_customer")
+    t(s, dir, "nation").createOrReplaceTempView("graft_nation")
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT /*+ BROADCAST(graft_nation) */ n_name, c_mktsegment,
+        |  round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+        |FROM graft_orders
+        |JOIN graft_customer ON o_custkey = c_custkey
+        |JOIN graft_nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** CUBE over (event_type, year) on events. */
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("yr", year(col("ts")))
+      .cube("event_type", "yr")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 4).as("sum_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("yr"))
+
+  /** Confusion-matrix shape (reference R25, ipynb:380): label vs a
+    * deterministic predicted bucket (vec_id % 10), pivoted to a dense
+    * 10×10 count matrix with zero fill. */
+  def aggPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .withColumn("pred", (col("vec_id") % 10).cast("int"))
+      .groupBy("label")
+      .pivot("pred", 0 to 9)
+      .count()
+      .na.fill(0L)
+      .orderBy("label")
+
+  /** Reference R22 verbatim shape (ipynb:303-305): accuracy as the
+    * mean of an equality predicate — single-row aggregate. */
+  def aggAccuracy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .agg(
+        round(avg(when(col("label") === (col("vec_id") % 10), 1.0).otherwise(0.0)), 4)
+          .as("accuracy"),
+        count(lit(1)).as("n"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hash" -> aggHash,
+    "agg_distinct" -> aggDistinct,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_pivot" -> aggPivot,
+    "agg_accuracy" -> aggAccuracy)
+
+  val oracleSql: Map[String, String] = Map(
+    "agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_items
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "agg_rollup" ->
+      """SELECT n_name, c_mktsegment,
+        |  round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT event_type, year(ts) AS yr, count(*) AS n,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY CUBE (event_type, year(ts))
+        |ORDER BY event_type NULLS FIRST, yr NULLS FIRST""".stripMargin,
+    "agg_pivot" ->
+      """SELECT label,
+        |  count(CASE WHEN vec_id % 10 = 0 THEN 1 END) AS "0",
+        |  count(CASE WHEN vec_id % 10 = 1 THEN 1 END) AS "1",
+        |  count(CASE WHEN vec_id % 10 = 2 THEN 1 END) AS "2",
+        |  count(CASE WHEN vec_id % 10 = 3 THEN 1 END) AS "3",
+        |  count(CASE WHEN vec_id % 10 = 4 THEN 1 END) AS "4",
+        |  count(CASE WHEN vec_id % 10 = 5 THEN 1 END) AS "5",
+        |  count(CASE WHEN vec_id % 10 = 6 THEN 1 END) AS "6",
+        |  count(CASE WHEN vec_id % 10 = 7 THEN 1 END) AS "7",
+        |  count(CASE WHEN vec_id % 10 = 8 THEN 1 END) AS "8",
+        |  count(CASE WHEN vec_id % 10 = 9 THEN 1 END) AS "9"
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "agg_accuracy" ->
+      """SELECT round(avg(CASE WHEN label = vec_id % 10 THEN 1.0 ELSE 0.0 END), 4)
+        |  AS accuracy, count(*) AS n
+        |FROM embeddings""".stripMargin)
+}

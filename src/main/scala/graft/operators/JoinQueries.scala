@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Joins (SURVEY §2B). The reference's only join is the 10-row
+  * label→name dict lookup (R24, ipynb:367-379); the engine provides
+  * the full relational join surface.
+  *
+  * Scale strategy per join:
+  *  - dims (region, nation, part-subset) are `broadcast()` → no shuffle
+  *  - fact⋈fact (orders⋈customer, orders⋈lineitem) shuffle on the join
+  *    key; at 100 TB AQE picks shuffled-hash vs sort-merge and handles
+  *    skew; both sides shuffle ONCE per key thanks to Catalyst reusing
+  *    the exchange across join+agg on the same key.
+  *  - the theta join pre-filters both sides so the unavoidable
+  *    nested-loop stays on a broadcast-sized build side.
+  */
+object JoinQueries {
+
+  /** nation ⋈ region, both tiny: BroadcastHashJoinExec, zero shuffle. */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name")
+      .orderBy("n_nationkey")
+  }
+
+  /** orders ⋈ customer (fact⋈dim at scale → shuffle join), revenue per
+    * nation key. */
+  def joinShuffle(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(round(sum("o_totalprice"), 4).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_nationkey")
+  }
+
+  /** TPC-H-Q3-shaped 3-way join + agg + top-10. Ordering key is the
+    * ROUNDED revenue so Spark and DuckDB rank identically despite FP
+    * summation order. */
+  def joinMulti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(o("o_orderkey"), o("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"),
+        col("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Customers with at least one order — left-semi (EXISTS). */
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Customers with no orders — left-anti (NOT EXISTS). */
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-outer orders→lineitem; count(l_orderkey) skips nulls so
+    * orders with no lines show n_items=0 while n_rows=1. */
+  def joinOuter(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_outer")
+      .groupBy(o("o_orderkey"))
+      .agg(count(l("l_orderkey")).as("n_items"), count(lit(1)).as("n_rows"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Theta/band join: lineitems whose extendedprice falls in a
+    * multiplicative band of the part's retail price. Both sides
+    * pre-filtered; small side broadcast → BroadcastNestedLoopJoin. */
+  def joinTheta(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .filter(col("p_partkey") % 100 === 0)
+      .select("p_partkey", "p_retailprice")
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 2000)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    l.join(broadcast(p),
+        l("l_extendedprice") >= p("p_retailprice") &&
+          l("l_extendedprice") < p("p_retailprice") * 3)
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_lines"))
+      .orderBy("p_partkey")
+  }
+
+  /** As-of join: for each purchase event, the latest order of the same
+    * customer at-or-before the event time. Spark has no native as-of
+    * join; expressed as inequality join + per-event row_number, which
+    * at scale AQE executes as a broadcast of the filtered event side
+    * or a shuffled range join. Tie-break on o_orderkey for
+    * determinism. */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    val w = Window.partitionBy("event_id")
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "o_orderkey")
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_broadcast" -> joinBroadcast,
+    "join_shuffle" -> joinShuffle,
+    "join_multi" -> joinMulti,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_outer" -> joinOuter,
+    "join_theta" -> joinTheta,
+    "join_asof" -> joinAsof)
+
+  val oracleSql: Map[String, String] = Map(
+    "join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name FROM nation
+        |JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""".stripMargin,
+    "join_shuffle" ->
+      """SELECT c_nationkey, round(sum(o_totalprice), 4) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "join_multi" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_outer" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_items, count(*) AS n_rows
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "join_theta" ->
+      """SELECT p_partkey, count(*) AS n_lines
+        |FROM (SELECT l_extendedprice FROM lineitem WHERE l_orderkey < 2000) l
+        |JOIN (SELECT p_partkey, p_retailprice FROM part WHERE p_partkey % 100 = 0) p
+        |  ON l.l_extendedprice >= p.p_retailprice
+        | AND l.l_extendedprice < p.p_retailprice * 3
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+    "join_asof" ->
+      """SELECT event_id, user_id, o_orderkey FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey
+        |   AND o.o_orderdate <= date_trunc('second', e.ts)
+        |  WHERE e.event_type = 'purchase') x
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin)
+}

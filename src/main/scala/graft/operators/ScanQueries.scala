@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scans / sources / sinks (SURVEY §2B; reference ops R2, R5, R10,
+  * R12, R14 — see `/root/reference` ipynb:88-137).
+  *
+  * Determinism: every query ends in a total-order `orderBy` so the
+  * DuckDB-oracle hash compare is stable.
+  */
+object ScanQueries {
+
+  /** Project 3 columns out of lineitem, keyed total order, limit 100.
+    * Catalyst prunes the parquet scan to exactly the 3 columns
+    * (ReadSchema in explain). */
+  def scanParquet(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  /** Filter + 2-col projection over orders — exists to exercise
+    * predicate pushdown + column pruning (PushedFilters in explain;
+    * asserted in PlanShapeSpec). */
+  def scanPruned(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** CSV sink + read-back with explicit schema (reference R12/R14:
+    * ipynb:137, 168 write/read CSV with header). Round-trips a
+    * deterministic lineitem sample through CSV, then aggregates; the
+    * oracle runs the same aggregate on the original table, proving the
+    * round-trip is lossless for the covered types. */
+  def sinkRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_roundtrip"
+    val sample = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 1000)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    sample.write.mode("overwrite").option("header", "true").csv(out)
+    val back = s.read
+      .option("header", "true")
+      .schema("l_orderkey LONG, l_linenumber INT, l_quantity DOUBLE, l_returnflag STRING")
+      .csv(out)
+    back.groupBy("l_returnflag")
+      .agg(count("*").as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** In-memory source: the CIFAR-10 label→name dim table (reference
+    * R24/R5, ipynb:367-376) as a createDataFrame of a driver-local
+    * Seq — the engine's `sc.parallelize` equivalent. */
+  def sourceInline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    labelNames.toDF("label", "class_name").orderBy("label")
+  }
+
+  /** Label dictionary from the reference (ipynb:367-376). */
+  val labelNames: Seq[(Int, String)] = Seq(
+    0 -> "airplane", 1 -> "automobile", 2 -> "bird", 3 -> "cat",
+    4 -> "deer", 5 -> "dog", 6 -> "frog", 7 -> "horse",
+    8 -> "ship", 9 -> "truck")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_parquet" -> scanParquet,
+    "scan_pruned" -> scanPruned,
+    "sink_roundtrip" -> sinkRoundtrip,
+    "source_inline" -> sourceInline)
+
+  val oracleSql: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "scan_pruned" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1999-01-01' ORDER BY o_orderkey""".stripMargin,
+    "sink_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem WHERE l_orderkey < 1000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "source_inline" ->
+      """SELECT * FROM (VALUES (0,'airplane'),(1,'automobile'),(2,'bird'),(3,'cat'),
+        |(4,'deer'),(5,'dog'),(6,'frog'),(7,'horse'),(8,'ship'),(9,'truck'))
+        |AS t(label, class_name) ORDER BY label""".stripMargin)
+}

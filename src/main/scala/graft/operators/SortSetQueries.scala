@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sorts / limits / top-k (reference R7 `take`, R23 distinct+sort) and
+  * set operations (SURVEY §2B).
+  *
+  * Scale: `orderBy.limit(k)` compiles to TakeOrderedAndProjectExec —
+  * each partition keeps only its local top-k, the driver merges k×P
+  * rows; no global sort is ever materialized. Set ops compile to
+  * hash-aggregate (union-distinct) / left-semi (intersect) /
+  * left-anti (except) over a single shuffle on the full row.
+  */
+object SortSetQueries {
+
+  /** Multi-key sort, keyed down to a total order, limit 50. */
+  def sortMulti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+      .orderBy(asc("l_returnflag"), desc("l_extendedprice"),
+        asc("l_orderkey"), asc("l_linenumber"))
+      .limit(50)
+
+  /** Global top-20 orders by totalprice (TakeOrderedAndProject). */
+  def topkGlobal(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(20)
+
+  /** Reference R23 verbatim (ipynb:378): sorted distinct labels. */
+  def distinctSort(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select("label").distinct().orderBy("label")
+
+  /** Union (distinct) of two customer segments. */
+  def setUnion(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val b = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+    a.union(b).distinct().orderBy("c_custkey")
+  }
+
+  /** Customers ordering in both 1995 and 1996. */
+  def setIntersect(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      .intersect(o.filter(year(col("o_orderdate")) === 1996).select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** Customers ordering in 1995 but not 1996. */
+  def setExcept(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      .except(o.filter(year(col("o_orderdate")) === 1996).select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sort_multi" -> sortMulti,
+    "topk_global" -> topkGlobal,
+    "distinct_sort" -> distinctSort,
+    "set_union" -> setUnion,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept)
+
+  val oracleSql: Map[String, String] = Map(
+    "sort_multi" ->
+      """SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 50""".stripMargin,
+    "topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "distinct_sort" ->
+      "SELECT DISTINCT label FROM embeddings ORDER BY label",
+    "set_union" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin,
+    "set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+    "set_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin)
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY §2B). Absent from the reference; mandated
+  * by the north star.
+  *
+  * Scale: window partitioning shuffles once on the partition key; the
+  * per-partition sort is the dominant cost. Partition keys (customer,
+  * user) have bounded cardinality-per-key so no single partition
+  * explodes; skewed keys would be handled by AQE.
+  *
+  * Determinism: every ORDER BY inside a window carries a unique
+  * integer tie-break key so frame contents (and therefore running
+  * sums) are identical between Spark and DuckDB.
+  */
+object WindowQueries {
+
+  /** Top-3 orders per customer by totalprice (row_number ≤ 3). */
+  def winRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running revenue per customer in orderdate order. ROWS frame +
+    * unique tie-break ⇒ sequential, deterministic FP accumulation. */
+  def winRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("running", round(sum("o_totalprice").over(w), 4))
+      .select("o_custkey", "o_orderkey", "running")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Event-to-event gap in seconds per user (lag). Time math on
+    * `ts_s` (floor-seconds BIGINT) so ns-vs-us precision cannot
+    * diverge from the oracle. */
+  def winLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    t(s, dir, "events")
+      .withColumn("delta_s", col("ts_s") - lag("ts_s", 1).over(w))
+      .select("user_id", "event_id", "delta_s")
+      .orderBy("user_id", "event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank" -> winRank,
+    "win_running" -> winRunning,
+    "win_lag" -> winLag)
+
+  val oracleSql: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) x
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "win_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_lag" ->
+      """SELECT user_id, event_id,
+        |  (epoch_ns(ts) // 1000000000)
+        |    - lag(epoch_ns(ts) // 1000000000)
+        |      OVER (PARTITION BY user_id ORDER BY event_id) AS delta_s
+        |FROM events ORDER BY user_id, event_id""".stripMargin)
+}
