@@ -22,7 +22,14 @@ object SparkEntry {
       operators.AggQueries.queries ++
       operators.JoinQueries.queries ++
       operators.WindowQueries.queries ++
-      operators.SortSetQueries.queries
+      operators.SortSetQueries.queries ++
+      functions.ScalarQueries.queries ++
+      streaming.StreamQueries.queries ++
+      operators.InferenceQueries.queries ++
+      operators.DedupQueries.queries ++
+      operators.SimilarityQueries.queries ++
+      operators.TextQueries.queries ++
+      operators.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +38,12 @@ object SparkEntry {
       operators.AggQueries.oracleSql ++
       operators.JoinQueries.oracleSql ++
       operators.WindowQueries.oracleSql ++
-      operators.SortSetQueries.oracleSql
+      operators.SortSetQueries.oracleSql ++
+      functions.ScalarQueries.oracleSql ++
+      streaming.StreamQueries.oracleSql ++
+      operators.InferenceQueries.oracleSql ++
+      operators.DedupQueries.oracleSql ++
+      operators.SimilarityQueries.oracleSql ++
+      operators.TextQueries.oracleSql ++
+      operators.MultimodalQueries.oracleSql
 }

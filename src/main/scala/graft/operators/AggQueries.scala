@@ -134,7 +134,7 @@ object AggQueries {
         |GROUP BY ROLLUP (n_name, c_mktsegment)
         |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
     "agg_cube" ->
-      """SELECT event_type, year(ts) AS yr, count(*) AS n,
+      """SELECT event_type, CAST(year(ts) AS INTEGER) AS yr, count(*) AS n,
         |  round(sum(value), 4) AS sum_value
         |FROM events
         |GROUP BY CUBE (event_type, year(ts))
@@ -153,7 +153,8 @@ object AggQueries {
         |  count(CASE WHEN vec_id % 10 = 9 THEN 1 END) AS "9"
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "agg_accuracy" ->
-      """SELECT round(avg(CASE WHEN label = vec_id % 10 THEN 1.0 ELSE 0.0 END), 4)
+      """SELECT round(avg(CASE WHEN label = vec_id % 10
+        |    THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 4)
         |  AS accuracy, count(*) AS n
         |FROM embeddings""".stripMargin)
 }

@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines (north star
+  * BASELINE.json:6): exact, MinHash-LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design:
+  *  - exact dedup is a single hash-shuffle on a 32-byte digest — the
+  *    only 100 TB-safe way to dedup by content (never shuffle the
+  *    text itself; group on sha2 and keep min doc_id).
+  *  - MinHash/LSH turns all-pairs O(n²) into a band-bucket equi-join:
+  *    candidates share a band signature, so the shuffle key is the
+  *    (band, signature) pair and skewed buckets are AQE-splittable.
+  *  - SimHash gives a 64-bit per-doc sketch (constant space/row);
+  *    near-dup candidates at scale join on rotated prefixes — here we
+  *    emit the sketch itself (self-checked: equal texts ⇒ equal
+  *    sketch, Hamming-near for near-dups).
+  *  - n-gram Jaccard verifies candidates exactly; the gram join only
+  *    materializes pairs that share ≥1 gram.
+  */
+object DedupQueries {
+
+  /** Exact content dedup: survivor (min doc_id) per sha2(text). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(sha2(col("text"), 256).as("text_sha"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "text_sha", "n_copies")
+      .orderBy("doc_id")
+
+  /** Word 3-gram shingles as an array column (shared helper).
+    * `transform(sequence(...))` keeps the whole thing inside
+    * whole-stage codegen — no UDF. */
+  private def shingles(textCol: Column): Column = {
+    val w = split(textCol, " ")
+    // guard: sequence(1, 0) would generate a DESCENDING range in Spark
+    when(size(w) >= 3,
+      transform(
+        sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array())
+  }
+
+  val MinhashPerms = 16
+  val MinhashBands = 4 // 4 rows per band
+
+  /** MinHash+LSH near-dup candidate pairs. Deterministic: permutation
+    * p hashes shingle s as xxhash64(p, s) (fixed seeds via the leading
+    * literal), so reruns produce the identical pair set (self-check:
+    * DedupSpec asserts exact dups always pair + determinism). */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+    val permCols = (0 until MinhashPerms).map(p =>
+      min(xxhash64(lit(p), col("shingle"))).as(s"m$p"))
+    val sigs = docs.groupBy("doc_id").agg(permCols.head, permCols.tail: _*)
+    val rowsPerBand = MinhashPerms / MinhashBands
+    val bandCols = (0 until MinhashBands).map { b =>
+      struct(lit(b).as("band"),
+        struct((0 until rowsPerBand).map(r =>
+          col(s"m${b * rowsPerBand + r}").as(s"r$r")): _*).as("sig"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash sketch per document from xxhash64(token): bit j is
+    * the sign of the sum of ±1 votes from each token's hash bit j.
+    * Constant space per row — the sketch that scales to 100 TB.
+    * Self-checked (DedupSpec: equal text ⇒ equal simhash; determinism). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val voteCols = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$j"))
+    val votes = tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val sketch = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    votes.select(col("doc_id"), sketch.as("simhash")).orderBy("doc_id")
+  }
+
+  /** Exact n-gram Jaccard similarity on pairs sharing ≥1 gram
+    * (doc_id < 300 slice keeps the verify output bounded; at scale
+    * this runs on LSH candidates, not all pairs). */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "documents")
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
+      .distinct()
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val inter = g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_grams", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_grams", "nb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")), 4))
+      .filter(col("jaccard") >= 0.1)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard)
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents WHERE doc_id < 300),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        |      FROM w),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            count(*) AS n_inter
+        |          FROM g a JOIN g b
+        |            ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter), 4)
+        |    AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter), 4) >= 0.1
+        |ORDER BY doc_a, doc_b""".stripMargin)
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Reference-fidelity layer (SURVEY §2B UDF/UDAF/UDTF/inference):
+  * the reference's actual capability — per-partition stateful batch
+  * inference (R19, ipynb:228-268) and tensor preprocessing (R18,
+  * ipynb:220-225) — re-expressed Spark-native over the embeddings
+  * table, with the opaque CNTK DNN replaced by a deterministic seeded
+  * linear scorer so the DuckDB oracle can recompute it exactly.
+  */
+object InferenceQueries {
+
+  /** Embedding dimensionality of the testdata (FIXTURES.md §B). */
+  val Dim = 64
+  val NumClasses = 10
+
+  /** Deterministic "mean image" vector (≙ R16/R17's broadcast mean,
+    * ipynb:198-202): integer-derived so DuckDB recomputes it exactly. */
+  def meanAt(i0: Int): Double = ((i0 * 37) % 19 - 9) / 100.0
+
+  /** Deterministic seeded weight matrix (≙ the 1.19 MB CNTK model,
+    * shipped to executors via broadcast as the model file was via
+    * sc.addFile, ipynb:195-196). Knuth-hash constant keeps values
+    * spread; all-integer math → bit-identical in DuckDB. */
+  def weights: Array[Array[Double]] =
+    Array.tabulate(NumClasses, Dim) { (c, i) =>
+      ((c.toLong * Dim + i) * 2654435761L % 1000 - 500) / 1000.0
+    }
+
+  /** Counts model materializations — the reference's whole partitioning
+    * scheme exists to amortize model loading once per partition
+    * (ipynb:99); InferenceSpec asserts loads == #partitions. */
+  val modelLoads = new AtomicLong(0)
+  def loadModel(): Array[Array[Double]] = { modelLoads.incrementAndGet(); weights }
+
+  /** R18 as a typed Scala UDF: mean-subtract over the embedding with a
+    * broadcast mean vector. The UDF does only the subtraction (in
+    * double); rounding happens in SQL `round` so Spark and DuckDB
+    * round the identical 64-bit value. */
+  def udfScalar(s: SparkSession, dir: String): DataFrame = {
+    val meanBc = s.sparkContext.broadcast(Array.tabulate(Dim)(meanAt))
+    val subtractMean = udf { emb: Seq[Float] =>
+      val m = meanBc.value
+      emb.iterator.zipWithIndex.map { case (v, i) => v.toDouble - m(i) }.toSeq
+    }
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), posexplode(subtractMean(col("embedding"))))
+      .select(col("vec_id"), (col("pos") + 1).as("pos"),
+        round(col("col"), 4).as("val"))
+      .orderBy("vec_id", "pos")
+  }
+
+  /** Per-label centroid Aggregator (custom UDAF): sums + count buffer,
+    * exploded to (label, pos, mean) rows for the oracle. */
+  /** Product wrapper so the centroid vector has a derivable Encoder. */
+  case class Centroid(values: Seq[Double])
+
+  private object CentroidAgg
+      extends Aggregator[(Int, Seq[Float]), (Array[Double], Long), Centroid] {
+    def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
+    def reduce(b: (Array[Double], Long), a: (Int, Seq[Float])): (Array[Double], Long) = {
+      val sums = if (b._1.isEmpty) new Array[Double](a._2.length) else b._1
+      var i = 0
+      while (i < a._2.length) { sums(i) += a._2(i).toDouble; i += 1 }
+      (sums, b._2 + 1)
+    }
+    def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+      if (x._1.isEmpty) y
+      else if (y._1.isEmpty) x
+      else {
+        var i = 0
+        while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
+        (x._1, x._2 + y._2)
+      }
+    }
+    def finish(b: (Array[Double], Long)): Centroid =
+      if (b._2 == 0) Centroid(Seq.empty) else Centroid(b._1.map(_ / b._2).toSeq)
+    def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+      Encoders.product[(Array[Double], Long)]
+    def outputEncoder: org.apache.spark.sql.Encoder[Centroid] =
+      Encoders.product[Centroid]
+  }
+
+  def udafAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .select(col("label"), col("embedding"))
+      .as[(Int, Seq[Float])]
+      .groupByKey(_._1)
+      .agg(CentroidAgg.toColumn.name("centroid"))
+      .toDF("label", "centroid")
+      .select(col("label"), posexplode(col("centroid.values")))
+      .select(col("label"), (col("pos") + 1).as("pos"),
+        round(col("col"), 4).as("mean_val"))
+      .orderBy("label", "pos")
+  }
+
+  /** Generator (UDTF-shaped): explode embeddings to (vec_id, pos, val)
+    * rows, top-100 by rounded magnitude. */
+  def udtfExplode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("pos"),
+        round(col("col").cast("double"), 4).as("val"))
+      .orderBy(abs(col("val")).desc, col("vec_id"), col("pos"))
+      .limit(100)
+
+  /** R19 skeleton verbatim in Scala: mapPartitions with once-per-
+    * partition model load, broadcast weights, per-row dot-product
+    * argmax → predicted label. The typed-lambda fence blocks column
+    * pruning, so the needed columns are selected BEFORE entering
+    * object land (SURVEY §3B). Scores accumulate sequentially over i
+    * so the FP result is deterministic. */
+  def inferMapPartitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wBc = s.sparkContext.broadcast(weights)
+    val scored = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Seq[Float], Int)]
+      .mapPartitions { it =>
+        val w = { loadModel(); wBc.value } // once per partition (R19)
+        it.map { case (vecId, emb, label) =>
+          var best = 0; var bestScore = Double.NegativeInfinity
+          var c = 0
+          while (c < NumClasses) {
+            var s0 = 0.0
+            var i = 0
+            while (i < emb.length) { s0 += emb(i).toDouble * w(c)(i); i += 1 }
+            if (s0 > bestScore) { bestScore = s0; best = c }
+            c += 1
+          }
+          (vecId, label, best)
+        }
+      }
+      .toDF("vec_id", "label", "pred")
+    scored.orderBy("vec_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "udf_scalar" -> udfScalar,
+    "udaf_agg" -> udafAgg,
+    "udtf_explode" -> udtfExplode,
+    "infer_mappartitions" -> inferMapPartitions)
+
+  private val posXDouble =
+    """SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+      |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "udf_scalar" ->
+      s"""SELECT vec_id, pos,
+         |  round(x - (((pos - 1) * 37) % 19 - 9) / 100.0, 4) AS val
+         |FROM ($posXDouble WHERE vec_id < 200) e
+         |ORDER BY vec_id, pos""".stripMargin,
+    "udaf_agg" ->
+      s"""SELECT label, pos, round(avg(x), 4) AS mean_val
+         |FROM ($posXDouble) e
+         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "udtf_explode" ->
+      s"""SELECT vec_id, pos, round(x, 4) AS val
+         |FROM ($posXDouble WHERE vec_id < 50) e
+         |ORDER BY abs(round(x, 4)) DESC, vec_id, pos LIMIT 100""".stripMargin,
+    "infer_mappartitions" ->
+      s"""WITH e AS ($posXDouble),
+         |w AS (SELECT c, i,
+         |        ((c * 64 + i) * 2654435761 % 1000 - 500) / 1000.0 AS wv
+         |      FROM range(10) t1(c), range(64) t2(i)),
+         |s AS (SELECT e.vec_id, e.label, w.c, sum(e.x * w.wv) AS score
+         |      FROM e JOIN w ON e.pos = w.i + 1
+         |      GROUP BY e.vec_id, e.label, w.c),
+         |r AS (SELECT vec_id, label, c,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY score DESC, c) AS rn
+         |      FROM s)
+         |SELECT vec_id, label, CAST(c AS INTEGER) AS pred
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north star BASELINE.json:6): media
+  * payloads travel as opaque `binary` columns with typed metadata;
+  * decode / feature-extract runs per-partition in batches — the same
+  * shape as the reference's per-partition CNTK image scoring (R19,
+  * ipynb:228-268) and of a `mapInPandas` decode on a Python stack.
+  *
+  * The actual image/audio codecs are NOT in this container, so the
+  * decoder is a clearly-marked deterministic stub (`FakeDecoder`); the
+  * Spark-side plumbing — binary column, schema, partition batching,
+  * typed output — is real and oracle-checked via integer byte math.
+  *
+  * Scale: payload bytes never shuffle; metadata extraction happens in
+  * the scan projection, and the decode stage is a narrow map over
+  * pre-pruned columns.
+  */
+object MultimodalQueries {
+
+  /** Documents-as-media: text re-encoded as a binary payload column
+    * with typed metadata (mime, byte length, frame count). */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(
+        col("doc_id"),
+        lit("text/plain").as("mime"),
+        octet_length(col("payload")).as("n_bytes"),
+        (octet_length(col("payload")).cast("long") / 256 + 1).cast("int")
+          .as("n_frames"))
+      .orderBy("doc_id")
+
+  /** STUB decoder — stands in for an image/audio codec that is not in
+    * this container. Deterministic fake: "dimensions" and a feature
+    * value derived from the leading payload bytes. The signature
+    * (bytes in → typed struct out, called once per row inside a
+    * per-partition batch loop) is the real contract. */
+  object FakeDecoder {
+    case class Decoded(height: Int, width: Int, channels: Int, feat: Long)
+    def decode(payload: Array[Byte]): Decoded = {
+      val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
+      val b1 = if (payload.length > 1) payload(1) & 0xff else 0
+      var featSum = 0L
+      var i = 0
+      while (i < math.min(16, payload.length)) { featSum += payload(i) & 0xff; i += 1 }
+      Decoded(1 + b0 % 4, 1 + b1 % 4, 3, featSum)
+    }
+  }
+
+  /** Per-partition batch decode over the binary payload column
+    * (mapPartitions ≙ mapInPandas batch shape): columns pruned BEFORE
+    * the typed boundary, decoder invoked per row inside the partition
+    * iterator. Oracle replays the byte math on ASCII code points. */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val d = FakeDecoder.decode(payload)
+          (id, d.height, d.width, d.channels, d.feat)
+        }
+      }
+      .toDF("doc_id", "height", "width", "channels", "feat")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_meta" -> multimodalMeta,
+    "multimodal_decode" -> multimodalDecode)
+
+  val oracleSql: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CAST(octet_length(encode(text)) // 256 + 1 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(1 + ascii(substr(text, 1, 1)) % 4 AS INTEGER) AS height,
+        |  CAST(1 + CASE WHEN length(text) > 1
+        |             THEN ascii(substr(text, 2, 1)) ELSE 0 END % 4 AS INTEGER)
+        |    AS width,
+        |  3 AS channels,
+        |  CAST(list_sum(list_transform(regexp_extract_all(substr(text, 1, 16), '.'),
+        |    c -> ascii(c))) AS BIGINT) AS feat
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

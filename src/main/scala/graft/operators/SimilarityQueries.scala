@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (north star
+  * BASELINE.json:6): brute-force cosine top-k as the exact baseline,
+  * and a sign-LSH bucketed variant as the scale path.
+  *
+  * Scale design: the query side is tiny and broadcast, so brute force
+  * is a broadcast nested-loop with NO shuffle of the corpus — each
+  * corpus partition streams once, computes cosines in codegen'd
+  * higher-order functions (no UDF), and only top-k rows survive the
+  * window. At 100 TB the LSH variant prunes the corpus to matching
+  * sign-buckets first, turning the cross product into an equi-join on
+  * the bucket id.
+  */
+object SimilarityQueries {
+
+  /** Σ aᵢ·bᵢ over two float arrays, computed in DOUBLE with a
+    * sequential left-to-right fold — deterministic FP, matching the
+    * oracle's per-index products. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Brute-force top-5 cosine neighbors for query vectors vec_id<10.
+    * Rank on the ROUNDED cosine with a vec_id tie-break so Spark and
+    * DuckDB order identically. */
+  def simCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("ce"))
+      .withColumn("cnorm", norm(col("ce")))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .withColumn("qnorm", norm(col("qe")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "n_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  val LshPlanes = 8
+
+  /** Deterministic hyperplane j component i — integer-derived so the
+    * bucketing is reproducible across runs and engines. */
+  def planeAt(j: Int, i: Int): Double = ((j * 64 + i) * 40503 % 101 - 50) / 100.0
+
+  /** Sign-LSH bucketed ANN: bucket = 8 sign bits of hyperplane dots;
+    * candidates = corpus rows in the query's bucket; top-3 by cosine
+    * within the bucket. Self-checked (SimilaritySpec: determinism +
+    * recall vs brute force) — no SQL oracle because a near-zero
+    * hyperplane dot could flip a sign bit under FP reassociation. */
+  def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val planes = (0 until LshPlanes).map { j =>
+      array((0 until 64).map(i => lit(planeAt(j, i))): _*)
+    }
+    val bucket: Column = (0 until LshPlanes).map { j =>
+      when(dot(col("embedding"), planes(j)) > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
+    val e = t(s, dir, "embeddings").withColumn("bucket", bucket)
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("ce"),
+      col("bucket"))
+      .withColumn("cnorm", norm(col("ce")))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
+      .withColumn("qnorm", norm(col("qe")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    corpus.join(broadcast(queries), "bucket")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "n_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> simCosineTopk,
+    "sim_ann_lsh" -> simAnnLsh)
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      """WITH qe AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |              CAST(unnest(embedding) AS DOUBLE) AS x
+        |            FROM embeddings WHERE vec_id < 10),
+        |ce AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |       FROM embeddings),
+        |dots AS (SELECT qe.vec_id AS q_id, ce.vec_id AS n_id,
+        |           sum(qe.x * ce.x) AS dot
+        |         FROM qe JOIN ce ON qe.pos = ce.pos
+        |         WHERE qe.vec_id != ce.vec_id
+        |         GROUP BY 1, 2),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+        |          FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+        |                FROM embeddings) t
+        |          GROUP BY vec_id),
+        |cosv AS (SELECT q_id, n_id,
+        |           round(dot / (nq.nrm * nc.nrm), 4) AS cos
+        |         FROM dots
+        |         JOIN norms nq ON q_id = nq.vec_id
+        |         JOIN norms nc ON n_id = nc.vec_id),
+        |r AS (SELECT q_id, n_id, cos,
+        |        row_number() OVER (PARTITION BY q_id
+        |          ORDER BY cos DESC, n_id) AS rn
+        |      FROM cosv)
+        |SELECT q_id, CAST(rn AS INTEGER) AS rank, n_id, cos
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin)
+}

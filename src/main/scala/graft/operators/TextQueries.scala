@@ -1,0 +1,209 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for LLM-data pipelines (north star BASELINE.json:6):
+  * per-language stats, TF-IDF, language-ID heuristic, quality scoring,
+  * token counting, order-sensitive document fingerprinting.
+  *
+  * Everything is built-in expressions (codegen'd); the only shuffles
+  * are the per-key aggregations. TF-IDF's doc-frequency side is a
+  * term-level aggregate joined back broadcast-style (terms ≪ docs at
+  * scale after a min-df cut).
+  */
+object TextQueries {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Tokenize + per-language document/char stats. */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("n_words", size(words(col("text"))))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        sum(col("n_words").cast("long")).as("sum_words"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  /** TF-IDF top-3 terms per document (docs < 100), deterministic
+    * tie-break by term. idf = ln(N/df) over the full corpus. */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val terms = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .filter(col("doc_id") < 100)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Stopword lists per language for the language-ID heuristic.
+    * Deterministic and CASE-expressible so DuckDB can replay it. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und"),
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "que"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("de", "le", "shi"))
+
+  /** N-gram/stopword-ratio language ID: score each language by its
+    * marker-token count; predict the argmax (ties → alphabetical,
+    * i.e. the Seq order above). On this synthetic corpus accuracy is
+    * incidental — the operator shape (vectorized token-set scoring,
+    * no UDF) is what carries to real data. */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val toks = words(col("text"))
+    val scores: Seq[Column] = langMarkers.map { case (lang, ms) =>
+      size(filter(toks, t => t.isin(ms.map(x => x: Any): _*))).as(s"s_$lang")
+    }
+    // argmax with first-wins tie-break via a single greatest() compare
+    val pred = langMarkers.foldRight(lit("??")) { case ((lang, _), acc) =>
+      val others = langMarkers.filter(_._1 != lang).map(l => col(s"s_${l._1}"))
+      when(col(s"s_$lang") >= greatest(others: _*), lit(lang)).otherwise(acc)
+    }
+    t(s, dir, "documents")
+      .select((col("doc_id") +: col("lang") +: scores): _*)
+      .withColumn("pred_lang", pred)
+      .withColumn("is_match", (col("lang") === col("pred_lang")).cast("int"))
+      .select("doc_id", "lang", "pred_lang", "is_match")
+      .orderBy("doc_id")
+  }
+
+  /** Quality score from length / lexical diversity / mean word length
+    * — pure arithmetic, identical in the oracle. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    t(s, dir, "documents")
+      .withColumn("n_words", size(w))
+      .withColumn("n_distinct", size(array_distinct(w)))
+      .withColumn("len_score",
+        least(lit(1.0), col("n_chars").cast("double") / 500.0))
+      .withColumn("diversity",
+        col("n_distinct").cast("double") / col("n_words"))
+      .withColumn("avg_word_len",
+        (col("n_chars") - (col("n_words") - 1)).cast("double") / col("n_words"))
+      .withColumn("quality",
+        round(lit(0.3) * col("len_score") + lit(0.4) * col("diversity") +
+          lit(0.3) * least(lit(1.0), col("avg_word_len") / 10.0), 4))
+      .select("doc_id", "n_words", "n_distinct", "quality")
+      .orderBy("doc_id")
+  }
+
+  /** Token counting two ways: whitespace and a BPE-ish regex
+    * ([a-z]+ / digit-runs / single other chars). */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(words(col("text"))).as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Order-sensitive integer fingerprint: Σ pos·7919 + len(tok)·131 +
+    * ascii(first char), mod 2³¹−1. All-integer math ⇒ bit-identical in
+    * DuckDB; position factor makes token order matter (rolling-hash
+    * style) while staying SQL-expressible. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(words(col("text"))))
+      .select(col("doc_id"),
+        ((col("pos") + 1).cast("long") * 7919 +
+          length(col("col")).cast("long") * 131 +
+          ascii(col("col")).cast("long")).as("term_h"))
+      .groupBy("doc_id")
+      .agg((sum("term_h") % 2147483647L).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> textStats,
+    "text_tfidf" -> textTfidf,
+    "text_langid" -> textLangid,
+    "text_quality" -> textQuality,
+    "text_tokens" -> textTokens,
+    "text_fingerprint" -> textFingerprint)
+
+  private def markerList(ms: Seq[String]): String =
+    ms.map(m => s"'$m'").mkString("[", ", ", "]")
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_tfidf" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |               FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM terms) t GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+        |           FROM tf JOIN df USING (term), n
+        |           WHERE tf.doc_id < 100),
+        |r AS (SELECT doc_id, term, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY tfidf DESC, term) AS rn
+        |      FROM scored)
+        |SELECT doc_id, CAST(rn AS INTEGER) AS rank, term, tfidf
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_langid" -> {
+      val scoreExprs = langMarkers.map { case (lang, ms) =>
+        s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains(${markerList(ms)}, t))) AS INTEGER) AS s_$lang"
+      }.mkString(",\n  ")
+      val predExpr = langMarkers.reverse.foldLeft("'??'") { case (acc, (lang, _)) =>
+        val others = langMarkers.filter(_._1 != lang)
+          .map(l => s"s_${l._1}").mkString(", ")
+        s"CASE WHEN s_$lang >= greatest($others) THEN '$lang' ELSE $acc END"
+      }
+      s"""SELECT doc_id, lang, pred_lang,
+         |  CAST(lang = pred_lang AS INTEGER) AS is_match
+         |FROM (SELECT doc_id, lang, $predExpr AS pred_lang
+         |      FROM (SELECT doc_id, lang,
+         |  $scoreExprs
+         |            FROM documents) sc) p
+         |ORDER BY doc_id""".stripMargin
+    },
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+        |  round(0.3 * least(1.0, CAST(n_chars AS DOUBLE) / 500.0)
+        |      + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |               / len(string_split(text, ' ')))
+        |      + 0.3 * least(1.0,
+        |          (CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |           / len(string_split(text, ' '))) / 10.0), 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER)
+        |    AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, CAST(sum(term_h) % 2147483647 AS BIGINT) AS fingerprint
+        |FROM (SELECT doc_id,
+        |        generate_subscripts(string_split(text, ' '), 1) * 7919
+        |          + length(unnest(string_split(text, ' '))) * 131
+        |          + ascii(unnest(string_split(text, ' '))) AS term_h
+        |      FROM documents) t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}

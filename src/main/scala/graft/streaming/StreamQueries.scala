@@ -1,0 +1,135 @@
+package graft.streaming
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming surface (SURVEY §2B `stream_*`). Absent from
+  * the reference; mandated by the north star over the `events` table.
+  *
+  * Each query is ONE transform function applied to either:
+  *  - the batch events DataFrame (what Verify/the oracle sees — a
+  *    windowed agg over a bounded stream equals the batch group-by), or
+  *  - a MemoryStream of the same rows (exercised in StreamingSpec,
+  *    asserting batch-equivalence and watermark late-drop behavior).
+  *
+  * Time math rides `ts` (second-truncated, see Tables.events) and
+  * epoch-second integers so the ns-precision parquet source cannot
+  * diverge from the DuckDB oracle.
+  *
+  * Scale: windowed aggs shuffle once on (window, key); watermarks bound
+  * state. `session_window` state is per-user and evicted at watermark;
+  * the batch equivalent uses a lag/cumsum window, one shuffle per user
+  * partition.
+  */
+object StreamQueries {
+
+  /** 1-hour tumbling window: count + sum(value), 10-min watermark. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("n"), col("sum_value"))
+
+  def streamTumbling(s: SparkSession, dir: String): DataFrame =
+    tumblingAgg(t(s, dir, "events")).orderBy("window_start_s")
+
+  /** 1-hour window sliding every 15 min, counts per event_type. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("event_type"), col("n"))
+
+  def streamSliding(s: SparkSession, dir: String): DataFrame =
+    slidingAgg(t(s, dir, "events")).orderBy("window_start_s", "event_type")
+
+  /** Session count per user, 30-minute gap. Batch equivalent of
+    * `session_window`: a new session starts when the gap to the
+    * previous event is >= 1800 s (the session window is
+    * [prev, prev+gap)). StreamingSpec cross-checks the real
+    * session_window operator against this. */
+  def streamSession(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    t(s, dir, "events")
+      .withColumn("delta_s", col("ts_s") - lag("ts_s", 1).over(w))
+      .withColumn("is_new",
+        when(col("delta_s").isNull || col("delta_s") >= 1800, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("is_new").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** The streaming form of streamSession (used by tests). */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+
+  /** Watermarked dropDuplicates on event_id: dedup a doubled input;
+    * per-type counts prove exactly-once survival of each event_id. */
+  def dedupAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+
+  def streamDedupLate(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    dedupAgg(e.unionAll(e)).orderBy("event_type")
+  }
+
+  /** Null-predicate counts over events (SURVEY `filter_null` lives here
+    * with the other events queries). */
+  def filterNull(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("value").isNull.as("value_is_null"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("value_is_null")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> streamTumbling,
+    "stream_sliding" -> streamSliding,
+    "stream_session" -> streamSession,
+    "stream_dedup_late" -> streamDedupLate,
+    "filter_null" -> filterNull)
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT (epoch_ns(ts) // 1000000000) // 3600 * 3600 AS window_start_s,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_sliding" ->
+      """SELECT ((epoch_ns(ts) // 1000000000) // 900 - t.k) * 900 AS window_start_s,
+        |  event_type, count(*) AS n
+        |FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_session" ->
+      """SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN delta_s IS NULL OR delta_s >= 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM (
+        |    SELECT user_id,
+        |      (epoch_ns(ts) // 1000000000)
+        |        - lag(epoch_ns(ts) // 1000000000)
+        |          OVER (PARTITION BY user_id
+        |                ORDER BY epoch_ns(ts) // 1000000000, event_id) AS delta_s
+        |    FROM events) d) f
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_dedup_late" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "filter_null" ->
+      """SELECT (value IS NULL) AS value_is_null, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+}

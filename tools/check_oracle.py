@@ -68,13 +68,20 @@ def main():
             failures += 1
             continue
         print(f"ok   {name} ({len(got)} rows)")
-    # queries without oracle: rows-only check
-    for d in sorted(glob.glob(f"{out_dir}/*/")):
-        name = d.rstrip("/").split("/")[-1]
+    # queries without oracle: rows-only check, driven off the declared
+    # query list so a query that FAILED inside Verify (no output dir)
+    # cannot silently pass
+    declared = open(f"{out_dir}/queries.txt").read().split()
+    for name in declared:
         if name in oracle:
             continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output (self-check)")
+            failures += 1
+            continue
         n = con.execute(
-            f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+            f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()[0]
         status = "ok  " if n > 0 else "FAIL"
         if n == 0:
             failures += 1
