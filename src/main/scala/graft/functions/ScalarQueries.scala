@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.Fp
 import graft.Tables.t
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -45,10 +46,10 @@ object ScalarQueries {
       .filter(col("l_orderkey") < 1000)
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        round(abs(col("l_extendedprice") - 1000), 4).as("abs_delta"),
-        round(sqrt(col("l_quantity")), 4).as("sqrt_qty"),
-        round(log(col("l_extendedprice")), 4).as("ln_price"),
-        round(pow(col("l_discount") + 1, 2), 4).as("pow_disc"))
+        Fp.r4(abs(col("l_extendedprice") - 1000)).as("abs_delta"),
+        Fp.r4(sqrt(col("l_quantity"))).as("sqrt_qty"),
+        Fp.r4(log(col("l_extendedprice"))).as("ln_price"),
+        Fp.r4(pow(col("l_discount") + 1, 2)).as("pow_disc"))
       .orderBy("l_orderkey", "l_linenumber")
 
   /** Array higher-order functions over embeddings
@@ -58,9 +59,9 @@ object ScalarQueries {
       .select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
-        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+        Fp.r4(element_at(col("embedding"), 1).cast("double")).as("first_val"),
         transform(slice(col("embedding"), 1, 3),
-          x => round(x.cast("double"), 4)).as("head3"))
+          x => Fp.r4(x.cast("double"))).as("head3"))
       .orderBy("vec_id")
 
   /** JSON extraction over events.props. */
@@ -110,16 +111,16 @@ object ScalarQueries {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "scalar_math" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round(abs(l_extendedprice - 1000), 4) AS abs_delta,
-        |  round(sqrt(l_quantity), 4) AS sqrt_qty,
-        |  round(ln(l_extendedprice), 4) AS ln_price,
-        |  round(pow(l_discount + 1, 2), 4) AS pow_disc
+        |  floor((abs(l_extendedprice - 1000)) * 10000.0 + 0.5) / 10000.0 AS abs_delta,
+        |  floor((sqrt(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sqrt_qty,
+        |  floor((ln(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS ln_price,
+        |  floor((pow(l_discount + 1, 2)) * 10000.0 + 0.5) / 10000.0 AS pow_disc
         |FROM lineitem WHERE l_orderkey < 1000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "scalar_array" ->
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
-        |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
-        |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS head3
+        |  floor((CAST(embedding[1] AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 + 0.0 AS first_val,
+        |  list_transform(embedding[1:3], x -> floor((CAST(x AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 + 0.0) AS head3
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "scalar_json" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Fp
 import graft.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -20,12 +21,12 @@ object AggQueries {
       .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 4).as("sum_qty"),
-        round(sum("l_extendedprice"), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        Fp.r4(sum("l_quantity")).as("sum_qty"),
+        Fp.r4(sum("l_extendedprice")).as("sum_base_price"),
+        Fp.r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        Fp.r4(avg("l_quantity")).as("avg_qty"),
+        Fp.r4(avg("l_extendedprice")).as("avg_price"),
+        Fp.r4(avg("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -62,7 +63,7 @@ object AggQueries {
     t(s, dir, "orders").createOrReplaceTempView("graft_orders")
     s.sql(
       """SELECT /*+ BROADCAST(graft_nation) */ n_name, c_mktsegment,
-        |  round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+        |  floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS revenue, count(*) AS n_orders
         |FROM graft_orders
         |JOIN graft_customer ON o_custkey = c_custkey
         |JOIN graft_nation ON c_nationkey = n_nationkey
@@ -76,7 +77,7 @@ object AggQueries {
       .withColumn("yr", year(col("ts")))
       .cube("event_type", "yr")
       .agg(count(lit(1)).as("n"),
-        round(sum("value"), 4).as("sum_value"))
+        Fp.r4(sum("value")).as("sum_value"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("yr"))
 
   /** Confusion-matrix shape (reference R25, ipynb:380): label vs a
@@ -96,7 +97,7 @@ object AggQueries {
   def aggAccuracy(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .agg(
-        round(avg(when(col("label") === (col("vec_id") % 10), 1.0).otherwise(0.0)), 4)
+        Fp.r4(avg(when(col("label") === (col("vec_id") % 10), 1.0).otherwise(0.0)))
           .as("accuracy"),
         count(lit(1)).as("n"))
 
@@ -112,12 +113,12 @@ object AggQueries {
   val oracleSql: Map[String, String] = Map(
     "agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+        |  floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS sum_base_price,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS sum_disc_price,
+        |  floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+        |  floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+        |  floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
         |GROUP BY l_returnflag, l_linestatus
@@ -127,7 +128,7 @@ object AggQueries {
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "agg_rollup" ->
       """SELECT n_name, c_mktsegment,
-        |  round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+        |  floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS revenue, count(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -135,7 +136,7 @@ object AggQueries {
         |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
     "agg_cube" ->
       """SELECT event_type, CAST(year(ts) AS INTEGER) AS yr, count(*) AS n,
-        |  round(sum(value), 4) AS sum_value
+        |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
         |FROM events
         |GROUP BY CUBE (event_type, year(ts))
         |ORDER BY event_type NULLS FIRST, yr NULLS FIRST""".stripMargin,
@@ -153,8 +154,8 @@ object AggQueries {
         |  count(CASE WHEN vec_id % 10 = 9 THEN 1 END) AS "9"
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "agg_accuracy" ->
-      """SELECT round(avg(CASE WHEN label = vec_id % 10
-        |    THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 4)
+      """SELECT floor((avg(CASE WHEN label = vec_id % 10
+        |    THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)) * 10000.0 + 0.5) / 10000.0
         |  AS accuracy, count(*) AS n
         |FROM embeddings""".stripMargin)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Fp
 import graft.Tables.t
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -51,8 +52,13 @@ object DedupQueries {
     * p hashes shingle s as xxhash64(p, s) (fixed seeds via the leading
     * literal), so reruns produce the identical pair set (self-check:
     * DedupSpec asserts exact dups always pair + determinism). */
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(t(s, dir, "documents"))
+
+  /** Core MinHash-LSH pair generation over any (doc_id, text) frame —
+    * exposed for property tests. */
+  def minhashPairs(documents: DataFrame): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
     val permCols = (0 until MinhashPerms).map(p =>
       min(xxhash64(lit(p), col("shingle"))).as(s"m$p"))
@@ -78,8 +84,13 @@ object DedupQueries {
     * the sign of the sum of ±1 votes from each token's hash bit j.
     * Constant space per row — the sketch that scales to 100 TB.
     * Self-checked (DedupSpec: equal text ⇒ equal simhash; determinism). */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val tok = t(s, dir, "documents")
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashSketch(t(s, dir, "documents"))
+
+  /** Core SimHash sketch over any (doc_id, text) frame — exposed for
+    * property tests. */
+  def simhashSketch(documents: DataFrame): DataFrame = {
+    val tok = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .withColumn("h", xxhash64(col("token")))
     val voteCols = (0 until 64).map(j =>
@@ -111,8 +122,8 @@ object DedupQueries {
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_grams", "nb"), "doc_b")
       .withColumn("jaccard",
-        round(col("n_inter").cast("double") /
-          (col("na") + col("nb") - col("n_inter")), 4))
+        Fp.r4(col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter"))))
       .filter(col("jaccard") >= 0.1)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -143,11 +154,11 @@ object DedupQueries {
         |            ON a.gram = b.gram AND a.doc_id < b.doc_id
         |          GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
-        |  round(CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter), 4)
+        |  floor((CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter)) * 10000.0 + 0.5) / 10000.0
         |    AS jaccard
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter), 4) >= 0.1
+        |WHERE floor((CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter)) * 10000.0 + 0.5) / 10000.0 >= 0.1
         |ORDER BY doc_a, doc_b""".stripMargin)
 }

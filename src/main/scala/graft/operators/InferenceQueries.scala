@@ -2,6 +2,7 @@ package graft.operators
 
 import java.util.concurrent.atomic.AtomicLong
 
+import graft.Fp
 import graft.Tables.t
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
@@ -53,7 +54,7 @@ object InferenceQueries {
       .filter(col("vec_id") < 200)
       .select(col("vec_id"), posexplode(subtractMean(col("embedding"))))
       .select(col("vec_id"), (col("pos") + 1).as("pos"),
-        round(col("col"), 4).as("val"))
+        Fp.r4(col("col")).as("val"))
       .orderBy("vec_id", "pos")
   }
 
@@ -98,7 +99,7 @@ object InferenceQueries {
       .toDF("label", "centroid")
       .select(col("label"), posexplode(col("centroid.values")))
       .select(col("label"), (col("pos") + 1).as("pos"),
-        round(col("col"), 4).as("mean_val"))
+        Fp.r4(col("col")).as("mean_val"))
       .orderBy("label", "pos")
   }
 
@@ -109,7 +110,7 @@ object InferenceQueries {
       .filter(col("vec_id") < 50)
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), (col("pos") + 1).as("pos"),
-        round(col("col").cast("double"), 4).as("val"))
+        Fp.r4(col("col").cast("double")).as("val"))
       .orderBy(abs(col("val")).desc, col("vec_id"), col("pos"))
       .limit(100)
 
@@ -155,19 +156,21 @@ object InferenceQueries {
       |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // `+ 0.0` normalizes DuckDB's -0.0 (Spark's BigDecimal round never
+    // emits negative zero)
     "udf_scalar" ->
       s"""SELECT vec_id, pos,
-         |  round(x - (((pos - 1) * 37) % 19 - 9) / 100.0, 4) AS val
+         |  floor((x - (((pos - 1) * 37) % 19 - 9) / 100.0) * 10000.0 + 0.5) / 10000.0 + 0.0 AS val
          |FROM ($posXDouble WHERE vec_id < 200) e
          |ORDER BY vec_id, pos""".stripMargin,
     "udaf_agg" ->
-      s"""SELECT label, pos, round(avg(x), 4) AS mean_val
+      s"""SELECT label, pos, floor((avg(x)) * 10000.0 + 0.5) / 10000.0 + 0.0 AS mean_val
          |FROM ($posXDouble) e
          |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "udtf_explode" ->
-      s"""SELECT vec_id, pos, round(x, 4) AS val
+      s"""SELECT vec_id, pos, floor((x) * 10000.0 + 0.5) / 10000.0 + 0.0 AS val
          |FROM ($posXDouble WHERE vec_id < 50) e
-         |ORDER BY abs(round(x, 4)) DESC, vec_id, pos LIMIT 100""".stripMargin,
+         |ORDER BY abs(floor((x) * 10000.0 + 0.5) / 10000.0) DESC, vec_id, pos LIMIT 100""".stripMargin,
     "infer_mappartitions" ->
       s"""WITH e AS ($posXDouble),
          |w AS (SELECT c, i,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Fp
 import graft.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -36,7 +37,7 @@ object JoinQueries {
     val c = t(s, dir, "customer")
     o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy("c_nationkey")
-      .agg(round(sum("o_totalprice"), 4).as("revenue"),
+      .agg(Fp.r4(sum("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy("c_nationkey")
   }
@@ -53,7 +54,7 @@ object JoinQueries {
     c.join(o, c("c_custkey") === o("o_custkey"))
       .join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy(o("o_orderkey"), o("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+      .agg(Fp.r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .as("revenue"))
       .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"),
         col("revenue"))
@@ -143,13 +144,13 @@ object JoinQueries {
       """SELECT n_nationkey, n_name, r_name FROM nation
         |JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""".stripMargin,
     "join_shuffle" ->
-      """SELECT c_nationkey, round(sum(o_totalprice), 4) AS revenue,
+      """SELECT c_nationkey, floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS revenue,
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "join_multi" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Fp
 import graft.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._

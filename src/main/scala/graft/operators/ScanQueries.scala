@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Fp
 import graft.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -46,7 +47,7 @@ object ScanQueries {
       .schema("l_orderkey LONG, l_linenumber INT, l_quantity DOUBLE, l_returnflag STRING")
       .csv(out)
     back.groupBy("l_returnflag")
-      .agg(count("*").as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+      .agg(count("*").as("n"), Fp.r4(sum("l_quantity")).as("sum_qty"))
       .orderBy("l_returnflag")
   }
 
@@ -78,7 +79,7 @@ object ScanQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1999-01-01' ORDER BY o_orderkey""".stripMargin,
     "sink_roundtrip" ->
-      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+      """SELECT l_returnflag, count(*) AS n, floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty
         |FROM lineitem WHERE l_orderkey < 1000
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "source_inline" ->

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Fp
 import graft.Tables.t
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -44,44 +45,56 @@ object SimilarityQueries {
       .partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
     corpus.crossJoin(broadcast(queries))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", round(dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")), 4))
+      .withColumn("cos", Fp.r4(dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("q_id", "rank", "n_id", "cos")
       .orderBy("q_id", "rank")
   }
 
-  val LshPlanes = 8
+  val LshTables = 4
+  val LshBitsPerTable = 4
 
   /** Deterministic hyperplane j component i — integer-derived so the
     * bucketing is reproducible across runs and engines. */
   def planeAt(j: Int, i: Int): Double = ((j * 64 + i) * 40503 % 101 - 50) / 100.0
 
-  /** Sign-LSH bucketed ANN: bucket = 8 sign bits of hyperplane dots;
-    * candidates = corpus rows in the query's bucket; top-3 by cosine
-    * within the bucket. Self-checked (SimilaritySpec: determinism +
+  /** Multi-table sign-LSH ANN (OR-amplified): 4 tables × 4 sign bits.
+    * A corpus row is a candidate if it shares a bucket with the query
+    * in ANY table — the standard recall/selectivity trade for random
+    * hyperplane LSH. Candidates dedup via max(cos) (identical values),
+    * then top-3 per query. Self-checked (SimilaritySpec: determinism +
     * recall vs brute force) — no SQL oracle because a near-zero
-    * hyperplane dot could flip a sign bit under FP reassociation. */
+    * hyperplane dot could flip a sign bit under FP reassociation.
+    *
+    * Scale: the shuffle key is (table, bucket); the corpus is scanned
+    * once, exploded ×4 (metadata only, embeddings carried by
+    * reference), and only same-bucket pairs ever materialize. */
   def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val planes = (0 until LshPlanes).map { j =>
-      array((0 until 64).map(i => lit(planeAt(j, i))): _*)
-    }
-    val bucket: Column = (0 until LshPlanes).map { j =>
-      when(dot(col("embedding"), planes(j)) > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
+    def bucketFor(tbl: Int): Column =
+      (0 until LshBitsPerTable).map { b =>
+        val j = tbl * LshBitsPerTable + b
+        val plane = array((0 until 64).map(i => lit(planeAt(j, i))): _*)
+        when(dot(col("embedding"), plane) > 0, lit(1 << b)).otherwise(0)
+      }.reduce(_ + _)
+    val tables = explode(array((0 until LshTables).map(tc =>
+      struct(lit(tc).as("tbl"), bucketFor(tc).as("bkt"))): _*)).as("tb")
 
-    val e = t(s, dir, "embeddings").withColumn("bucket", bucket)
-    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("ce"),
-      col("bucket"))
+    val e = t(s, dir, "embeddings")
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("ce"), tables)
+      .select(col("n_id"), col("ce"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
       .withColumn("cnorm", norm(col("ce")))
     val queries = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), tables)
+      .select(col("q_id"), col("qe"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
       .withColumn("qnorm", norm(col("qe")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
-    corpus.join(broadcast(queries), "bucket")
+    corpus.join(broadcast(queries), Seq("tbl", "bkt"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", round(dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")), 4))
+      .withColumn("cos", Fp.r4(dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm"))))
+      .groupBy("q_id", "n_id")
+      .agg(max("cos").as("cos")) // dedup multi-table hits
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("q_id", "rank", "n_id", "cos")
@@ -110,7 +123,7 @@ object SimilarityQueries {
         |                FROM embeddings) t
         |          GROUP BY vec_id),
         |cosv AS (SELECT q_id, n_id,
-        |           round(dot / (nq.nrm * nc.nrm), 4) AS cos
+        |           floor((dot / (nq.nrm * nc.nrm)) * 10000.0 + 0.5) / 10000.0 + 0.0 AS cos
         |         FROM dots
         |         JOIN norms nq ON q_id = nq.vec_id
         |         JOIN norms nc ON n_id = nc.vec_id),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Fp
 import graft.Tables.t
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -25,7 +26,7 @@ object TextQueries {
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_chars").as("sum_chars"),
-        round(avg("n_chars"), 4).as("avg_chars"),
+        Fp.r4(avg("n_chars")).as("avg_chars"),
         sum(col("n_words").cast("long")).as("sum_words"),
         countDistinct(col("source")).as("n_sources"))
       .orderBy("lang")
@@ -43,7 +44,7 @@ object TextQueries {
       .partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
     tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("tfidf",
-        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+        Fp.r4(col("tf") * log(col("n_docs").cast("double") / col("df"))))
       .filter(col("doc_id") < 100)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
@@ -97,8 +98,8 @@ object TextQueries {
       .withColumn("avg_word_len",
         (col("n_chars") - (col("n_words") - 1)).cast("double") / col("n_words"))
       .withColumn("quality",
-        round(lit(0.3) * col("len_score") + lit(0.4) * col("diversity") +
-          lit(0.3) * least(lit(1.0), col("avg_word_len") / 10.0), 4))
+        Fp.r4(lit(0.3) * col("len_score") + lit(0.4) * col("diversity") +
+          lit(0.3) * least(lit(1.0), col("avg_word_len") / 10.0)))
       .select("doc_id", "n_words", "n_distinct", "quality")
       .orderBy("doc_id")
   }
@@ -143,7 +144,7 @@ object TextQueries {
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  round(avg(n_chars), 4) AS avg_chars,
+        |  floor((avg(n_chars)) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
         |  count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
@@ -155,7 +156,7 @@ object TextQueries {
         |       FROM (SELECT DISTINCT doc_id, term FROM terms) t GROUP BY term),
         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
         |scored AS (SELECT tf.doc_id, tf.term,
-        |             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+        |             floor((tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)) * 10000.0 + 0.5) / 10000.0 AS tfidf
         |           FROM tf JOIN df USING (term), n
         |           WHERE tf.doc_id < 100),
         |r AS (SELECT doc_id, term, tfidf,
@@ -185,12 +186,13 @@ object TextQueries {
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
-        |  round(0.3 * least(1.0, CAST(n_chars AS DOUBLE) / 500.0)
-        |      + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |  floor((CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
+        |          CAST(n_chars AS DOUBLE) / CAST(500.0 AS DOUBLE))
+        |      + CAST(0.4 AS DOUBLE) * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |               / len(string_split(text, ' ')))
-        |      + 0.3 * least(1.0,
+        |      + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
         |          (CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-        |           / len(string_split(text, ' '))) / 10.0), 4) AS quality
+        |           / len(string_split(text, ' '))) / CAST(10.0 AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Fp
 import graft.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -37,7 +38,7 @@ object WindowQueries {
       .orderBy(asc("o_orderdate"), asc("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "orders")
-      .withColumn("running", round(sum("o_totalprice").over(w), 4))
+      .withColumn("running", Fp.r4(sum("o_totalprice").over(w)))
       .select("o_custkey", "o_orderkey", "running")
       .orderBy("o_custkey", "o_orderkey")
   }
@@ -68,9 +69,9 @@ object WindowQueries {
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "win_running" ->
       """SELECT o_custkey, o_orderkey,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |  floor((sum(o_totalprice) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0 AS running
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_lag" ->
       """SELECT user_id, event_id,

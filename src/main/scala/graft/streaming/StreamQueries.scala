@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Fp
 import graft.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -30,7 +31,7 @@ object StreamQueries {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Fp.r4(sum("value")).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("window_start_s"),
         col("n"), col("sum_value"))
 
@@ -65,14 +66,18 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
-  /** The streaming form of streamSession (used by tests). */
+  /** The streaming form of streamSession (used by tests): one row per
+    * (user, session). The per-user session COUNT happens downstream —
+    * chaining a second stateful agg after session_window trips Spark's
+    * global-watermark correctness check, and at scale the session rows
+    * are the useful output anyway. */
   def sessionAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
 
   /** Watermarked dropDuplicates on event_id: dedup a doubled input;
     * per-type counts prove exactly-once survival of each event_id. */
@@ -106,7 +111,7 @@ object StreamQueries {
   val oracleSql: Map[String, String] = Map(
     "stream_tumbling" ->
       """SELECT (epoch_ns(ts) // 1000000000) // 3600 * 3600 AS window_start_s,
-        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |  count(*) AS n, floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_sliding" ->
       """SELECT ((epoch_ns(ts) // 1000000000) // 900 - t.k) * 900 AS window_start_s,

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.InferenceQueries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reference-fidelity assertions for the inference layer — including
+  * the reference's core performance contract: the model is
+  * materialized exactly once per partition (ipynb:99, R19).
+  */
+class InferenceSpec extends AnyFunSuite with SparkFixture {
+
+  test("infer_mappartitions loads the model exactly once per partition") {
+    val df = InferenceQueries.inferMapPartitions(spark, sf)
+    val parts = graft.Tables.t(spark, sf, "embeddings").rdd.getNumPartitions
+    InferenceQueries.modelLoads.set(0)
+    df.count()
+    assert(InferenceQueries.modelLoads.get() == parts,
+      s"expected $parts loads, got ${InferenceQueries.modelLoads.get()}")
+  }
+
+  test("predictions are valid class ids and accuracy is in [0,1]") {
+    val rows = InferenceQueries.inferMapPartitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) < InferenceQueries.NumClasses))
+    val acc = rows.count(r => r.getInt(1) == r.getInt(2)).toDouble / rows.length
+    assert(acc >= 0.0 && acc <= 1.0)
+  }
+
+  test("udf_scalar mean-subtract equals the zip_with built-in") {
+    import spark.implicits._
+    val viaUdf = InferenceQueries.udfScalar(spark, sf)
+      .as[(Long, Int, Double)].collect().toSeq
+    val mean = array((0 until InferenceQueries.Dim)
+      .map(i => lit(InferenceQueries.meanAt(i))): _*)
+    val viaBuiltin = graft.Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"),
+        posexplode(zip_with(col("embedding"), mean,
+          (x, m) => x.cast("double") - m)))
+      .select(col("vec_id"), (col("pos") + 1).as("pos"), Fp.r4(col("col")))
+      .orderBy("vec_id", "pos")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(viaUdf == viaBuiltin)
+  }
+
+  test("udaf centroid equals per-dimension avg via posexplode") {
+    import spark.implicits._
+    val viaUdaf = InferenceQueries.udafAgg(spark, sf)
+      .as[(Int, Int, Double)].collect().toSeq
+    val viaAvg = graft.Tables.t(spark, sf, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), (col("pos") + 1).as("pos"))
+      .agg(Fp.r4(avg(col("col").cast("double"))).as("mean_val"))
+      .orderBy("label", "pos")
+      .as[(Int, Int, Double)].collect().toSeq
+    assert(viaUdaf == viaAvg)
+  }
+}

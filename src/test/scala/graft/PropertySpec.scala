@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.DedupQueries
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck-generator-driven properties (SURVEY §5B): set-op algebra
+  * vs brute-force Scala sets, dedup idempotence, HLL error band.
+  * (Generators sampled with fixed seeds — the scalatest/scalacheck
+  * bridge artifact isn't resolvable offline.)
+  */
+class PropertySpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val smallLists =
+    Gen.listOfN(30, Gen.chooseNum(0L, 15L))
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("union/intersect/except match Scala set algebra on generated tables") {
+    for ((xs, ys) <- samples(smallLists, 5).zip(samples(smallLists, 5).reverse)) {
+      val a = xs.toDF("v")
+      val b = ys.toDF("v")
+      assert(a.union(b).distinct().as[Long].collect().toSet ==
+        (xs.toSet ++ ys.toSet))
+      assert(a.intersect(b).as[Long].collect().toSet ==
+        xs.toSet.intersect(ys.toSet))
+      assert(a.except(b).as[Long].collect().toSet ==
+        xs.toSet.diff(ys.toSet))
+    }
+  }
+
+  test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    for (texts <- samples(Gen.listOfN(20, Gen.oneOf("a b c", "d e f", "g h i")), 3)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      import org.apache.spark.sql.functions._
+      def dedup(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min("doc_id").as("doc_id"), first("text").as("text"))
+          .select("doc_id", "text")
+      val once = dedup(docs).collect().toSet
+      val twice = dedup(dedup(docs)).collect().toSet
+      assert(once.map(r => (r.getLong(0), r.getString(1))) ==
+        twice.map(r => (r.getLong(0), r.getString(1))))
+    }
+  }
+
+  test("approx_count_distinct stays within 5% of exact on events users") {
+    val e = Tables.t(spark, sf, "events")
+    val exact = e.select("user_id").distinct().count().toDouble
+    val approx = e.agg(
+      org.apache.spark.sql.functions.approx_count_distinct("user_id"))
+      .collect()(0).getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("minhash pair generation only ever pairs doc_a < doc_b, no self-pairs") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    DedupQueries.minhashPairs(docs).as[(Long, Long)].collect()
+      .foreach { case (a, b) => assert(a < b) }
+  }
+
+  test("stream_session sessions per user are >= 1 and <= event count") {
+    val rows = SparkEntry.queries("stream_session")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (_, nSessions, nEvents) =>
+      assert(nSessions >= 1 && nSessions <= nEvents)
+    }
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Content + plan-shape assertions for the relational core.
+  * Plan shape matters as much as rows: at 100 TB the wrong physical
+  * operator IS a bug (SURVEY §4B).
+  */
+class RelationalSpec extends AnyFunSuite with SparkFixture {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("every declared query runs at sf0.001 and has an oracle or documented self-check") {
+    val selfChecked = Set("agg_approx_distinct", "dedup_minhash",
+      "dedup_simhash", "sim_ann_lsh")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(SparkEntry.oracleSql.contains(name) || selfChecked(name),
+        s"$name has neither oracle SQL nor a declared self-check")
+    }
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("scan_pruned pushes the filter into the parquet scan and prunes columns") {
+    val p = plan("scan_pruned")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"), p)
+    // column-pruned scan: only the 2 projected cols + the filter col
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double,o_orderdate:timestamp"), p)
+  }
+
+  test("scan_parquet reads only the 3 projected columns") {
+    val p = plan("scan_parquet")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+  }
+
+  test("join_broadcast uses BroadcastHashJoin") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("join_semi and join_anti plan as semi/anti joins") {
+    assert(plan("join_semi").contains("LeftSemi"))
+    assert(plan("join_anti").contains("LeftAnti"))
+  }
+
+  test("join_theta broadcasts the small side (nested loop, no shuffle of lineitem)") {
+    val p = plan("join_theta")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("topk_global plans as TakeOrderedAndProject (no global sort)") {
+    assert(plan("topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("sort_multi plans as TakeOrderedAndProject (no global sort)") {
+    assert(plan("sort_multi").contains("TakeOrderedAndProject"))
+  }
+
+  test("agg_hash uses two-phase HashAggregate") {
+    val p = plan("agg_hash")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("source_inline returns the reference label dictionary in order") {
+    val rows = SparkEntry.queries("source_inline")(spark, sf).collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      operators.ScanQueries.labelNames)
+  }
+
+  test("join_broadcast returns all 25 nations") {
+    assert(SparkEntry.queries("join_broadcast")(spark, sf).count() == 25)
+  }
+
+  test("set algebra: union ⊇ intersect parts; except ∩ intersect = ∅") {
+    import spark.implicits._
+    val inter = SparkEntry.queries("set_intersect")(spark, sf)
+      .as[Long].collect().toSet
+    val exc = SparkEntry.queries("set_except")(spark, sf)
+      .as[Long].collect().toSet
+    assert(inter.intersect(exc).isEmpty)
+  }
+
+  test("win_rank emits at most 3 rows per customer, ranks 1..3") {
+    val byCust = SparkEntry.queries("win_rank")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    byCust.values.foreach { rows =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length))
+    }
+  }
+}

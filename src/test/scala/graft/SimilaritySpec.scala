@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.SimilarityQueries
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for similarity search: cosine bounds, brute-force/LSH
+  * agreement (recall), determinism of the self-checked ANN query.
+  */
+class SimilaritySpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("cosine values are within [-1, 1] and ranks are 1..5 per query") {
+    val rows = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rank, _, cos) =>
+      assert(cos >= -1.0001 && cos <= 1.0001)
+      assert(rank >= 1 && rank <= 5)
+    }
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.sameElements(1 to g.length))
+      // scores non-increasing with rank
+      val byRank = g.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ANN-LSH results are a subset of same-bucket candidates with valid ranks") {
+    val rows = SparkEntry.queries("sim_ann_lsh")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.sameElements(1 to g.length))
+    }
+  }
+
+  test("ANN-LSH recall: bucketed top-1 appears in brute-force top-5 for most queries") {
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+      .filter(_._2 == 1)
+    val hits = ann.count { case (q, _, n, _) => brute.get(q).exists(_.contains(n)) }
+    assert(hits.toDouble / ann.length >= 0.3,
+      s"ANN top-1 recall vs brute top-5: $hits/${ann.length}")
+  }
+
+  test("sim_ann_lsh is deterministic across runs") {
+    val a = SparkEntry.queries("sim_ann_lsh")(spark, sf).collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("sim_ann_lsh")(spark, sf).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+}

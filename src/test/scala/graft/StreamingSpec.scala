@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Structured-Streaming behavior: each stream_* transform run on a
+  * MemoryStream must equal the same transform on the equivalent batch
+  * DataFrame (SURVEY §5B), and late rows beyond the watermark must be
+  * dropped.
+  */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val sample: Seq[Ev] = (0 until 200).map { i =>
+    Ev(i.toLong, ts(i), i % 5L, if (i % 2 == 0) "click" else "view", i * 1.5)
+  }
+
+  /** Runs a streaming transform to completion on `rows` and returns
+    * the final complete-mode result. */
+  private def runStream(rows: Seq[Ev], transform: DataFrame => DataFrame,
+      name: String): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val q = transform(mem.toDF()).writeStream
+      .outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toIndexedSeq
+    df.select(cols.map(col): _*).collect().map(_.toString).toSeq.sorted
+  }
+
+  test("tumbling window on a bounded stream equals the batch aggregate") {
+    val streamed = runStream(sample, StreamQueries.tumblingAgg, "t_tumbling")
+    val batch = StreamQueries.tumblingAgg(sample.toDF())
+    assert(sortedRows(streamed) == sortedRows(batch))
+    assert(streamed.count() == 4) // 200 minutes → 4 hour-buckets
+  }
+
+  test("sliding window on a bounded stream equals the batch aggregate") {
+    val streamed = runStream(sample, StreamQueries.slidingAgg, "t_sliding")
+    val batch = StreamQueries.slidingAgg(sample.toDF())
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
+
+  test("streaming dropDuplicates dedups a doubled stream exactly") {
+    val streamed = runStream(sample ++ sample, StreamQueries.dedupAgg, "t_dedup")
+    val n = streamed.agg(sum("n")).collect()(0).getLong(0)
+    assert(n == sample.length)
+  }
+
+  test("session_window stream agrees with the batch lag/cumsum session count") {
+    // user 0: events at minute 0, 10, 50 (gap 40m ⇒ 2 sessions), user 1: 1 session
+    val rows = Seq(
+      Ev(1, ts(0), 0, "click", 1.0), Ev(2, ts(10), 0, "click", 1.0),
+      Ev(3, ts(50), 0, "click", 1.0), Ev(4, ts(5), 1, "view", 1.0))
+    val streamed = runStream(rows, StreamQueries.sessionAgg, "t_session")
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(streamed == Map(0L -> 2L, 1L -> 1L))
+  }
+
+  test("rows later than the watermark are dropped in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamQueries.tumblingAgg(mem.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("t_late").start()
+    // batch 1: advance event time to 03:20 → watermark 03:10
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    // batch 2: a row at 00:30 — a full hour-window behind the watermark
+    mem.addData(Ev(999, ts(30), 9, "late", 1.0))
+    q.processAllAvailable()
+    // batch 3: advance time far enough to close all windows
+    mem.addData(Ev(1000, ts(600), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("t_late")
+    // the late row must NOT have re-opened or contributed to hour-0
+    val hour0 = out.filter(col("window_start_s") === 1704067200L)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(hour0 == 60, s"late row leaked into closed window: $hour0")
+  }
+}
