@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the hot loops where Spark's
+  * higher-order array functions fall back to per-element interpreted
+  * evaluation with boxing (transform/aggregate/zip_with are
+  * CodegenFallback per ELEMENT through lambda variables).
+  *
+  * These evaluate once per ROW with a tight primitive loop inside —
+  * the preference order of SURVEY §4B: compose built-ins first, then a
+  * custom Expression, before ever reaching for mapPartitions.
+  * CodegenFallback at ROW granularity is cheap; the win is removing
+  * per-element lambda interpretation.
+  */
+object Native {
+
+  /** FNV-1a 64-bit over a byte array, chained across words with a
+    * separator feed — deterministic, engine-local (self-checked ops
+    * only; no oracle needs to reproduce it). */
+  @inline private[functions] def fnv1a(h0: Long, bytes: Array[Byte]): Long = {
+    var h = h0
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** splitmix64 finalizer — decorrelates permutation streams. */
+  @inline private[functions] def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  def minhashSig(words: Column, perms: Int): Column =
+    column(MinHashSig(expression(words), perms))
+
+  def dotF32(a: Column, b: Column): Column =
+    column(DotProductF32(expression(a), expression(b)))
+}
+
+/** MinHash signature of a word array: 3-word shingles hashed FNV-1a,
+  * `perms` permutation minima via splitmix64(h + seed_p), one pass.
+  * Returns null for docs with <3 words (no shingles). */
+case class MinHashSig(child: Expression, perms: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[ArrayData]
+    val n = words.numElements()
+    if (n < 3) return null
+    // pre-hash each word once, then chain triples
+    val wh = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      wh(i) = Native.fnv1a(0xcbf29ce484222325L,
+        words.getUTF8String(i).getBytes)
+      i += 1
+    }
+    val mins = Array.fill(perms)(Long.MaxValue)
+    i = 0
+    while (i < n - 2) {
+      val h = Native.mix(wh(i) * 31L + wh(i + 1)) * 31L + wh(i + 2)
+      var p = 0
+      while (p < perms) {
+        val hp = Native.mix(h + p * 0x9E3779B97F4A7C15L)
+        if (hp < mins(p)) mins(p) = hp
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** Dot product of two float arrays accumulated in double, sequential
+  * index order — numerically identical to the zip_with/aggregate
+  * formulation (and to the oracle's per-index sum), ~50× cheaper. */
+case class DotProductF32(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  @inline private def elemAt(arr: ArrayData, et: DataType, i: Int): Double = et match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case _ => throw new IllegalArgumentException(s"dot over $et")
+  }
+  private lazy val leftEt = left.dataType.asInstanceOf[ArrayType].elementType
+  private lazy val rightEt = right.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += elemAt(a, leftEt, i) * elemAt(b, rightEt, i); i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF32 =
+    copy(left = l, right = r)
+}

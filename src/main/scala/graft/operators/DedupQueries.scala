@@ -56,26 +56,41 @@ object DedupQueries {
     minhashPairs(t(s, dir, "documents"))
 
   /** Core MinHash-LSH pair generation over any (doc_id, text) frame —
-    * exposed for property tests. */
+    * exposed for property tests.
+    *
+    * Signature computation is fully NARROW (one projection, zero
+    * shuffles): shingles are hashed word-triple → long (no string
+    * concat), and each of the 16 permutation minima folds over the
+    * per-row hash array. The only shuffle in the whole query is the
+    * tiny (band, sig) bucket groupBy. An explode + groupBy(doc) with
+    * 16 min-aggs would shuffle |doc|×|shingles| rows instead. */
   def minhashPairs(documents: DataFrame): DataFrame = {
-    val docs = documents
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
-    val permCols = (0 until MinhashPerms).map(p =>
-      min(xxhash64(lit(p), col("shingle"))).as(s"m$p"))
-    val sigs = docs.groupBy("doc_id").agg(permCols.head, permCols.tail: _*)
+    val sigs = documents
+      .select(col("doc_id"),
+        graft.functions.Native.minhashSig(split(col("text"), " "), MinhashPerms)
+          .as("sig"))
+      .filter(col("sig").isNotNull)
     val rowsPerBand = MinhashPerms / MinhashBands
     val bandCols = (0 until MinhashBands).map { b =>
       struct(lit(b).as("band"),
-        struct((0 until rowsPerBand).map(r =>
-          col(s"m${b * rowsPerBand + r}").as(s"r$r")): _*).as("sig"))
+        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("sig"))
     }
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // Single pass: group docs per (band, sig) bucket and emit pairs from
+    // inside each bucket — a band self-join would recompute the whole
+    // shingle→minhash pipeline for both sides AND shuffle it twice.
+    // Bucket size is bounded by design (a huge bucket means exact dups);
+    // skewed buckets are AQE-splittable since the explode is downstream.
+    bands
+      .groupBy("band", "sig")
+      .agg(array_sort(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
       .orderBy("doc_a", "doc_b")
   }

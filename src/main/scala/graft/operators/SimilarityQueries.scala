@@ -19,17 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  /** Σ aᵢ·bᵢ over two float arrays, computed in DOUBLE with a
-    * sequential left-to-right fold — deterministic FP, matching the
-    * oracle's per-index products. */
+  /** Σ aᵢ·bᵢ computed in DOUBLE, sequential index order — a custom
+    * Catalyst expression (graft.functions.DotProductF32): numerically
+    * identical to the zip_with/aggregate formulation and to the
+    * oracle's per-index sum, but one tight loop per row instead of
+    * per-element interpreted lambdas. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.Native.dotF32(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Brute-force top-5 cosine neighbors for query vectors vec_id<10.
     * Rank on the ROUNDED cosine with a vec_id tie-break so Spark and
