@@ -71,10 +71,12 @@ object JoinQueries {
       .orderBy("c_custkey")
   }
 
-  /** Customers with no orders — left-anti (NOT EXISTS). */
+  /** Customers with no 1995 orders — left-anti (NOT EXISTS). (An
+    * unfiltered anti would return 0 rows on this data — every customer
+    * has orders — which tests nothing.) */
   def joinAnti(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders")
+    val o = t(s, dir, "orders").filter(year(col("o_orderdate")) === 1995)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
@@ -165,7 +167,9 @@ object JoinQueries {
         |ORDER BY c_custkey""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND year(o_orderdate) = 1995)
         |ORDER BY c_custkey""".stripMargin,
     "join_outer" ->
       """SELECT o_orderkey, count(l_orderkey) AS n_items, count(*) AS n_rows
