@@ -63,7 +63,8 @@ object AggQueries {
     t(s, dir, "orders").createOrReplaceTempView("graft_orders")
     s.sql(
       """SELECT /*+ BROADCAST(graft_nation) */ n_name, c_mktsegment,
-        |  floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS revenue, count(*) AS n_orders
+        |  floor(sum(o_totalprice) * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |    / CAST(10000.0 AS DOUBLE) AS revenue, count(*) AS n_orders
         |FROM graft_orders
         |JOIN graft_customer ON o_custkey = c_custkey
         |JOIN graft_nation ON c_nationkey = n_nationkey

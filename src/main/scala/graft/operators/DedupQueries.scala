@@ -144,13 +144,46 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Embedding-cosine near-dup pairs: vectors (a<b, both in the
+    * bounded verify slice) whose rounded cosine ≥ 0.35. Exact
+    * verification path for candidates; at corpus scale the candidate
+    * generation is sim_ann_lsh's bucket join, this operator then
+    * verifies candidate pairs exactly. */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(graft.functions.Native.dotF32(col("embedding"), col("embedding")))
+          .as("nrm"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Fp.r4(graft.functions.Native.dotF32(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .orderBy("vec_a", "vec_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_embedding" -> dedupEmbedding,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard)
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id,
+        |             CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+        |             CAST(unnest(embedding) AS DOUBLE) AS x
+        |           FROM embeddings WHERE vec_id < 300),
+        |d AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dot
+        |      FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+        |      GROUP BY 1, 2),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id),
+        |c AS (SELECT vec_a, vec_b,
+        |        floor((dot / (na.nrm * nb.nrm)) * 10000.0 + 0.5) / 10000.0 AS cos
+        |      FROM d JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id)
+        |SELECT vec_a, vec_b, cos FROM c WHERE cos >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha,
         |  count(*) AS n_copies

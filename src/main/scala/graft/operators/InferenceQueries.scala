@@ -152,7 +152,8 @@ object InferenceQueries {
     "infer_mappartitions" -> inferMapPartitions)
 
   private val posXDouble =
-    """SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+    """SELECT vec_id, label,
+      |  CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
       |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings""".stripMargin
 
   val oracleSql: Map[String, String] = Map(

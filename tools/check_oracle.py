@@ -54,6 +54,13 @@ def main():
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             failures += 1
             continue
+        # strict type audit: spark parquet types vs duckdb result types
+        gt = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall()}
+        wt = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+        tdiff = {c: (gt[c], wt[c]) for c in gt if c in wt and gt[c] != wt[c]}
+        if tdiff:
+            print(f"WARN {name}: type mismatch {tdiff}")
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             failures += 1
