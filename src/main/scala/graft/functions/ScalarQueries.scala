@@ -50,7 +50,9 @@ object ScalarQueries {
         Fp.r4(sqrt(col("l_quantity"))).as("sqrt_qty"),
         Fp.r4(log(col("l_extendedprice"))).as("ln_price"),
         Fp.r4(pow(col("l_discount") + 1, 2)).as("pow_disc"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is not unique — order by all outputs
+      .orderBy("l_orderkey", "l_linenumber", "abs_delta", "sqrt_qty",
+        "ln_price", "pow_disc")
 
   /** Array higher-order functions over embeddings
     * (size/element_at/slice/transform). */
@@ -116,7 +118,7 @@ object ScalarQueries {
         |  floor((ln(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS ln_price,
         |  floor((pow(l_discount + 1, 2)) * 10000.0 + 0.5) / 10000.0 AS pow_disc
         |FROM lineitem WHERE l_orderkey < 1000
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, abs_delta, sqrt_qty, ln_price, pow_disc""".stripMargin,
     "scalar_array" ->
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
         |  floor((CAST(embedding[1] AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 + 0.0 AS first_val,

@@ -19,7 +19,9 @@ object ScanQueries {
   def scanParquet(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in this data — order by
+      // every output column so remaining ties are identical rows
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
       .limit(100)
 
   /** Filter + 2-col projection over orders — exists to exercise
@@ -65,16 +67,54 @@ object ScanQueries {
     4 -> "deer", 5 -> "dog", 6 -> "frog", 7 -> "horse",
     8 -> "ship", 9 -> "truck")
 
+  /** Projection with arithmetic + cast + alias (SURVEY §2B proj_expr;
+    * reference R6/R18 tensor math as columnar expressions). */
+  def projExpr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 2000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        Fp.r4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        (col("l_quantity").cast("int") * 2).as("double_qty"),
+        col("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber", "revenue", "double_qty", "l_returnflag")
+
+  /** Compound predicate: BETWEEN + comparison + IN (SURVEY §2B
+    * filter_pred; reference R22's predicate as a scan filter). */
+  def filterPred(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24 &&
+        col("l_returnflag").isin("A", "R"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "proj_expr" -> projExpr,
+    "filter_pred" -> filterPred,
     "scan_parquet" -> scanParquet,
     "scan_pruned" -> scanPruned,
     "sink_roundtrip" -> sinkRoundtrip,
     "source_inline" -> sourceInline)
 
   val oracleSql: Map[String, String] = Map(
+    "proj_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) / 10000.0
+        |    AS revenue,
+        |  CAST(l_quantity AS INTEGER) * 2 AS double_qty,
+        |  l_returnflag
+        |FROM lineitem WHERE l_orderkey < 2000
+        |ORDER BY l_orderkey, l_linenumber, revenue, double_qty, l_returnflag""".stripMargin,
+    "filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |  AND l_returnflag IN ('A', 'R')
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag""".stripMargin,
     "scan_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""".stripMargin,
     "scan_pruned" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1999-01-01' ORDER BY o_orderkey""".stripMargin,
