@@ -145,11 +145,34 @@ object InferenceQueries {
     scored.orderBy("vec_id")
   }
 
+  /** The reference's end-to-end evaluation on the engine's own
+    * predictions: accuracy (R22, ipynb:301-305) over the R19-shaped
+    * scorer output — one row, like the notebook's 91.65% golden
+    * number. */
+  def inferAccuracy(s: SparkSession, dir: String): DataFrame =
+    inferMapPartitions(s, dir)
+      .agg(
+        Fp.r4(avg(when(col("label") === col("pred"), 1.0).otherwise(0.0)))
+          .as("accuracy"),
+        count(lit(1)).as("n"))
+
+  /** Confusion matrix (R25, ipynb:380) of the scorer: true label ×
+    * predicted label counts, densified 10×10 with zero fill. */
+  def inferConfusion(s: SparkSession, dir: String): DataFrame =
+    inferMapPartitions(s, dir)
+      .groupBy("label")
+      .pivot("pred", 0 until NumClasses)
+      .count()
+      .na.fill(0L)
+      .orderBy("label")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "udf_scalar" -> udfScalar,
     "udaf_agg" -> udafAgg,
     "udtf_explode" -> udtfExplode,
-    "infer_mappartitions" -> inferMapPartitions)
+    "infer_mappartitions" -> inferMapPartitions,
+    "infer_accuracy" -> inferAccuracy,
+    "infer_confusion" -> inferConfusion)
 
   private val posXDouble =
     """SELECT vec_id, label,
@@ -173,17 +196,39 @@ object InferenceQueries {
          |FROM ($posXDouble WHERE vec_id < 50) e
          |ORDER BY abs(floor((x) * 10000.0 + 0.5) / 10000.0) DESC, vec_id, pos LIMIT 100""".stripMargin,
     "infer_mappartitions" ->
-      s"""WITH e AS ($posXDouble),
-         |w AS (SELECT c, i,
-         |        ((c * 64 + i) * 2654435761 % 1000 - 500) / 1000.0 AS wv
-         |      FROM range(10) t1(c), range(64) t2(i)),
-         |s AS (SELECT e.vec_id, e.label, w.c, sum(e.x * w.wv) AS score
-         |      FROM e JOIN w ON e.pos = w.i + 1
-         |      GROUP BY e.vec_id, e.label, w.c),
-         |r AS (SELECT vec_id, label, c,
-         |        row_number() OVER (PARTITION BY vec_id
-         |          ORDER BY score DESC, c) AS rn
-         |      FROM s)
-         |SELECT vec_id, label, CAST(c AS INTEGER) AS pred
-         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+      s"""$inferCte
+         |SELECT vec_id, label, pred FROM preds ORDER BY vec_id""".stripMargin,
+    "infer_accuracy" ->
+      s"""$inferCte
+         |SELECT floor((avg(CASE WHEN label = pred
+         |    THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)) * 10000.0 + 0.5)
+         |    / 10000.0 AS accuracy,
+         |  count(*) AS n
+         |FROM preds""".stripMargin,
+    "infer_confusion" -> {
+      val cols = (0 until NumClasses)
+        .map(p => s"""count(CASE WHEN pred = $p THEN 1 END) AS "$p"""")
+        .mkString(",\n  ")
+      s"""$inferCte
+         |SELECT label,
+         |  $cols
+         |FROM preds GROUP BY label ORDER BY label""".stripMargin
+    })
+
+  /** Shared DuckDB replay of the linear scorer (ends with a `preds`
+    * CTE of (vec_id, label, pred)). */
+  private lazy val inferCte: String =
+    s"""WITH e AS ($posXDouble),
+       |w AS (SELECT c, i,
+       |        ((c * 64 + i) * 2654435761 % 1000 - 500) / 1000.0 AS wv
+       |      FROM range(10) t1(c), range(64) t2(i)),
+       |s AS (SELECT e.vec_id, e.label, w.c, sum(e.x * w.wv) AS score
+       |      FROM e JOIN w ON e.pos = w.i + 1
+       |      GROUP BY e.vec_id, e.label, w.c),
+       |r AS (SELECT vec_id, label, c,
+       |        row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY score DESC, c) AS rn
+       |      FROM s),
+       |preds AS (SELECT vec_id, label, CAST(c AS INTEGER) AS pred
+       |          FROM r WHERE rn = 1)""".stripMargin
 }
