@@ -131,7 +131,36 @@ object JoinQueries {
       .orderBy("event_id")
   }
 
+  /** Bucketed co-located join: both fact sides written bucketed+sorted
+    * on the join key, so the SortMergeJoin needs NO Exchange on either
+    * side (asserted in RelationalSpec) — the pre-partitioning strategy
+    * that removes the dominant shuffle for repeated fact⋈fact joins at
+    * 100 TB. Bucket tables are written once per (session, sfDir) into
+    * the JVM tmpdir; the logical result is identical to join_shuffle's
+    * oracle. */
+  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$tag"
+    def bucketed(name: String, key: String, table: String): Unit =
+      if (!s.catalog.tableExists(table)) {
+        t(s, dir, name).write
+          .bucketBy(8, key).sortBy(key)
+          .option("path", s"$base/$table")
+          .mode("overwrite").saveAsTable(table)
+      }
+    bucketed("orders", "o_custkey", s"graft_orders_b_$tag")
+    bucketed("customer", "c_custkey", s"graft_customer_b_$tag")
+    val o = s.table(s"graft_orders_b_$tag")
+    val c = s.table(s"graft_customer_b_$tag")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(Fp.r4(sum("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bucketed" -> joinBucketed,
     "join_broadcast" -> joinBroadcast,
     "join_shuffle" -> joinShuffle,
     "join_multi" -> joinMulti,
@@ -145,6 +174,12 @@ object JoinQueries {
     "join_broadcast" ->
       """SELECT n_nationkey, n_name, r_name FROM nation
         |JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""".stripMargin,
+    "join_bucketed" ->
+      """SELECT c_nationkey,
+        |  floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "join_shuffle" ->
       """SELECT c_nationkey, floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS revenue,
         |  count(*) AS n_orders

@@ -53,6 +53,23 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("join_bucketed sort-merge-joins without shuffling either side") {
+    // disable broadcast so the bucketed SMJ path (not a trivial BHJ) is
+    // what gets planned — at real scale neither side would broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("join_bucketed")(spark, sf)
+      df.collect() // materialize (also writes bucket tables on first run)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      // neither join input may carry an Exchange on its join key
+      assert(!p.contains("Exchange hashpartitioning(o_custkey") &&
+        !p.contains("Exchange hashpartitioning(c_custkey"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("topk_global plans as TakeOrderedAndProject (no global sort)") {
     assert(plan("topk_global").contains("TakeOrderedAndProject"))
   }
