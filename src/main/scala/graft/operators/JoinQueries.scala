@@ -159,8 +159,29 @@ object JoinQueries {
       .orderBy("c_nationkey")
   }
 
+  val SaltBuckets = 8
+
+  /** Salted skew join: lineitem⋈supplier on l_suppkey with the fact
+    * side salted (key, salt=hash%8) and the dim side exploded ×8 — the
+    * manual skew-mitigation pattern for when one key dominates a
+    * shuffle (AQE skew-join handles moderate skew; salting is the
+    * deliberate version for pathological keys). Result is logically
+    * identical to the unsalted join, which is what the oracle checks. */
+  def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(SaltBuckets)))
+    val sup = t(s, dir, "supplier")
+      .withColumn("salt", explode(array((0 until SaltBuckets).map(lit(_)): _*)))
+    l.join(sup, l("l_suppkey") === sup("s_suppkey") && l("salt") === sup("salt"))
+      .groupBy("s_nationkey")
+      .agg(Fp.r4(sum("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("s_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_bucketed" -> joinBucketed,
+    "join_salted" -> joinSalted,
     "join_broadcast" -> joinBroadcast,
     "join_shuffle" -> joinShuffle,
     "join_multi" -> joinMulti,
@@ -174,6 +195,12 @@ object JoinQueries {
     "join_broadcast" ->
       """SELECT n_nationkey, n_name, r_name FROM nation
         |JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""".stripMargin,
+    "join_salted" ->
+      """SELECT s_nationkey,
+        |  floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "join_bucketed" ->
       """SELECT c_nationkey,
         |  floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS revenue,

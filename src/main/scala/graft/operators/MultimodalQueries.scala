@@ -72,9 +72,37 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling: split each payload into 64-byte "frames", keep
+    * every 4th frame, emit per-frame metadata + checksum — the video
+    * frame-sample shape (explode payload → per-frame rows) with the
+    * same per-partition batch plumbing. The "resize" stub maps frame
+    * bytes to fixed 8×8 dims (a real codec call would go here). */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val nFrames = (payload.length + 63) / 64
+          (0 until nFrames).filter(_ % 4 == 0).map { f =>
+            val frame = payload.slice(f * 64, math.min((f + 1) * 64, payload.length))
+            var sum = 0L
+            var i = 0
+            while (i < frame.length) { sum += frame(i) & 0xff; i += 1 }
+            (id, f, frame.length, 8, 8, sum) // 8x8 = resize-stub dims
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_bytes", "out_h", "out_w", "checksum")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> multimodalMeta,
-    "multimodal_decode" -> multimodalDecode)
+    "multimodal_decode" -> multimodalDecode,
+    "multimodal_frames" -> multimodalFrames)
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_meta" ->
@@ -82,6 +110,18 @@ object MultimodalQueries {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  CAST(octet_length(encode(text)) // 256 + 1 AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(length(substr(text, CAST(f * 64 + 1 AS INTEGER), 64)) AS INTEGER)
+        |    AS frame_bytes,
+        |  8 AS out_h, 8 AS out_w,
+        |  CAST(list_sum(list_transform(
+        |    regexp_extract_all(substr(text, CAST(f * 64 + 1 AS INTEGER), 64), '.'),
+        |    c -> ascii(c))) AS BIGINT) AS checksum
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(0, (length(text) + 63) // 64)) AS f
+        |      FROM documents) t
+        |WHERE f % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id,
         |  CAST(1 + ascii(substr(text, 1, 1)) % 4 AS INTEGER) AS height,
