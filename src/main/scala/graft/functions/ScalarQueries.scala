@@ -86,7 +86,35 @@ object ScalarQueries {
       .orderBy("vec_id")
   }
 
+  /** Conditional scalar surface: CASE WHEN / coalesce / nullif /
+    * greatest-least over events. */
+  def scalarCond(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        when(col("value") > 100, "high")
+          .when(col("value") > 10, "mid")
+          .otherwise("low").as("band"),
+        coalesce(col("value"), lit(-1.0)).as("value_filled"),
+        nullif(col("event_type"), lit("view")).as("type_or_null"),
+        greatest(col("value"), lit(50.0)).as("at_least_50"))
+      .orderBy("event_id")
+
+  /** Edit-distance text similarity on the first 12 chars of pairs of
+    * nearby docs (bounded ids) — levenshtein exists in both engines. */
+  def textLevenshtein(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 40)
+      .select(col("doc_id"), substring(col("text"), 1, 12).as("prefix"))
+    d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.prefix"), col("b.prefix")).as("dist"))
+      .filter(col("dist") <= 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_cond" -> scalarCond,
+    "text_levenshtein" -> textLevenshtein,
     "scalar_string" -> scalarString,
     "scalar_date" -> scalarDate,
     "scalar_math" -> scalarMath,
@@ -98,6 +126,22 @@ object ScalarQueries {
     .map { case (k, v) => s"WHEN $k THEN '$v'" }.mkString(" ")
 
   val oracleSql: Map[String, String] = Map(
+    "scalar_cond" ->
+      """SELECT event_id,
+        |  CASE WHEN value > 100 THEN 'high'
+        |       WHEN value > 10 THEN 'mid' ELSE 'low' END AS band,
+        |  coalesce(value, CAST(-1.0 AS DOUBLE)) AS value_filled,
+        |  nullif(event_type, 'view') AS type_or_null,
+        |  greatest(value, CAST(50.0 AS DOUBLE)) AS at_least_50
+        |FROM events ORDER BY event_id""".stripMargin,
+    "text_levenshtein" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(substr(a.text, 1, 12), substr(b.text, 1, 12)) AS INTEGER)
+        |    AS dist
+        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 40 AND b.doc_id < 40
+        |  AND levenshtein(substr(a.text, 1, 12), substr(b.text, 1, 12)) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "scalar_string" ->
       """SELECT doc_id, lower(substr(text, 1, 20)) AS prefix,
         |  CAST(length(text) AS INTEGER) AS n_chars_fn,

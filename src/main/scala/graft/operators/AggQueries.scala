@@ -102,7 +102,34 @@ object AggQueries {
           .as("accuracy"),
         count(lit(1)).as("n"))
 
+  /** Exact interpolated percentiles per group (median + p90). Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the same linear-
+    * interpolation definition; r4 absorbs FP association drift. */
+  def aggQuantile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        Fp.r4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        Fp.r4(expr("percentile(o_totalprice, 0.9)")).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** Moment statistics per group (sample stddev/variance). Both
+    * engines compute the same estimator; partial-merge order differs,
+    * so r4 is what makes the hash comparable. */
+  def aggStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        Fp.r4(stddev_samp(col("l_extendedprice"))).as("sd_price"),
+        Fp.r4(var_samp(col("l_quantity"))).as("var_qty"),
+        Fp.r4(min("l_extendedprice")).as("min_price"),
+        Fp.r4(max("l_extendedprice")).as("max_price"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_quantile" -> aggQuantile,
+    "agg_stats" -> aggStats,
     "agg_hash" -> aggHash,
     "agg_distinct" -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -112,6 +139,19 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    "agg_quantile" ->
+      """SELECT o_orderpriority,
+        |  floor((quantile_cont(o_totalprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
+        |  floor((quantile_cont(o_totalprice, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  floor((stddev_samp(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS sd_price,
+        |  floor((var_samp(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS var_qty,
+        |  floor((min(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS min_price,
+        |  floor((max(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
         |  floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty,

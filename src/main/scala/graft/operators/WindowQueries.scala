@@ -54,12 +54,36 @@ object WindowQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** ntile + first/last over per-customer order history. */
+  def winNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("first_order", first("o_orderkey").over(wFrame))
+      .withColumn("last_order", last("o_orderkey").over(wFrame))
+      .select("o_custkey", "o_orderkey", "quartile", "first_order", "last_order")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_running" -> winRunning,
-    "win_lag" -> winLag)
+    "win_lag" -> winLag,
+    "win_ntile" -> winNtile)
 
   val oracleSql: Map[String, String] = Map(
+    "win_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  first_value(o_orderkey) OVER wf AS first_order,
+        |  last_value(o_orderkey) OVER wf AS last_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

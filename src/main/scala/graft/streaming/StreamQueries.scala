@@ -101,7 +101,21 @@ object StreamQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("value_is_null")
 
+  /** Max inter-event gap per user — the CUSTOM-STATE streaming shape
+    * (per-key state beyond windowed aggs). Batch form: lag + max.
+    * Streaming form: flatMapGroupsWithState holding (lastTs, maxGap)
+    * per user — exercised in StreamingSpec against this result. */
+  def streamMaxgap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    t(s, dir, "events")
+      .withColumn("delta_s", col("ts_s") - lag("ts_s", 1).over(w))
+      .groupBy("user_id")
+      .agg(max("delta_s").as("max_gap_s"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_maxgap" -> streamMaxgap,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
@@ -109,6 +123,16 @@ object StreamQueries {
     "filter_null" -> filterNull)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_maxgap" ->
+      """SELECT user_id, max(delta_s) AS max_gap_s, count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    (epoch_ns(ts) // 1000000000)
+        |      - lag(epoch_ns(ts) // 1000000000)
+        |        OVER (PARTITION BY user_id
+        |              ORDER BY epoch_ns(ts) // 1000000000, event_id) AS delta_s
+        |  FROM events) d
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_tumbling" ->
       """SELECT (epoch_ns(ts) // 1000000000) // 3600 * 3600 AS window_start_s,
         |  count(*) AS n, floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value

@@ -73,6 +73,49 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed == Map(0L -> 2L, 1L -> 1L))
   }
 
+  test("flatMapGroupsWithState max-gap agrees with the batch lag/max query") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // state = (lastTsSec, maxGap, count); events buffered + sorted per
+    // batch since iterator order within a group is not time-ordered
+    val out = mem.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Ev], state: GroupState[(Long, Long, Long)]) =>
+          val sorted = events.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id))
+          var (last, maxGap, n) = state.getOption.getOrElse((Long.MinValue, -1L, 0L))
+          sorted.foreach { e =>
+            val ts = e.ts.getTime / 1000
+            if (last != Long.MinValue && ts - last > maxGap) maxGap = ts - last
+            last = ts; n += 1
+          }
+          state.update((last, maxGap, n))
+          Iterator((user, maxGap, n))
+      }
+    val q = out.toDF("user_id", "max_gap_s", "n_events").writeStream
+      .outputMode("update").format("memory").queryName("t_maxgap").start()
+    mem.addData(sample: _*)
+    try q.processAllAvailable() finally q.stop()
+    // latest state per user (update mode may emit per batch; single batch here)
+    val streamed = spark.table("t_maxgap")
+      .groupBy("user_id")
+      .agg(max("max_gap_s").as("max_gap_s"), max("n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val batch = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_s", "event_id")
+      sample.toDF()
+        .withColumn("ts_s", unix_timestamp(col("ts")))
+        .withColumn("delta_s", col("ts_s") - lag("ts_s", 1).over(w))
+        .groupBy("user_id")
+        .agg(max("delta_s").as("max_gap_s"), count(lit(1)).as("n_events"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    }
+    assert(streamed == batch)
+  }
+
   test("rows later than the watermark are dropped in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
