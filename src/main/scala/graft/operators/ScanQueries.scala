@@ -89,7 +89,30 @@ object ScanQueries {
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
       .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
 
+  /** Partitioned parquet sink + partition-pruned scan: orders written
+    * partitioned by order year, then one year read back — the scan
+    * must prune to a single partition directory (PartitionFilters in
+    * explain, asserted in RelationalSpec). This is THE mechanism that
+    * turns a 100 TB scan into a 1-year scan in production layouts;
+    * the driver testdata is unpartitioned so the query creates its
+    * own partitioned copy once per (tmpdir, sfDir). */
+  def sinkPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_$tag"
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      t(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    }
+    s.read.parquet(out)
+      .filter(col("o_year") === 1997)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), Fp.r4(sum("o_totalprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_partitioned" -> sinkPartitioned,
     "proj_expr" -> projExpr,
     "filter_pred" -> filterPred,
     "scan_parquet" -> scanParquet,
@@ -98,6 +121,11 @@ object ScanQueries {
     "source_inline" -> sourceInline)
 
   val oracleSql: Map[String, String] = Map(
+    "sink_partitioned" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS revenue
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "proj_expr" ->
       """SELECT l_orderkey, l_linenumber,
         |  floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) / 10000.0

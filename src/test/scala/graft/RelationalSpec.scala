@@ -70,6 +70,14 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("sink_partitioned prunes to a single year partition") {
+    val df = SparkEntry.queries("sink_partitioned")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(o_year"), p)
+    assert(p.contains("(o_year"), p)
+  }
+
   test("topk_global plans as TakeOrderedAndProject (no global sort)") {
     assert(plan("topk_global").contains("TakeOrderedAndProject"))
   }
