@@ -112,7 +112,19 @@ object ScalarQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Regex surface: replace-all + group extract. (DuckDB's
+    * regexp_replace needs the 'g' flag to match Spark's replace-all
+    * semantics — in the oracle, not here.) */
+  def scalarRegex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        regexp_replace(substring(col("text"), 1, 30), "[aeiou]", "_").as("devoweled"),
+        regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_regex" -> scalarRegex,
     "scalar_cond" -> scalarCond,
     "text_levenshtein" -> textLevenshtein,
     "scalar_string" -> scalarString,
@@ -126,6 +138,11 @@ object ScalarQueries {
     .map { case (k, v) => s"WHEN $k THEN '$v'" }.mkString(" ")
 
   val oracleSql: Map[String, String] = Map(
+    "scalar_regex" ->
+      """SELECT doc_id,
+        |  regexp_replace(substr(text, 1, 30), '[aeiou]', '_', 'g') AS devoweled,
+        |  regexp_extract(text, '^([a-z]+)', 1) AS first_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "scalar_cond" ->
       """SELECT event_id,
         |  CASE WHEN value > 100 THEN 'high'

@@ -127,7 +127,23 @@ object AggQueries {
         Fp.r4(max("l_extendedprice")).as("max_price"))
       .orderBy("l_returnflag")
 
+  /** Explicit GROUPING SETS — finer control than rollup/cube: totals
+    * by (flag,status), by flag alone, and grand total, skipping the
+    * by-status-alone set. */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  floor(sum(l_quantity) * CAST(10000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |    / CAST(10000.0 AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM graft_lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_grouping_sets" -> aggGroupingSets,
     "agg_quantile" -> aggQuantile,
     "agg_stats" -> aggStats,
     "agg_hash" -> aggHash,
@@ -139,6 +155,13 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "agg_quantile" ->
       """SELECT o_orderpriority,
         |  floor((quantile_cont(o_totalprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,

@@ -114,7 +114,28 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  /** Stream-stream-join shape: per user, purchases attributed to a
+    * click within the preceding hour. Batch form for the oracle; the
+    * genuine two-stream watermarked join runs in StreamingSpec. At
+    * scale both sides shuffle once on user_id and the watermark bounds
+    * join state to ~1 h per side. */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_s").as("click_s"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_s").as("purchase_s"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_s") >= col("click_s") &&
+          col("purchase_s") < col("click_s") + 3600)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_attributed"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_join" -> streamJoin,
     "stream_maxgap" -> streamMaxgap,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
@@ -123,6 +144,16 @@ object StreamQueries {
     "filter_null" -> filterNull)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_join" ->
+      """SELECT c.user_id, count(*) AS n_attributed
+        |FROM (SELECT user_id, epoch_ns(ts) // 1000000000 AS click_s
+        |      FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, epoch_ns(ts) // 1000000000 AS purchase_s
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.purchase_s >= c.click_s
+        | AND p.purchase_s < c.click_s + 3600
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
     "stream_maxgap" ->
       """SELECT user_id, max(delta_s) AS max_gap_s, count(*) AS n_events
         |FROM (

@@ -116,6 +116,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed == batch)
   }
 
+  test("stream-stream time-bounded join equals the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicksMem = MemoryStream[Ev]
+    val purchMem = MemoryStream[Ev]
+    val clicks = clicksMem.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val purchases = purchMem.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("t_ssjoin").start()
+    val clickRows = sample.filter(_.event_type == "click")
+    val purchRows = sample.filter(_.event_type == "view") // reuse as 2nd stream
+    clicksMem.addData(clickRows: _*)
+    purchMem.addData(purchRows: _*)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_ssjoin").count()
+    val batchExpected = (for {
+      c <- clickRows; p <- purchRows
+      if p.user_id == c.user_id
+      if p.ts.getTime >= c.ts.getTime && p.ts.getTime < c.ts.getTime + 3600 * 1000
+    } yield 1).size
+    assert(streamed == batchExpected && streamed > 0,
+      s"stream-stream join rows $streamed vs batch $batchExpected")
+  }
+
   test("rows later than the watermark are dropped in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
