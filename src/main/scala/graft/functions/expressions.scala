@@ -87,7 +87,7 @@ case class MinHashSig(child: Expression, perms: Int)
   * index order — numerically identical to the zip_with/aggregate
   * formulation (and to the oracle's per-index sum), ~50× cheaper. */
 case class DotProductF32(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
   @inline private def elemAt(arr: ArrayData, et: DataType, i: Int): Double = et match {
@@ -107,6 +107,32 @@ case class DotProductF32(left: Expression, right: Expression)
     while (i < n) { acc += elemAt(a, leftEt, i) * elemAt(b, rightEt, i); i += 1 }
     acc
   }
+
+  // Generated form keeps the expression inside whole-stage codegen —
+  // same sequential double accumulation as nullSafeEval.
+  private def accessor(et: DataType, arr: String, i: String): String = et match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case other => throw new IllegalArgumentException(s"dot over $other")
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("dotN")
+      val acc = ctx.freshName("dotAcc")
+      val i = ctx.freshName("dotI")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (${accessor(leftEt, a, i)}) * (${accessor(rightEt, b, i)});
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF32 =
     copy(left = l, right = r)
 }

@@ -46,6 +46,22 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       s"ANN top-1 recall vs brute top-5: $hits/${ann.length}")
   }
 
+  test("DotProductF32 (codegen) is bit-identical to the zip_with/aggregate fold") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.t(spark, sf, "embeddings").limit(100)
+    val hof = aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = e.select(
+      graft.functions.Native.dotF32(col("embedding"), col("embedding")).as("native"),
+      hof.as("hof")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("sim_ann_lsh is deterministic across runs") {
     val a = SparkEntry.queries("sim_ann_lsh")(spark, sf).collect().map(_.toString).toSeq
     val b = SparkEntry.queries("sim_ann_lsh")(spark, sf).collect().map(_.toString).toSeq
