@@ -122,9 +122,14 @@ object DedupQueries {
     * (doc_id < 300 slice keeps the verify output bounded; at scale
     * this runs on LSH candidates, not all pairs). */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // distinct/join on the 64-bit gram hash, not the ~40-byte string —
+    // same counts (collisions ~n²/2⁶⁴), one-fifth the shuffle bytes;
+    // the DuckDB oracle still computes string-gram Jaccard, so a
+    // collision would surface as a hash mismatch rather than hide.
     val g = t(s, dir, "documents")
       .filter(col("doc_id") < 300)
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
       .distinct()
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val inter = g.as("a").join(g.as("b"),
