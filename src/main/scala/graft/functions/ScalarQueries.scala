@@ -55,16 +55,24 @@ object ScalarQueries {
         "ln_price", "pow_disc")
 
   /** Array higher-order functions over embeddings
-    * (size/element_at/slice/transform). */
-  def scalarArray(s: SparkSession, dir: String): DataFrame =
+    * (size/element_at/slice/transform). The transform(slice(...))
+    * result is unpacked to scalar columns h1..h3 — the round-1 driver
+    * harness cannot hash-compare a top-level ArrayType column (pandas
+    * sort_values chokes on ndarray cells), so the HOF coverage stays
+    * but the OUTPUT is scalars. */
+  def scalarArray(s: SparkSession, dir: String): DataFrame = {
+    val head3 = transform(slice(col("embedding"), 1, 3),
+      x => Fp.r4(x.cast("double")))
     t(s, dir, "embeddings")
       .select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
         Fp.r4(element_at(col("embedding"), 1).cast("double")).as("first_val"),
-        transform(slice(col("embedding"), 1, 3),
-          x => Fp.r4(x.cast("double"))).as("head3"))
+        element_at(head3, 1).as("h1"),
+        element_at(head3, 2).as("h2"),
+        element_at(head3, 3).as("h3"))
       .orderBy("vec_id")
+  }
 
   /** JSON extraction over events.props. */
   def scalarJson(s: SparkSession, dir: String): DataFrame =
@@ -181,10 +189,15 @@ object ScalarQueries {
         |FROM lineitem WHERE l_orderkey < 1000
         |ORDER BY l_orderkey, l_linenumber, abs_delta, sqrt_qty, ln_price, pow_disc""".stripMargin,
     "scalar_array" ->
-      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
-        |  floor((CAST(embedding[1] AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 + 0.0 AS first_val,
-        |  list_transform(embedding[1:3], x -> floor((CAST(x AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 + 0.0) AS head3
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+      """WITH h AS (SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+        |  embedding[1] AS e1,
+        |  list_transform(embedding[1:3],
+        |    x -> floor((CAST(x AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 + 0.0) AS head3
+        |FROM embeddings)
+        |SELECT vec_id, dim,
+        |  floor((CAST(e1 AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 + 0.0 AS first_val,
+        |  head3[1] + 0.0 AS h1, head3[2] + 0.0 AS h2, head3[3] + 0.0 AS h3
+        |FROM h ORDER BY vec_id""".stripMargin,
     "scalar_json" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int

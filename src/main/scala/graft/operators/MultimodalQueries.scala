@@ -55,7 +55,14 @@ object MultimodalQueries {
   /** Per-partition batch decode over the binary payload column
     * (mapPartitions ≙ mapInPandas batch shape): columns pruned BEFORE
     * the typed boundary, decoder invoked per row inside the partition
-    * iterator. Oracle replays the byte math on ASCII code points. */
+    * iterator. Oracle replays the byte math on ASCII code points.
+    *
+    * ASCII assumption (decode + frames oracles only): Spark slices
+    * UTF-8 BYTES while the DuckDB oracle slices CHARACTERS — identical
+    * iff the corpus is pure ASCII, which FixtureSpec asserts for the
+    * driver's testdata (chars == octets for every document). A
+    * non-ASCII corpus needs the oracle rewritten over
+    * encode(text)/BLOB octets. */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")

@@ -75,7 +75,10 @@ object ScanQueries {
       .select(
         col("l_orderkey"), col("l_linenumber"),
         Fp.r4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
-        (col("l_quantity").cast("int") * 2).as("double_qty"),
+        // floor() before the int cast on BOTH engines — Spark's CAST
+        // truncates toward zero, DuckDB's rounds half-to-even; floor
+        // makes the intent explicit and engine-independent
+        (floor(col("l_quantity")).cast("int") * 2).as("double_qty"),
         col("l_returnflag"))
       .orderBy("l_orderkey", "l_linenumber", "revenue", "double_qty", "l_returnflag")
 
@@ -130,7 +133,7 @@ object ScanQueries {
       """SELECT l_orderkey, l_linenumber,
         |  floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) / 10000.0
         |    AS revenue,
-        |  CAST(l_quantity AS INTEGER) * 2 AS double_qty,
+        |  CAST(floor(l_quantity) AS INTEGER) * 2 AS double_qty,
         |  l_returnflag
         |FROM lineitem WHERE l_orderkey < 2000
         |ORDER BY l_orderkey, l_linenumber, revenue, double_qty, l_returnflag""".stripMargin,

@@ -40,6 +40,90 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       s"near-dup ${hamming(sk(1L), sk(3L))} vs unrelated ${hamming(sk(1L), sk(4L))}")
   }
 
+  test("MinHashSig (codegen) is bit-identical to the shared kernel on real docs") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rows = graft.Tables.t(spark, sf, "documents").limit(50)
+      .select(col("text"),
+        graft.functions.Native.minhashSig(split(col("text"), " "),
+          DedupQueries.MinhashPerms).as("sig"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // Spark's split(_, " ") keeps trailing empties (limit -1)
+      val words = r.getString(0).split(" ", -1)
+        .map(w => UTF8String.fromString(w): Any)
+      val expected = graft.functions.MinHashKernel
+        .sig(new GenericArrayData(words), DedupQueries.MinhashPerms)
+      if (expected == null) assert(r.isNullAt(1))
+      else assert(r.getSeq[Long](1) == expected.toSeq)
+    }
+  }
+
+  test("simhash pairs: banded equi-join equals brute-force Hamming<=3 pairs") {
+    // pigeonhole completeness: d<=3 over 4 disjoint 16-bit bands means
+    // >=1 band agrees exactly, so the candidate join loses nothing
+    val table = graft.Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id", "text")
+    val sk = DedupQueries.simhashSketch(table).as[(Long, Long)].collect()
+    val brute = (for {
+      (ida, sa) <- sk; (idb, sb) <- sk
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= DedupQueries.SimhashMaxHamming
+    } yield (ida, idb)).toSet
+    val joined = DedupQueries.simhashPairs(DedupQueries.simhashSketch(table))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(joined == brute)
+  }
+
+  test("simhash pairs: exact duplicates pair at Hamming 0; deterministic") {
+    val pairs = DedupQueries.simhashPairs(DedupQueries.simhashSketch(docs))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    val again = DedupQueries.simhashPairs(DedupQueries.simhashSketch(docs))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == again)
+  }
+
+  /** Deterministic 64-dim synthetic embeddings: a planted exact dup
+    * (20/21) and a planted near-dup (20/22, one coordinate nudged). */
+  private lazy val synthVecs = {
+    def base(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (((seed * 64 + i) * 2654435761L % 199) - 99) / 99.0f)
+    val b = base(7)
+    val near = b.clone(); near(40) = near(40) + 0.01f
+    (Seq(20L -> b, 21L -> b.clone(), 22L -> near) ++
+      (0 until 12).map(s => (s.toLong, base(s)))).toDF("vec_id", "embedding")
+  }
+
+  test("embedding pairs: exact dups and near-dups pair; result is a subset of all-pairs truth") {
+    import org.apache.spark.sql.functions._
+    val got = DedupQueries.embeddingPairs(synthVecs)
+      .as[(Long, Long, Double)].collect()
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    // identical vectors share every bucket — always candidates — and cos=1
+    assert(gotPairs.contains((20L, 21L)))
+    assert(gotPairs.contains((20L, 22L)), "near-dup must share >=1 of 8 sign buckets")
+    // every emitted pair is a true >=0.35 pair (verify stage is exact)
+    val e = synthVecs.select(col("vec_id"),
+      sqrt(graft.functions.Native.dotF32(col("embedding"), col("embedding"))).as("nrm"),
+      col("embedding"))
+    val truth = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Fp.r4(graft.functions.Native.dotF32(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(gotPairs.subsetOf(truth))
+  }
+
+  test("embedding pairs: candidate stage is an equi-join, never a nested loop") {
+    val plan = DedupQueries.embeddingPairs(synthVecs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("exact dedup is idempotent on the documents table") {
     val once = SparkEntry.queries("dedup_exact")(spark, sf)
     // survivors are distinct by hash ⇒ re-dedup of survivors is identity

@@ -10,13 +10,46 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class InferenceSpec extends AnyFunSuite with SparkFixture {
 
-  test("infer_mappartitions loads the model exactly once per partition") {
+  test("infer_mappartitions loads the model file exactly once per partition") {
     val df = InferenceQueries.inferMapPartitions(spark, sf)
     val parts = graft.Tables.t(spark, sf, "embeddings").rdd.getNumPartitions
     InferenceQueries.modelLoads.set(0)
     df.count()
     assert(InferenceQueries.modelLoads.get() == parts,
       s"expected $parts loads, got ${InferenceQueries.modelLoads.get()}")
+  }
+
+  test("SparkFiles-distributed weights parse bit-identical to the in-JVM matrix (R15)") {
+    InferenceQueries.ensureWeightsFile(spark)
+    val fromFile = InferenceQueries.loadModelFromFile()
+    val direct = InferenceQueries.weights
+    assert(fromFile.length == direct.length)
+    fromFile.zip(direct).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq) // Double.toString round-trip is exact
+    }
+  }
+
+  test("argmax is never decided by FP noise: top-2 score margin is wide (sf0.01)") {
+    // The DuckDB oracle replays sum(x*w) with unspecified accumulation
+    // order; a near-tie between two class scores could flip `pred`
+    // between engines (ADVICE r01). Guard: on the data the driver
+    // actually verifies, the winning score must beat the runner-up by
+    // far more than any plausible 64-term reassociation error (~1e-13
+    // relative ⇒ absolute ~1e-11 at these magnitudes).
+    val w = InferenceQueries.weights
+    val rows = graft.Tables.t(spark, "/root/testdata/sf0.01", "embeddings")
+      .select("embedding").collect()
+    assert(rows.nonEmpty)
+    val minMargin = rows.iterator.map { r =>
+      val emb = r.getSeq[Float](0)
+      val scores = w.map { wc =>
+        var s0 = 0.0; var i = 0
+        while (i < emb.length) { s0 += emb(i).toDouble * wc(i); i += 1 }
+        s0
+      }.sorted
+      scores(scores.length - 1) - scores(scores.length - 2)
+    }.min
+    assert(minMargin > 1e-6, s"min top-2 margin $minMargin is flip-prone")
   }
 
   test("predictions are valid class ids and accuracy is in [0,1]") {
