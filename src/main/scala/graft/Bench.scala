@@ -31,17 +31,29 @@ object Bench {
     Seq("join_bucketed", "sink_partitioned").foreach(n =>
       selected.get(n).foreach(fn =>
         try run(fn(spark, sfDir)) catch { case _: Throwable => () }))
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        run(fn(spark, sfDir))
-        (System.nanoTime() - t0) / 1e9
-      }
-      // min of two runs — round-1's single cold run let first-touch page
-      // cache / JIT / GC noise masquerade as plan cost (VERDICT §perf)
-      val v = try math.min(once(), once()) catch { case _: Throwable => -1.0 }
-      name -> v
+    // Two INTERLEAVED passes over the whole suite, per-query min across
+    // passes. Round-1's single cold run let first-touch page cache / JIT
+    // / GC noise masquerade as plan cost (VERDICT §perf), and back-to-
+    // back min-of-2 still let one sustained multi-second stall (GC,
+    // external load) poison both timings of the same query — observed:
+    // 44-67 s for sub-second plans. Minutes-apart passes make that
+    // require the same stall at the same suite position twice.
+    val names = selected.keys.toSeq
+    def once(fn: (SparkSession, String) => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      run(fn(spark, sfDir))
+      (System.nanoTime() - t0) / 1e9
     }
+    val passes = (1 to 2).map { _ =>
+      names.map { name =>
+        name -> (try once(selected(name)) catch { case _: Throwable => -1.0 })
+      }.toMap
+    }
+    val results = names.map { n =>
+      val vs = passes.map(_(n))
+      // any failed pass marks the query failed (-1), not fast
+      n -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

@@ -114,8 +114,52 @@ object ScanQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** R8 fidelity: the reference flattens each 32x32x3 image to a 3072
+    * vector (`reshape((32*32*3))`, ipynb:134) before CSV export. Same
+    * `flatten` semantics here: the embedding is chunked into a 2x32
+    * nested array and flattened back — `roundtrip_ok` proves
+    * flatten(chunks) reproduces the original element order exactly
+    * (the transpose in the notebook is display layout; row form is
+    * the engine-side shape, SURVEY R8). */
+  def projFlatten(s: SparkSession, dir: String): DataFrame = {
+    val flat = flatten(array(
+      slice(col("embedding"), 1, 32), slice(col("embedding"), 33, 32)))
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        size(flat).as("flat_dim"),
+        (flat === col("embedding")).as("roundtrip_ok"),
+        Fp.r4(element_at(flat, 33).cast("double")).as("second_chunk_head"))
+      .orderBy("vec_id")
+  }
+
+  /** Temporal type fidelity through the CSV sink/source (R12/R14):
+    * second-truncated event timestamps survive a CSV write + schema'd
+    * read bit-exactly, proven by per-type min/max formatted in UTC.
+    * One-time write keyed on (tmpdir, sf) like sinkPartitioned. */
+  def sinkTsRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_ts_roundtrip_$tag"
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+    }
+    val back = s.read
+      .option("header", "true")
+      .schema("event_id LONG, event_type STRING, ts TIMESTAMP")
+      .csv(out)
+    back.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_partitioned" -> sinkPartitioned,
+    "proj_flatten" -> projFlatten,
+    "sink_ts_roundtrip" -> sinkTsRoundtrip,
     "proj_expr" -> projExpr,
     "filter_pred" -> filterPred,
     "scan_parquet" -> scanParquet,
@@ -124,6 +168,24 @@ object ScanQueries {
     "source_inline" -> sourceInline)
 
   val oracleSql: Map[String, String] = Map(
+    "proj_flatten" ->
+      """WITH f AS (SELECT vec_id, embedding,
+        |  flatten([embedding[1:32], embedding[33:64]]) AS flat
+        |FROM embeddings)
+        |SELECT vec_id, CAST(len(flat) AS INTEGER) AS flat_dim,
+        |  flat = embedding AS roundtrip_ok,
+        |  floor((CAST(flat[33] AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 + 0.0
+        |    AS second_chunk_head
+        |FROM f ORDER BY vec_id""".stripMargin,
+    // second-truncate exactly like Spark's `timestamp_seconds(ts_ns div 1e9)`
+    "sink_ts_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  strftime(min(ts_sec), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        |  strftime(max(ts_sec), '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM (SELECT event_type,
+        |        make_timestamp((epoch_ns(ts) // 1000000000) * 1000000) AS ts_sec
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "sink_partitioned" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS revenue
