@@ -50,6 +50,71 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  val IvfClusters = 16
+  val IvfProbes = 2
+  val IvfDim = 64
+
+  /** Deterministic codebook centroid c, component i, in [-1, 1] —
+    * integer-derived like [[planeAt]] so cluster assignment is
+    * reproducible across runs, partitions, and engines. A k-means
+    * codebook would adapt to the data but make assignment depend on a
+    * training action; the fixed codebook keeps the IVF structure (and
+    * its scale behavior) with none of the nondeterminism. */
+  def centroidAt(c: Int, i: Int): Double =
+    ((c * IvfDim + i) * 2654435761L % 199 - 99) / 99.0
+
+  /** All IvfClusters centroids ranked nearest-first for embedding `e`,
+    * as a sorted array of (score, cid) structs. Comparing
+    * ||e||² − 2e·c + ||c||² minus the constant ||e||² term: score =
+    * ||c||² − 2e·c, a pure per-row codegen'd expression — cluster
+    * assignment SHUFFLES NOTHING at any scale. */
+  private def clustersRanked(e: Column): Column = {
+    val scored = (0 until IvfClusters).map { c =>
+      val cent = array((0 until IvfDim).map(i => lit(centroidAt(c, i))): _*)
+      val cc = (0 until IvfDim).map(i => centroidAt(c, i) * centroidAt(c, i)).sum
+      struct((lit(cc) - lit(2.0) * dot(e, cent)).as("score"), lit(c).as("cid"))
+    }
+    array_sort(array(scored: _*))
+  }
+
+  /** IVF ANN: inverted-file search with the deterministic codebook as
+    * coarse quantizer. Corpus rows are assigned to their nearest
+    * centroid (narrow projection, no shuffle); each query probes its
+    * IvfProbes nearest clusters; candidates materialize through a
+    * broadcast EQUI-join on the cluster id, then exact cosine + top-3.
+    * The LSH variant (sim_ann_lsh) buckets by random signs; IVF
+    * partitions by distance — the two standard ANN scale paths, both
+    * O(corpus/selectivity) instead of O(corpus × queries).
+    * Self-checked (SimilaritySpec: determinism, recall vs brute force,
+    * equi-join plan shape) — no SQL oracle because centroid scores are
+    * FP sums whose near-ties could rank differently under DuckDB's
+    * accumulation order. */
+  def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e
+      .select(col("vec_id").as("n_id"), col("embedding").as("ce"))
+      .withColumn("cluster",
+        element_at(clustersRanked(col("ce")), 1).getField("cid"))
+      .withColumn("cnorm", norm(col("ce")))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        explode(transform(
+          slice(clustersRanked(col("embedding")), 1, IvfProbes),
+          x => x.getField("cid"))).as("cluster"))
+      .withColumn("qnorm", norm(col("qe")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    corpus.join(broadcast(queries), Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", Fp.r4(dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm"))))
+      .groupBy("q_id", "n_id")
+      .agg(max("cos").as("cos")) // dedup multi-probe hits
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "n_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   val LshTables = 4
   val LshBitsPerTable = 4
 
@@ -101,7 +166,8 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> simCosineTopk,
-    "sim_ann_lsh" -> simAnnLsh)
+    "sim_ann_lsh" -> simAnnLsh,
+    "sim_ann_ivf" -> simAnnIvf)
 
   val oracleSql: Map[String, String] = Map(
     "sim_cosine_topk" ->

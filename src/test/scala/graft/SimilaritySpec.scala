@@ -62,6 +62,39 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ANN-IVF results have valid ranks and the candidate stage is an equi-join") {
+    val df = SparkEntry.queries("sim_ann_ivf")(spark, sf)
+    val rows = df.as[(Long, Int, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.sameElements(1 to g.length))
+      val byRank = g.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("ANN-IVF recall: probed top-1 appears in brute-force top-5 for some queries") {
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val ann = SparkEntry.queries("sim_ann_ivf")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+      .filter(_._2 == 1)
+    assert(ann.nonEmpty)
+    val hits = ann.count { case (q, _, n, _) => brute.get(q).exists(_.contains(n)) }
+    assert(hits.toDouble / ann.length >= 0.2,
+      s"IVF top-1 recall vs brute top-5: $hits/${ann.length}")
+  }
+
+  test("sim_ann_ivf is deterministic across runs") {
+    val a = SparkEntry.queries("sim_ann_ivf")(spark, sf).collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("sim_ann_ivf")(spark, sf).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("sim_ann_lsh is deterministic across runs") {
     val a = SparkEntry.queries("sim_ann_lsh")(spark, sf).collect().map(_.toString).toSeq
     val b = SparkEntry.queries("sim_ann_lsh")(spark, sf).collect().map(_.toString).toSeq
