@@ -74,6 +74,25 @@ object ScalarQueries {
       .orderBy("vec_id")
   }
 
+  /** Array set algebra (union/intersect/except) over word arrays from
+    * overlapping text slices. All three Spark functions return DISTINCT
+    * elements; sorting then stringifying makes the comparison
+    * order-independent, so the oracle can rebuild the same sets with
+    * list_filter/list_distinct without chasing Spark's first-occurrence
+    * ordering. */
+  def scalarArrayOps(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val a = slice(words, 1, 5)
+    val b = slice(words, 4, 5)
+    def str(c: Column): Column = concat_ws(",", array_sort(c))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        str(array_union(a, b)).as("u"),
+        str(array_intersect(a, b)).as("i"),
+        str(array_except(a, b)).as("x"))
+      .orderBy("doc_id")
+  }
+
   /** JSON extraction over events.props. */
   def scalarJson(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -139,6 +158,7 @@ object ScalarQueries {
     "scalar_date" -> scalarDate,
     "scalar_math" -> scalarMath,
     "scalar_array" -> scalarArray,
+    "scalar_array_ops" -> scalarArrayOps,
     "scalar_json" -> scalarJson,
     "scalar_map" -> scalarMap)
 
@@ -198,6 +218,17 @@ object ScalarQueries {
         |  floor((CAST(e1 AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 + 0.0 AS first_val,
         |  head3[1] + 0.0 AS h1, head3[2] + 0.0 AS h2, head3[3] + 0.0 AS h3
         |FROM h ORDER BY vec_id""".stripMargin,
+    "scalar_array_ops" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, ws[1:5] AS a, ws[4:8] AS b FROM w)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','),
+        |    '') AS u,
+        |  coalesce(array_to_string(list_sort(list_distinct(
+        |    list_filter(a, x -> list_contains(b, x)))), ','), '') AS i,
+        |  coalesce(array_to_string(list_sort(list_distinct(
+        |    list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS x
+        |FROM s ORDER BY doc_id""".stripMargin,
     "scalar_json" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int

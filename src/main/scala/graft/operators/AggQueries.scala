@@ -127,6 +127,28 @@ object AggQueries {
         Fp.r4(max("l_extendedprice")).as("max_price"))
       .orderBy("l_returnflag")
 
+  /** Nested-type aggregation: per-order lineitems collected into a
+    * SORTED array of structs, then fields projected back out — the
+    * document-assembly shape (one training example from N detail rows)
+    * that pure scalar aggregates can't express. sort_array orders
+    * structs lexicographically by field, matching the oracle's
+    * list(... ORDER BY ln, qty); output is scalars so the driver
+    * hash-compare stays array-free. */
+  def aggCollectStruct(s: SparkSession, dir: String): DataFrame = {
+    val items = sort_array(collect_list(
+      struct(col("l_linenumber").as("ln"), col("l_quantity").as("qty"))))
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 2000)
+      .groupBy("l_orderkey")
+      .agg(items.as("items"))
+      .select(col("l_orderkey"),
+        size(col("items")).as("n_items"),
+        element_at(col("items"), 1).getField("ln").as("first_ln"),
+        Fp.r4(element_at(col("items"), 1).getField("qty")).as("first_qty"),
+        element_at(col("items"), -1).getField("ln").as("last_ln"))
+      .orderBy("l_orderkey")
+  }
+
   /** Explicit GROUPING SETS — finer control than rollup/cube: totals
     * by (flag,status), by flag alone, and grand total, skipping the
     * by-status-alone set. */
@@ -144,6 +166,7 @@ object AggQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_grouping_sets" -> aggGroupingSets,
+    "agg_collect_struct" -> aggCollectStruct,
     "agg_quantile" -> aggQuantile,
     "agg_stats" -> aggStats,
     "agg_hash" -> aggHash,
@@ -155,6 +178,18 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    // list(... ORDER BY ln, qty) mirrors sort_array's lexicographic
+    // struct order; struct fields accessed positionally on both sides
+    "agg_collect_struct" ->
+      """WITH g AS (SELECT l_orderkey,
+        |    list({'ln': l_linenumber, 'qty': l_quantity}
+        |         ORDER BY l_linenumber, l_quantity) AS items
+        |  FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey)
+        |SELECT l_orderkey, CAST(len(items) AS INTEGER) AS n_items,
+        |  items[1].ln AS first_ln,
+        |  floor((items[1].qty) * 10000.0 + 0.5) / 10000.0 AS first_qty,
+        |  items[-1].ln AS last_ln
+        |FROM g ORDER BY l_orderkey""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty,

@@ -51,6 +51,24 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed.count() == 4) // 200 minutes → 4 hour-buckets
   }
 
+  test("file-source stream (parquet directory) equals the batch tumbling aggregate") {
+    // the production source shape: a landing directory of parquet files
+    // discovered incrementally — two separate drops prove multi-file
+    // discovery, maxFilesPerTrigger=1 forces multiple micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("graft_fsrc").toString
+    sample.take(120).toDF().coalesce(1).write.mode("append").parquet(dir)
+    sample.drop(120).toDF().coalesce(1).write.mode("append").parquet(dir)
+    val sdf = spark.readStream
+      .schema(sample.toDF().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = StreamQueries.tumblingAgg(sdf).writeStream
+      .outputMode("complete").format("memory").queryName("t_fsrc").start()
+    try q.processAllAvailable() finally q.stop()
+    val batch = StreamQueries.tumblingAgg(sample.toDF())
+    assert(sortedRows(spark.table("t_fsrc")) == sortedRows(batch))
+  }
+
   test("sliding window on a bounded stream equals the batch aggregate") {
     val streamed = runStream(sample, StreamQueries.slidingAgg, "t_sliding")
     val batch = StreamQueries.slidingAgg(sample.toDF())
