@@ -111,6 +111,41 @@ object JoinQueries {
       .orderBy("p_partkey")
   }
 
+  val RangeBinS = 21600L // 6-hour bins
+  val RangeBase = 1704067200L // 2024-01-01T00:00:00Z, events' epoch
+
+  /** Pure interval-containment join (NO equi key) made scale-safe by
+    * BINNING: each interval explodes into the 6-hour bins it covers,
+    * each event maps to its bin, and the join becomes a broadcast
+    * EQUI-join on the bin id followed by the exact containment filter.
+    * Without the bin key Spark can only BroadcastNestedLoopJoin this
+    * (every event × every interval — join_theta's shape, fine for a
+    * broadcast-sized build side but quadratic work); with it, each
+    * event is probed against only the intervals overlapping its bin.
+    * The 40 intervals are integer constants (irregular 61777 s stride,
+    * 20000 s length, overlapping bins irregularly), so the DuckDB
+    * oracle replays containment exactly with a plain range join.
+    * Plan-shape asserted in RelationalSpec: BroadcastHashJoin, no BNLJ. */
+  def joinRangeBinned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ivals = (0 until 40).map { i =>
+      val st = RangeBase + i * 61777L
+      (i, st, st + 20000L)
+    }.toDF("ival_id", "start_s", "end_s")
+    // `div` (integer division) — SQL `/` on BIGINT yields DOUBLE
+    val binned = ivals.withColumn("bin",
+      explode(sequence(expr(s"start_s div $RangeBinS"),
+        expr(s"(end_s - 1) div $RangeBinS"))))
+    t(s, dir, "events")
+      .select(col("ts_s"), col("value"),
+        expr(s"ts_s div $RangeBinS").as("bin"))
+      .join(broadcast(binned), "bin")
+      .filter(col("ts_s") >= col("start_s") && col("ts_s") < col("end_s"))
+      .groupBy("ival_id")
+      .agg(count(lit(1)).as("n_events"), Fp.r4(sum("value")).as("sum_value"))
+      .orderBy("ival_id")
+  }
+
   /** As-of join: for each purchase event, the latest order of the same
     * customer at-or-before the event time. Spark has no native as-of
     * join; expressed as inequality join + per-event row_number, which
@@ -189,9 +224,23 @@ object JoinQueries {
     "join_anti" -> joinAnti,
     "join_outer" -> joinOuter,
     "join_theta" -> joinTheta,
-    "join_asof" -> joinAsof)
+    "join_asof" -> joinAsof,
+    "join_range_binned" -> joinRangeBinned)
 
   val oracleSql: Map[String, String] = Map(
+    // plain range join — DuckDB's IEJoin handles the inequality pair
+    // directly; the binning on the Spark side is a pruning strategy
+    // that cannot change the result (exact containment re-filtered)
+    "join_range_binned" ->
+      """WITH i AS (SELECT CAST(i AS INTEGER) AS ival_id,
+        |    1704067200 + i*61777 AS start_s,
+        |    1704067200 + i*61777 + 20000 AS end_s
+        |  FROM range(40) t(i)),
+        |e AS (SELECT epoch_ns(ts) // 1000000000 AS ts_s, value FROM events)
+        |SELECT ival_id, count(*) AS n_events,
+        |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+        |FROM e JOIN i ON e.ts_s >= i.start_s AND e.ts_s < i.end_s
+        |GROUP BY ival_id ORDER BY ival_id""".stripMargin,
     "join_broadcast" ->
       """SELECT n_nationkey, n_name, r_name FROM nation
         |JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""".stripMargin,

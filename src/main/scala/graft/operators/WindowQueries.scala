@@ -43,6 +43,25 @@ object WindowQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** RANGE-frame window (frame bounded by VALUE, not row count):
+    * per customer, revenue of all orders in the 30 days up to and
+    * including each order. Unlike a ROWS frame, ties on the order key
+    * (same-day orders) are ALL in-frame regardless of their physical
+    * order, so the sum is insensitive to Spark-vs-DuckDB sort
+    * nondeterminism among peers; r4 absorbs accumulation-order drift.
+    * Epoch-seconds ordering key keeps the range arithmetic integral. */
+  def winRange(s: SparkSession, dir: String): DataFrame = {
+    // NTZ → TIMESTAMP → BIGINT epoch seconds (session tz is UTC;
+    // a direct NTZ→BIGINT cast is rejected)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+      .rangeBetween(-30L * 86400, 0)
+    t(s, dir, "orders")
+      .withColumn("sum_30d", Fp.r4(sum("o_totalprice").over(w)))
+      .select("o_custkey", "o_orderkey", "sum_30d")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Event-to-event gap in seconds per user (lag). Time math on
     * `ts_s` (floor-seconds BIGINT) so ns-vs-us precision cannot
     * diverge from the oracle. */
@@ -70,10 +89,18 @@ object WindowQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_rank" -> winRank,
     "win_running" -> winRunning,
+    "win_range" -> winRange,
     "win_lag" -> winLag,
     "win_ntile" -> winNtile)
 
   val oracleSql: Map[String, String] = Map(
+    "win_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  floor((sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY epoch_ns(o_orderdate) // 1000000000
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5)
+        |    / 10000.0 AS sum_30d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_ntile" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,

@@ -53,6 +53,13 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("join_range_binned turns interval containment into a hash equi-join (no BNLJ)") {
+    val p = plan("join_range_binned")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("join_bucketed sort-merge-joins without shuffling either side") {
     // disable broadcast so the bucketed SMJ path (not a trivial BHJ) is
     // what gets planned — at real scale neither side would broadcast
