@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for the engine's custom Catalyst expressions: makes
+  * `dot_f32(a, b)` and `minhash_sig(words, perms)` callable from
+  * `spark.sql(...)` exactly like built-ins, so the library's users are
+  * not limited to the Column API.
+  *
+  * Two wiring paths, same builders:
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  *    `builder.withExtensions`) for sessions the user creates —
+  *    the standard extension-point mechanism;
+  *  - [[GraftFunctions.registerSql]] for an ALREADY-RUNNING session
+  *    (e.g. a notebook), which injects into that session's function
+  *    registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.registrations.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions", name, usage)
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("dot_f32"),
+      info("dot_f32",
+        "dot_f32(a, b) - double-precision dot product of two float/double arrays"),
+      args => DotProductF32(args(0), args(1))),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(words, perms) - MinHash signature (perms 64-bit minima) over 3-word shingles"),
+      args => MinHashSig(args(0), args(1) match {
+        case Literal(p: Int, _) => p
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig perms must be an integer literal, got $other")
+      })))
+
+  /** Injects the same functions into an existing session's registry. */
+  def registerSql(spark: SparkSession): Unit =
+    registrations.foreach { case (ident, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, inf, builder)
+    }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom expressions as SQL functions: injected once via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (SparkFixture) and once via the live-session registry path —
+  * both must agree bit-for-bit with the Column API.
+  */
+class ExtensionsSpec extends AnyFunSuite with SparkFixture {
+
+  test("dot_f32 is callable from SQL and matches the Column API bit-for-bit") {
+    Tables.t(spark, sf, "embeddings").limit(50)
+      .createOrReplaceTempView("ext_emb")
+    val viaSql = spark.sql(
+      "SELECT vec_id, dot_f32(embedding, embedding) AS d FROM ext_emb ORDER BY vec_id")
+      .collect()
+    val viaCol = Tables.t(spark, sf, "embeddings").limit(50)
+      .select(col("vec_id"),
+        graft.functions.Native.dotF32(col("embedding"), col("embedding")).as("d"))
+      .orderBy("vec_id")
+      .collect()
+    assert(viaSql.nonEmpty)
+    viaSql.zip(viaCol).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(java.lang.Double.doubleToLongBits(a.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(b.getDouble(1)))
+    }
+  }
+
+  test("minhash_sig is callable from SQL and matches the Column API") {
+    Tables.t(spark, sf, "documents").limit(30)
+      .createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, minhash_sig(split(text, ' '), 16) AS sig FROM ext_docs ORDER BY doc_id")
+      .collect()
+    val viaCol = Tables.t(spark, sf, "documents").limit(30)
+      .select(col("doc_id"),
+        graft.functions.Native.minhashSig(split(col("text"), " "), 16).as("sig"))
+      .orderBy("doc_id")
+      .collect()
+    assert(viaSql.nonEmpty)
+    viaSql.zip(viaCol).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.isNullAt(1) == b.isNullAt(1))
+      if (!a.isNullAt(1)) assert(a.getSeq[Long](1) == b.getSeq[Long](1))
+    }
+  }
+
+  test("registerSql injects into a session whose builder had no extensions") {
+    // newSession shares the context but gets a fresh sessionState —
+    // the notebook/driver scenario registerSql exists for
+    val fresh = spark.newSession()
+    graft.functions.GraftFunctions.registerSql(fresh)
+    Tables.t(fresh, sf, "embeddings").limit(5)
+      .createOrReplaceTempView("ext_emb_fresh")
+    val rows = fresh.sql(
+      "SELECT dot_f32(embedding, embedding) AS d FROM ext_emb_fresh").collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.getDouble(0) > 0.0))
+  }
+
+  test("minhash_sig rejects a non-literal perms argument") {
+    Tables.t(spark, sf, "documents").limit(1)
+      .createOrReplaceTempView("ext_docs_bad")
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT minhash_sig(split(text, ' '), CAST(doc_id AS INT)) FROM ext_docs_bad")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      e.getMessage.toLowerCase.contains("minhash_sig"))
+  }
+}

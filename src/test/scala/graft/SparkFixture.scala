@@ -9,6 +9,9 @@ trait SparkFixture {
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
+    // proves the extension-point wiring: ExtensionsSpec calls the
+    // injected SQL functions through this session
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
