@@ -245,7 +245,57 @@ object DedupQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Connected components over near-dup pair edges: the step every
+    * dedup pipeline needs between "pairs" and "keep one per cluster" —
+    * pairwise hits (A,B),(B,C) must collapse to ONE cluster {A,B,C},
+    * not two independent pairs. Edges here are the n-gram-Jaccard
+    * pairs; every doc in the slice gets a component label = the
+    * minimum doc_id reachable from it (singletons label themselves).
+    *
+    * Implementation: min-label propagation to fixpoint — each round,
+    * every node takes min(own label, neighbors' labels); converges in
+    * O(diameter) rounds, each one equi-join + groupBy. Near-dup
+    * components are overwhelmingly tiny (diameter 1-3), so rounds stay
+    * single-digit at any corpus size; a pathological long-chain graph
+    * would want the O(log n)-round large-star/small-star variant, same
+    * join-shape per round. The driver-side loop holds only the
+    * convergence COUNT, never data.
+    *
+    * Oracle: DuckDB recursive-CTE transitive closure + min reachable
+    * id — same labels by definition. */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    components(
+      t(s, dir, "documents").filter(col("doc_id") < 300).select("doc_id"),
+      dedupNgramJaccard(s, dir).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+
+  /** Min-label propagation over (doc_a, doc_b) edges for the given
+    * (doc_id) node set — exposed for property tests. Unordered. */
+  def components(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("doc_b").as("doc_a"),
+      col("doc_a").as("doc_b")))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("comp"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaNeighbor = sym.join(labels,
+          sym("doc_b") === labels("doc_id"))
+        .groupBy(sym("doc_a").as("doc_id"))
+        .agg(min("comp").as("ncomp"))
+      val next = labels.join(viaNeighbor, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), "doc_id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_components" -> dedupComponents,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
@@ -287,6 +337,36 @@ object DedupQueries {
       """SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha,
         |  count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+    // same pair derivation as dedup_ngram_jaccard, then recursive-CTE
+    // transitive closure; comp = min reachable doc_id, singletons
+    // label themselves (equals Spark's min-label-propagation fixpoint)
+    "dedup_components" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents WHERE doc_id < 300),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        |      FROM w),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            count(*) AS n_inter
+        |          FROM g a JOIN g b
+        |            ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter
+        |          JOIN sizes sa ON sa.doc_id = doc_a
+        |          JOIN sizes sb ON sb.doc_id = doc_b
+        |          WHERE floor((CAST(n_inter AS DOUBLE)
+        |              / (sa.n_grams + sb.n_grams - n_inter)) * 10000.0 + 0.5)
+        |            / 10000.0 >= 0.1),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM w
+        |  UNION
+        |  SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u)
+        |SELECT src AS doc_id, min(dst) AS comp
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents WHERE doc_id < 300),

@@ -124,6 +124,23 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("components: chains collapse transitively, singletons label themselves") {
+    import org.apache.spark.sql.functions._
+    val nodes = (0L to 9L).toDF("doc_id")
+    // chain 1-2-3 (1 and 3 never directly paired), pair 5-7, rest singletons
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("doc_a", "doc_b")
+    val got = DedupQueries.components(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L,
+      s"chain must collapse to min id: $got")
+    assert(got(5L) == 5L && got(7L) == 5L)
+    Seq(0L, 4L, 6L, 8L, 9L).foreach(d => assert(got(d) == d))
+    // deterministic
+    val again = DedupQueries.components(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == again)
+  }
+
   test("exact dedup is idempotent on the documents table") {
     val once = SparkEntry.queries("dedup_exact")(spark, sf)
     // survivors are distinct by hash ⇒ re-dedup of survivors is identity
