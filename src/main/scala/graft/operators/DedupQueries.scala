@@ -270,11 +270,17 @@ object DedupQueries {
       .orderBy("doc_id")
 
   /** Min-label propagation over (doc_a, doc_b) edges for the given
-    * (doc_id) node set — exposed for property tests. Unordered. */
+    * (doc_id) node set — exposed for property tests. Unordered.
+    *
+    * The edge frame is CACHED before the loop: without it, an
+    * expensive upstream pair query (the n-gram Jaccard join here)
+    * re-executes twice per round — observed 24 s instead of ~2 s at
+    * sf0.1. Superseded label frames unpersist as soon as the next
+    * round's are materialized. */
   def components(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val sym = edges.union(edges.select(col("doc_b").as("doc_a"),
-      col("doc_a").as("doc_b")))
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("comp"))
+      col("doc_a").as("doc_b"))).cache()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("comp")).cache()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -288,9 +294,11 @@ object DedupQueries {
         .cache()
       changed = next.join(labels.withColumnRenamed("comp", "prev"), "doc_id")
         .filter(col("comp") =!= col("prev")).count()
+      labels.unpersist()
       labels = next
       rounds += 1
     }
+    sym.unpersist()
     labels
   }
 

@@ -75,6 +75,44 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(sortedRows(streamed) == sortedRows(batch))
   }
 
+  test("parquet file sink with checkpoint persists every streamed row exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_fsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fsink_ckpt").toString
+    val mem = MemoryStream[Ev]
+    mem.addData(sample.take(100): _*)
+    val q = mem.toDF().writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    mem.addData(sample.drop(100): _*) // second micro-batch, same query
+    try q.processAllAvailable() finally q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() == sample.length)
+    assert(back.select("event_id").as[Long].collect().sorted.toSeq ==
+      sample.map(_.event_id).sorted)
+  }
+
+  test("foreachBatch sees every row exactly once across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val mem = MemoryStream[Ev]
+    mem.addData(sample.take(80): _*)
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select("event_id").collect().foreach(r => seen.add(r.getLong(0)))
+        () // the sink contract wants Unit, not the last expression
+      }
+      .start()
+    q.processAllAvailable()
+    mem.addData(sample.drop(80): _*)
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSeq.sorted == sample.map(_.event_id).sorted)
+  }
+
   test("streaming dropDuplicates dedups a doubled stream exactly") {
     val streamed = runStream(sample ++ sample, StreamQueries.dedupAgg, "t_dedup")
     val n = streamed.agg(sum("n")).collect()(0).getLong(0)
