@@ -129,7 +129,35 @@ object TextQueries {
       .agg((sum("term_h") % 2147483647L).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** End-to-end corpus-cleaning COMPOSITION — the shape a training-data
+    * pipeline actually runs: exact-dedup survivors → quality gate →
+    * per-(lang, source) corpus stats. One pass over documents feeding a
+    * narrow hash-dedup shuffle, then integer-exact quality predicates
+    * (2·distinct ≥ words avoids an FP threshold entirely), then a
+    * two-phase aggregate — three shuffles total at any scale, text
+    * never shuffles (the dedup key is the sha2 digest). */
+  def pipelineCleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val survivors = docs
+      .groupBy(sha2(col("text"), 256).as("text_sha"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val w = words(col("text"))
+    docs.join(survivors, "doc_id")
+      .withColumn("n_words", size(w))
+      .withColumn("n_distinct", size(array_distinct(w)))
+      .filter(col("n_words") >= 5 &&
+        col("n_distinct") * 2 >= col("n_words"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("sum_words"),
+        Fp.r4(avg(col("n_distinct").cast("double") / col("n_words")))
+          .as("avg_diversity"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "text_stats" -> textStats,
     "text_tfidf" -> textTfidf,
     "text_langid" -> textLangid,
@@ -141,6 +169,19 @@ object TextQueries {
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_clean_corpus" ->
+      """WITH surv AS (SELECT min(doc_id) AS doc_id
+        |              FROM documents GROUP BY sha256(text)),
+        |q AS (SELECT d.lang, d.source,
+        |        len(string_split(d.text, ' ')) AS n_words,
+        |        len(list_distinct(string_split(d.text, ' '))) AS n_distinct
+        |      FROM documents d JOIN surv USING (doc_id))
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+        |  floor((avg(CAST(n_distinct AS DOUBLE) / n_words)) * 10000.0 + 0.5)
+        |    / 10000.0 AS avg_diversity
+        |FROM q WHERE n_words >= 5 AND n_distinct * 2 >= n_words
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
