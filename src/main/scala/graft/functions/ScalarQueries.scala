@@ -150,8 +150,38 @@ object ScalarQueries {
         regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"))
       .orderBy("doc_id")
 
+  /** regexp_extract_all: every match as an array, stringified for the
+    * harness; count of matches as the scalar check. */
+  def scalarRegexAll(s: SparkSession, dir: String): DataFrame = {
+    val ms = regexp_extract_all(substring(col("text"), 1, 60), lit("[a-z]{4,}"), lit(0))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws(",", ms).as("long_words"),
+        size(ms).as("n_matches"))
+      .orderBy("doc_id")
+  }
+
+  /** Map construction surface: map_from_entries + map_concat +
+    * map_keys, values extracted back to scalars. */
+  def scalarMapEntries(s: SparkSession, dir: String): DataFrame = {
+    // identical field names so the structs unify into one array type
+    val base = map_from_entries(array(
+      struct(lit("lang").as("k"), col("lang").as("v")),
+      struct(lit("src").as("k"), col("source").as("v"))))
+    val m = map_concat(base, map(lit("id"), col("doc_id").cast("string")))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        element_at(m, "lang").as("m_lang"),
+        element_at(m, "src").as("m_src"),
+        element_at(m, "id").as("m_id"),
+        concat_ws(",", array_sort(map_keys(m))).as("keys"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scalar_regex" -> scalarRegex,
+    "scalar_regex_all" -> scalarRegexAll,
+    "scalar_map_entries" -> scalarMapEntries,
     "scalar_cond" -> scalarCond,
     "text_levenshtein" -> textLevenshtein,
     "scalar_string" -> scalarString,
@@ -166,6 +196,25 @@ object ScalarQueries {
     .map { case (k, v) => s"WHEN $k THEN '$v'" }.mkString(" ")
 
   val oracleSql: Map[String, String] = Map(
+    "scalar_regex_all" ->
+      """SELECT doc_id,
+        |  coalesce(array_to_string(
+        |    regexp_extract_all(substr(text, 1, 60), '[a-z]{4,}'), ','), '')
+        |    AS long_words,
+        |  CAST(len(regexp_extract_all(substr(text, 1, 60), '[a-z]{4,}'))
+        |    AS INTEGER) AS n_matches
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // map_extract returns a LIST in every DuckDB version — [1] unwraps
+    "scalar_map_entries" ->
+      """WITH m AS (SELECT doc_id,
+        |    MAP {'lang': lang, 'src': source, 'id': CAST(doc_id AS VARCHAR)} AS mm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  map_extract(mm, 'lang')[1] AS m_lang,
+        |  map_extract(mm, 'src')[1] AS m_src,
+        |  map_extract(mm, 'id')[1] AS m_id,
+        |  array_to_string(list_sort(map_keys(mm)), ',') AS keys
+        |FROM m ORDER BY doc_id""".stripMargin,
     "scalar_regex" ->
       """SELECT doc_id,
         |  regexp_replace(substr(text, 1, 30), '[aeiou]', '_', 'g') AS devoweled,

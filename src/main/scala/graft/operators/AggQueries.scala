@@ -114,6 +114,21 @@ object AggQueries {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Discrete percentiles (percentile_disc / quantile_disc): returns
+    * an ACTUAL data value, not an interpolation — the SQL-standard
+    * WITHIN GROUP form. Exact across engines because both pick the
+    * same element of the sorted group; r4 only normalizes the double
+    * representation. */
+  def aggQuantileDisc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        Fp.r4(expr(
+          "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")).as("p50d"),
+        Fp.r4(expr(
+          "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)")).as("p90d"))
+      .orderBy("o_orderpriority")
+
   /** Moment statistics per group (sample stddev/variance). Both
     * engines compute the same estimator; partial-merge order differs,
     * so r4 is what makes the hash comparable. */
@@ -168,6 +183,7 @@ object AggQueries {
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_collect_struct" -> aggCollectStruct,
     "agg_quantile" -> aggQuantile,
+    "agg_quantile_disc" -> aggQuantileDisc,
     "agg_stats" -> aggStats,
     "agg_hash" -> aggHash,
     "agg_distinct" -> aggDistinct,
@@ -197,6 +213,11 @@ object AggQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_quantile_disc" ->
+      """SELECT o_orderpriority,
+        |  floor((quantile_disc(o_totalprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50d,
+        |  floor((quantile_disc(o_totalprice, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90d
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_quantile" ->
       """SELECT o_orderpriority,
         |  floor((quantile_cont(o_totalprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
