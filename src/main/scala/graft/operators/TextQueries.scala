@@ -156,8 +156,58 @@ object TextQueries {
       .orderBy("lang", "source")
   }
 
+  /** Corpus-level frequent items: top-25 words by document frequency
+    * (heavy hitters, the exact path). explode → distinct per doc →
+    * two-phase count → TakeOrderedAndProject; ROUNDED-free (all
+    * integers) and fully deterministic via the (count desc, word)
+    * tie-break. At 100 TB the exact path holds as long as the
+    * vocabulary fits a shuffle (words/n-grams do); past that the
+    * mergeable-sketch UDAF (udaf_topk) takes over. */
+  def textTopNgrams(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .distinct()
+      .groupBy("word")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("word"))
+      .limit(25)
+
+  val HhK = 50
+
+  /** Heavy hitters via SKETCH + EXACT VERIFY — the production pattern
+    * when the vocabulary itself is too big to count exactly: pass 1
+    * folds each partition into a ≤50-entry Misra–Gries summary (custom
+    * typed Aggregator, mergeable state — only k counters cross the
+    * shuffle); pass 2 re-counts ONLY the ≤50 candidates (broadcast
+    * semi-join, so the full vocabulary never shuffles) and keeps those
+    * with exact count·(k+1) > N — an integer-exact threshold. The MG
+    * guarantee (candidates ⊇ every word with count > N/(k+1),
+    * regardless of merge order) makes the final output deterministic
+    * and ORACLE-ABLE even though the sketch state itself is
+    * partitioning-dependent. */
+  def textHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = t(s, dir, "documents")
+      .select(explode(words(col("text"))).as("word"))
+    // .name (not .as) keeps the TypedColumn through the typed select
+    val sketch = terms.as[String]
+      .select(graft.functions.MisraGries(HhK).toColumn.name("sketch"))
+    val cand = sketch.toDF("sketch")
+      .select(explode(col("sketch"))).select(col("key").as("word"))
+    val total = terms.agg(count(lit(1)).as("total"))
+    terms.join(broadcast(cand), "word")
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * (HhK + 1) > col("total"))
+      .select("word", "cnt")
+      .orderBy(desc("cnt"), asc("word"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
+    "text_heavy_hitters" -> textHeavyHitters,
+    "text_top_ngrams" -> textTopNgrams,
     "text_stats" -> textStats,
     "text_tfidf" -> textTfidf,
     "text_langid" -> textLangid,
@@ -169,6 +219,21 @@ object TextQueries {
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    // exact heavy hitters by definition — the sketch+verify pipeline
+    // must produce precisely this set (MG superset guarantee + exact
+    // re-count + integer threshold)
+    "text_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+        |t AS (SELECT count(*) AS total FROM w)
+        |SELECT word, cnt FROM c, t WHERE cnt * 51 > total
+        |ORDER BY cnt DESC, word""".stripMargin,
+    "text_top_ngrams" ->
+      """SELECT word, count(*) AS df FROM (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents)
+        |GROUP BY word ORDER BY df DESC, word LIMIT 25""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH surv AS (SELECT min(doc_id) AS doc_id
         |              FROM documents GROUP BY sha256(text)),
