@@ -115,6 +115,27 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Int8 embedding quantization (per-vector max-abs scaling) — the
+    * standard storage/bandwidth reduction before ANN serving: q_i =
+    * floor(x_i · 127/max|x| + 0.5). Outputs integer aggregates of the
+    * quantized vector (sum/max/min), so the oracle comparison is
+    * integer-exact: every arithmetic step (widen, one multiply, floor)
+    * is a single non-accumulating double op performed identically by
+    * both engines. Pure per-row projection — no shuffle at any scale. */
+  def simQuantize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qv", transform(col("v"),
+        x => floor(x * (lit(127.0) / col("mx")) + 0.5).cast("long")))
+      .select(col("vec_id"),
+        Fp.r4(col("mx")).as("max_abs"),
+        aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_max(col("qv")).as("q_max"),
+        array_min(col("qv")).as("q_min"))
+      .orderBy("vec_id")
+
   val LshTables = 4
   val LshBitsPerTable = 4
 
@@ -166,10 +187,29 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> simCosineTopk,
+    "sim_quantize" -> simQuantize,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf)
 
   val oracleSql: Map[String, String] = Map(
+    // identical double arithmetic both sides: widen to double, one
+    // multiply, floor(x+0.5) — no accumulation, so bit-exact
+    "sim_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS mx
+        |  FROM e),
+        |q AS (SELECT vec_id, mx,
+        |    list_transform(v, x -> CAST(floor(x * (127.0 / mx) + 0.5) AS BIGINT)) AS qv
+        |  FROM m)
+        |SELECT vec_id,
+        |  floor(mx * 10000.0 + 0.5) / 10000.0 AS max_abs,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min
+        |FROM q ORDER BY vec_id""".stripMargin,
     "sim_cosine_topk" ->
       """WITH qe AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
         |              CAST(unnest(embedding) AS DOUBLE) AS x
