@@ -28,7 +28,7 @@ object Bench {
     // setup phase: queries that create one-time side tables (bucketed /
     // partitioned sinks) materialize them HERE, untimed, so the timed
     // runs below measure their reads, not a one-off write
-    Seq("join_bucketed", "sink_partitioned").foreach(n =>
+    Seq("join_bucketed", "sink_partitioned", "sink_ts_roundtrip").foreach(n =>
       selected.get(n).foreach(fn =>
         try run(fn(spark, sfDir)) catch { case _: Throwable => () }))
     // Two INTERLEAVED passes over the whole suite, per-query min across

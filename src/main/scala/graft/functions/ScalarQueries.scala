@@ -127,12 +127,18 @@ object ScalarQueries {
         greatest(col("value"), lit(50.0)).as("at_least_50"))
       .orderBy("event_id")
 
-  /** Edit-distance text similarity on the first 12 chars of pairs of
-    * nearby docs (bounded ids) — levenshtein exists in both engines. */
+  /** Edit-distance similarity on 12-char prefixes of same-language doc
+    * pairs — levenshtein exists in both engines. The `lang` equi-key
+    * makes this a HASH join + filter, not an all-pairs nested loop
+    * (PlanSweepSpec rejects BNLJ here); at corpus scale the equi-key is
+    * the candidate set from dedup_minhash / dedup_ngram_jaccard and
+    * this is the exact-verify kernel applied to it. */
   def textLevenshtein(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").filter(col("doc_id") < 40)
-      .select(col("doc_id"), substring(col("text"), 1, 12).as("prefix"))
-    d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 12).as("prefix"))
+    d.as("a").join(d.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         levenshtein(col("a.prefix"), col("b.prefix")).as("dist"))
       .filter(col("dist") <= 6)
@@ -232,7 +238,8 @@ object ScalarQueries {
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(substr(a.text, 1, 12), substr(b.text, 1, 12)) AS INTEGER)
         |    AS dist
-        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE a.doc_id < 40 AND b.doc_id < 40
         |  AND levenshtein(substr(a.text, 1, 12), substr(b.text, 1, 12)) <= 6
         |ORDER BY doc_a, doc_b""".stripMargin,
