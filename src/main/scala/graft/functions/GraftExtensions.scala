@@ -33,15 +33,21 @@ object GraftFunctions {
     (FunctionIdentifier("dot_f32"),
       info("dot_f32",
         "dot_f32(a, b) - double-precision dot product of two float/double arrays"),
-      args => DotProductF32(args(0), args(1))),
+      args => {
+        require(args.length == 2, s"dot_f32 expects 2 arguments, got ${args.length}")
+        DotProductF32(args(0), args(1))
+      }),
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig",
         "minhash_sig(words, perms) - MinHash signature (perms 64-bit minima) over 3-word shingles"),
-      args => MinHashSig(args(0), args(1) match {
+      args => {
+        require(args.length == 2, s"minhash_sig expects 2 arguments, got ${args.length}")
+        MinHashSig(args(0), args(1) match {
         case Literal(p: Int, _) => p
         case other => throw new IllegalArgumentException(
           s"minhash_sig perms must be an integer literal, got $other")
-      })))
+        })
+      }))
 
   /** Injects the same functions into an existing session's registry. */
   def registerSql(spark: SparkSession): Unit =

@@ -298,8 +298,16 @@ object DedupQueries {
       labels = next
       rounds += 1
     }
+    require(changed == 0,
+      s"components did not converge in $rounds rounds ($changed labels still changing); " +
+        "a graph this deep needs the O(log n) large-star/small-star variant")
+    // localCheckpoint truncates lineage WITHOUT a CacheManager entry:
+    // blocks are context-cleaned on GC, so repeated invocations don't
+    // accumulate permanently-cached plans
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
     sym.unpersist()
-    labels
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

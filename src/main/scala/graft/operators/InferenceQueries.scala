@@ -51,12 +51,17 @@ object InferenceQueries {
   val WeightsFileName = "graft_weights.txt"
   private val weightsFileAdded = new AtomicBoolean(false)
   def ensureWeightsFile(s: SparkSession): Unit =
-    if (!weightsFileAdded.getAndSet(true)) {
-      val p = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), WeightsFileName)
-      java.nio.file.Files.writeString(p,
-        weights.map(_.mkString(" ")).mkString("\n"))
-      s.sparkContext.addFile(p.toString)
+    // latch AFTER write+addFile succeed — latching first would leave a
+    // failed attempt permanently skipped (file-not-found in every task)
+    if (!weightsFileAdded.get()) synchronized {
+      if (!weightsFileAdded.get()) {
+        val p = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), WeightsFileName)
+        java.nio.file.Files.writeString(p,
+          weights.map(_.mkString(" ")).mkString("\n"))
+        s.sparkContext.addFile(p.toString)
+        weightsFileAdded.set(true)
+      }
     }
 
   /** Once-per-partition model load FROM THE DISTRIBUTED FILE (R15). */
@@ -270,7 +275,10 @@ object InferenceQueries {
       |  CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
       |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  // lazy: the infer_mean_xml entry forces the reference-XML parse —
+  // eager init would crash EVERY query at object load on a machine
+  // without the artifact, not just infer_mean_xml
+  lazy val oracleSql: Map[String, String] = Map(
     // `+ 0.0` normalizes DuckDB's -0.0 (Spark's BigDecimal round never
     // emits negative zero)
     "udf_scalar" ->

@@ -156,14 +156,15 @@ object TextQueries {
       .orderBy("lang", "source")
   }
 
-  /** Corpus-level frequent items: top-25 words by document frequency
-    * (heavy hitters, the exact path). explode → distinct per doc →
+  /** Corpus-level frequent items: top-25 WORDS by document frequency
+    * (the exact path; shingles() would lift the same shape to n-grams).
+    * explode → distinct per doc →
     * two-phase count → TakeOrderedAndProject; ROUNDED-free (all
     * integers) and fully deterministic via the (count desc, word)
     * tie-break. At 100 TB the exact path holds as long as the
     * vocabulary fits a shuffle (words/n-grams do); past that the
     * mergeable-sketch UDAF (udaf_topk) takes over. */
-  def textTopNgrams(s: SparkSession, dir: String): DataFrame =
+  def textTopWords(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .distinct()
@@ -207,7 +208,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "text_heavy_hitters" -> textHeavyHitters,
-    "text_top_ngrams" -> textTopNgrams,
+    "text_top_words" -> textTopWords,
     "text_stats" -> textStats,
     "text_tfidf" -> textTfidf,
     "text_langid" -> textLangid,
@@ -229,7 +230,7 @@ object TextQueries {
         |t AS (SELECT count(*) AS total FROM w)
         |SELECT word, cnt FROM c, t WHERE cnt * 51 > total
         |ORDER BY cnt DESC, word""".stripMargin,
-    "text_top_ngrams" ->
+    "text_top_words" ->
       """SELECT word, count(*) AS df FROM (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
         |  FROM documents)

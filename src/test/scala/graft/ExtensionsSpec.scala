@@ -48,10 +48,17 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("registerSql injects into a session whose builder had no extensions") {
-    // newSession shares the context but gets a fresh sessionState —
-    // the notebook/driver scenario registerSql exists for
+  test("registerSql injects into a session whose registry lacks the functions") {
+    // newSession INHERITS the fixture's extensions, so drop the
+    // functions from its registry first and prove SQL then fails —
+    // otherwise this test would pass with an empty registerSql
     val fresh = spark.newSession()
+    graft.functions.GraftFunctions.registrations.foreach { case (ident, _, _) =>
+      fresh.sessionState.functionRegistry.dropFunction(ident)
+    }
+    assertThrows[Exception] {
+      fresh.sql("SELECT dot_f32(array(1.0f), array(1.0f))").collect()
+    }
     graft.functions.GraftFunctions.registerSql(fresh)
     Tables.t(fresh, sf, "embeddings").limit(5)
       .createOrReplaceTempView("ext_emb_fresh")
