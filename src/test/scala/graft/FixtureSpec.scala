@@ -34,9 +34,11 @@ class FixtureSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("lineitem quantities are integral (proj_expr's floor-cast is exact either way)") {
-    val fractional = Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
-      .filter(col("l_quantity") =!= floor(col("l_quantity")))
-      .count()
-    assert(fractional == 0)
+    for (dir <- allSfDirs) {
+      val fractional = Tables.t(spark, dir, "lineitem")
+        .filter(col("l_quantity") =!= floor(col("l_quantity")))
+        .count()
+      assert(fractional == 0, s"$dir has $fractional fractional quantities")
+    }
   }
 }
