@@ -163,7 +163,7 @@ object TextQueries {
     * integers) and fully deterministic via the (count desc, word)
     * tie-break. At 100 TB the exact path holds as long as the
     * vocabulary fits a shuffle (words/n-grams do); past that the
-    * mergeable-sketch UDAF (udaf_topk) takes over. */
+    * mergeable-sketch path (text_heavy_hitters) takes over. */
   def textTopWords(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
