@@ -164,6 +164,37 @@ object AggQueries {
       .orderBy("l_orderkey")
   }
 
+  /** Deterministic MODE (most frequent value per group): Spark's
+    * builtin mode() breaks ties arbitrarily, so both engines compute
+    * it as count + row_number with a value tie-break — identical
+    * rankings by construction. Two-phase count then a tiny window over
+    * (group × distinct-value) rows. */
+  def aggMode(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("yr").orderBy(desc("cnt"), asc("o_orderpriority"))
+    t(s, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .groupBy("yr", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("yr", "o_orderpriority", "cnt")
+      .orderBy("yr")
+  }
+
+  /** Approximate percentile (t-digest style, like approx_count_distinct
+    * for cardinality): the sketch path when the exact sort-based
+    * percentile is too expensive. Implementation-specific estimates ⇒
+    * self-checked (AggSpec: within the documented accuracy band of the
+    * exact percentile), no DuckDB oracle. */
+  def aggApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        Fp.r4(expr("approx_percentile(o_totalprice, 0.5, 1000)")).as("p50_approx"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   /** Explicit GROUPING SETS — finer control than rollup/cube: totals
     * by (flag,status), by flag alone, and grand total, skipping the
     * by-status-alone set. */
@@ -184,6 +215,8 @@ object AggQueries {
     "agg_collect_struct" -> aggCollectStruct,
     "agg_quantile" -> aggQuantile,
     "agg_quantile_disc" -> aggQuantileDisc,
+    "agg_mode" -> aggMode,
+    "agg_approx_quantile" -> aggApproxQuantile,
     "agg_stats" -> aggStats,
     "agg_hash" -> aggHash,
     "agg_distinct" -> aggDistinct,
@@ -213,6 +246,15 @@ object AggQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_mode" ->
+      """SELECT yr, o_orderpriority, cnt FROM (
+        |  SELECT yr, o_orderpriority, cnt,
+        |    row_number() OVER (PARTITION BY yr
+        |      ORDER BY cnt DESC, o_orderpriority) AS rn
+        |  FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |          o_orderpriority, count(*) AS cnt
+        |        FROM orders GROUP BY 1, 2) g) x
+        |WHERE rn = 1 ORDER BY yr""".stripMargin,
     "agg_quantile_disc" ->
       """SELECT o_orderpriority,
         |  floor((quantile_disc(o_totalprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50d,

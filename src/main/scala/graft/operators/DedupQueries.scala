@@ -310,8 +310,27 @@ object DedupQueries {
     out
   }
 
+  /** The FULL near-dedup product in one query: candidate pairs
+    * (gram-sharing Jaccard ≥ 0.1) → connected components → keep one
+    * survivor per cluster (the min-label doc) → per-language corpus
+    * accounting. n_docs − n_kept = documents a training pipeline would
+    * drop as near-duplicates. */
+  def pipelineNearDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(col("doc_id") < 300)
+      .select("doc_id", "lang")
+    val labels = components(docs.select("doc_id"),
+      dedupNgramJaccard(s, dir).select("doc_a", "doc_b"))
+    docs.join(labels, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("comp") === col("doc_id"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> dedupComponents,
+    "pipeline_near_dedup" -> pipelineNearDedup,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
@@ -353,6 +372,39 @@ object DedupQueries {
       """SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha,
         |  count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
+    // the components closure feeding per-language survivor accounting
+    "pipeline_near_dedup" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents WHERE doc_id < 300),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        |      FROM w),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            count(*) AS n_inter
+        |          FROM g a JOIN g b
+        |            ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter
+        |          JOIN sizes sa ON sa.doc_id = doc_a
+        |          JOIN sizes sb ON sb.doc_id = doc_b
+        |          WHERE floor((CAST(n_inter AS DOUBLE)
+        |              / (sa.n_grams + sb.n_grams - n_inter)) * 10000.0 + 0.5)
+        |            / 10000.0 >= 0.1),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM w
+        |  UNION
+        |  SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u)
+        |, labels AS (SELECT src AS doc_id, min(dst) AS comp
+        |             FROM reach GROUP BY src)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN l.comp = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept
+        |FROM documents d JOIN labels l ON d.doc_id = l.doc_id
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     // same pair derivation as dedup_ngram_jaccard, then recursive-CTE
     // transitive closure; comp = min reachable doc_id, singletons
     // label themselves (equals Spark's min-label-propagation fixpoint)

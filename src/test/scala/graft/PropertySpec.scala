@@ -48,6 +48,21 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("approx_percentile stays within 2% of the exact percentile per group") {
+    import org.apache.spark.sql.functions._
+    val exact = SparkEntry.queries("agg_quantile")(spark, sf)
+      .select("o_orderpriority", "p50").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = SparkEntry.queries("agg_approx_quantile")(spark, sf)
+      .select("o_orderpriority", "p50_approx").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { case (k, v) =>
+      val e = exact(k)
+      assert(math.abs(v - e) / e <= 0.02, s"$k: approx $v vs exact $e")
+    }
+  }
+
   test("approx_count_distinct stays within 5% of exact on events users") {
     val e = Tables.t(spark, sf, "events")
     val exact = e.select("user_id").distinct().count().toDouble

@@ -12,8 +12,9 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
   test("every declared query runs at sf0.001 and has an oracle or documented self-check") {
-    val selfChecked = Set("agg_approx_distinct", "dedup_minhash",
-      "dedup_simhash", "dedup_simhash_pairs", "sim_ann_lsh", "sim_ann_ivf")
+    val selfChecked = Set("agg_approx_distinct", "agg_approx_quantile",
+      "dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
+      "sim_ann_lsh", "sim_ann_ivf")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty, s"$name has no columns")
