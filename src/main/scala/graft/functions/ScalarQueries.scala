@@ -184,7 +184,20 @@ object ScalarQueries {
       .orderBy("doc_id")
   }
 
+  /** Integer bitwise surface (shift/and/or/xor + bit_count) — all
+    * exact integer math, bit-identical across engines. */
+  def scalarBitwise(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        shiftleft(col("event_id"), 3).as("shl3"),
+        col("event_id").bitwiseAND(lit(255L)).as("low8"),
+        col("event_id").bitwiseOR(col("user_id")).as("ored"),
+        col("event_id").bitwiseXOR(col("user_id")).as("xored"),
+        bit_count(col("event_id")).as("popcount"))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_bitwise" -> scalarBitwise,
     "scalar_regex" -> scalarRegex,
     "scalar_regex_all" -> scalarRegexAll,
     "scalar_map_entries" -> scalarMapEntries,
@@ -202,6 +215,14 @@ object ScalarQueries {
     .map { case (k, v) => s"WHEN $k THEN '$v'" }.mkString(" ")
 
   val oracleSql: Map[String, String] = Map(
+    "scalar_bitwise" ->
+      """SELECT event_id,
+        |  event_id << 3 AS shl3,
+        |  event_id & 255 AS low8,
+        |  event_id | user_id AS ored,
+        |  xor(event_id, user_id) AS xored,
+        |  CAST(bit_count(event_id) AS INTEGER) AS popcount
+        |FROM events ORDER BY event_id""".stripMargin,
     "scalar_regex_all" ->
       """SELECT doc_id,
         |  coalesce(array_to_string(

@@ -86,7 +86,21 @@ object WindowQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Rank-ratio window functions (percent_rank, cume_dist): identical
+    * (rank−1)/(n−1) and rank/n definitions in both engines; unique
+    * tie-break key ⇒ identical ranks; ratios of small ints r4'd. */
+  def winPercent(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("pr", Fp.r4(percent_rank().over(w)))
+      .withColumn("cd", Fp.r4(cume_dist().over(w)))
+      .select("o_custkey", "o_orderkey", "pr", "cd")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_percent" -> winPercent,
     "win_rank" -> winRank,
     "win_running" -> winRunning,
     "win_range" -> winRange,
@@ -94,6 +108,13 @@ object WindowQueries {
     "win_ntile" -> winNtile)
 
   val oracleSql: Map[String, String] = Map(
+    "win_percent" ->
+      """SELECT o_custkey, o_orderkey,
+        |  floor((percent_rank() OVER w) * 10000.0 + 0.5) / 10000.0 + 0.0 AS pr,
+        |  floor((cume_dist() OVER w) * 10000.0 + 0.5) / 10000.0 + 0.0 AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_range" ->
       """SELECT o_custkey, o_orderkey,
         |  floor((sum(o_totalprice) OVER (PARTITION BY o_custkey
