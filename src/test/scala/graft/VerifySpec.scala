@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round gate's own contract: Verify.main must emit one parquet
+  * dir per declared query, a parseable oracle_sql.json, and the
+  * sorted query manifest. If this breaks, every query is silently
+  * red at judging time — the single highest-blast-radius regression
+  * in the repo.
+  */
+class VerifySpec extends AnyFunSuite with SparkFixture {
+
+  test("Verify.main emits outputs for every query, valid JSON, and the manifest") {
+    val out = java.nio.file.Files.createTempDirectory("graft_verify_contract").toString
+    Verify.main(Array(sf, out))
+    val emitted = new java.io.File(out).listFiles().map(_.getName).toSet
+
+    SparkEntry.queries.keys.foreach { name =>
+      assert(emitted.contains(name), s"no output dir for $name")
+      assert(new java.io.File(s"$out/$name/_SUCCESS").exists(),
+        s"$name parquet write did not complete")
+    }
+
+    // oracle_sql.json must be one valid JSON object covering oracleSql
+    val parsed = spark.read.option("multiLine", "true")
+      .json(s"$out/oracle_sql.json")
+    assert(parsed.columns.toSet == SparkEntry.oracleSql.keySet,
+      "oracle_sql.json keys diverge from SparkEntry.oracleSql")
+
+    val manifest = scala.io.Source.fromFile(s"$out/queries.txt").getLines().toSeq
+    assert(manifest == SparkEntry.queries.keys.toSeq.sorted)
+    assert(manifest.size == SparkEntry.queries.size)
+  }
+}
