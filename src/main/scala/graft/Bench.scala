@@ -14,6 +14,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -30,7 +31,12 @@ object Bench {
     // runs below measure their reads, not a one-off write
     Seq("join_bucketed", "sink_partitioned", "sink_ts_roundtrip").foreach(n =>
       selected.get(n).foreach(fn =>
-        try run(fn(spark, sfDir)) catch { case _: Throwable => () }))
+        // NonFatal only: an OOM/linkage error here must crash loudly, and
+        // a broken one-time sink write must be visible, not silent
+        try run(fn(spark, sfDir)) catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench-setup] $n failed: $e")
+        }))
     // Two INTERLEAVED passes over the whole suite, per-query min across
     // passes. Round-1's single cold run let first-touch page cache / JIT
     // / GC noise masquerade as plan cost (VERDICT §perf), and back-to-
@@ -54,13 +60,28 @@ object Bench {
       // any failed pass marks the query failed (-1), not fast
       n -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    def qsJson(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     // failures carry value -1.0 (visible, excluded from the total) —
     // a broken query must not report as a fast success
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    def line(m: Seq[(String, Double)]): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${qsJson(m)},"failed":[${failed.mkString(",")}],"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    // Full per-query detail goes to a FILE: the driver captures only the
+    // last ~2000 chars of stdout, and 98 entries overflow that (round-2's
+    // BENCH parsed as null). Stdout keeps the contract line, with the
+    // queries map truncated to the slowest entries until the line fits.
+    val bySlow = results.toSeq.sortBy { case (_, v) => -v }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      line(bySlow).getBytes("UTF-8"))
+    val budget = 1700
+    val kept = Iterator.range(bySlow.size, 0, -1)
+      .map(bySlow.take).find(m => line(m).length <= budget)
+      .getOrElse(bySlow.take(10))
+    println(line(kept))
     spark.stop()
   }
 }

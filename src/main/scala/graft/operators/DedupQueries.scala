@@ -295,7 +295,12 @@ object DedupQueries {
       changed = next.join(labels.withColumnRenamed("comp", "prev"), "doc_id")
         .filter(col("comp") =!= col("prev")).count()
       labels.unpersist()
-      labels = next
+      // truncate lineage every few rounds: each round's plan otherwise
+      // nests the previous round's, and driver-side analysis cost grows
+      // quadratically toward the 50-round cap
+      labels = if (rounds % 5 == 4) {
+        val chk = next.localCheckpoint(true); next.unpersist(); chk
+      } else next
       rounds += 1
     }
     require(changed == 0,
@@ -309,6 +314,101 @@ object DedupQueries {
     sym.unpersist()
     out
   }
+
+  /** O(log n)-round connected components: alternating large-star /
+    * small-star (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", 2014). Min-label propagation ([[components]]) needs
+    * O(diameter) rounds — fine for near-dup clusters (diameter 1–3),
+    * quadratic-ish wall time on an adversarial million-node chain. The
+    * star operations halve path lengths each alternation, so even a
+    * pathological chain converges in ~log₂(n) rounds; each round is two
+    * groupBy-min shuffles + two equi-joins on the same key, nothing
+    * driver-side but an (edge-count, checksum) pair.
+    *
+    *  - large-star(u): connect every neighbor v > u to
+    *    m = min(Γ(u) ∪ {u}); also emit (u, m) so u itself stays
+    *    attached to its current minimum.
+    *  - small-star(u), edges oriented u > v: connect every neighbor
+    *    (all ≤ u) and u itself to m = min(Γ(u) ∪ {u}).
+    *
+    * All emitted edges point big → small, labels only ever decrease,
+    * and a converged edge set is exactly the star (node → component
+    * min). Equivalence with [[components]] is property-tested on
+    * random graphs and a 500-node chain (ComponentsSpec). */
+  def componentsStar(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{min => fmin}
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e.filter(col("u") =!= col("v")))
+      val m = s.groupBy("u").agg(fmin("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      s.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient big → small (large-star output already is; first round
+      // of raw input may not be)
+      val o = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = o.groupBy("u").agg(fmin("v").as("m"))
+      o.join(m, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    // self-loops keep isolated nodes in the edge set throughout.
+    // localCheckpoint EVERY round: one star round references its input
+    // ~6× (sym twice, the min-join thrice, the union), so an
+    // unmaterialized plan grows ~36× per round and analysis alone
+    // stalls the driver by round 4. The checksum forces a full
+    // materialization anyway, so checkpointing is free.
+    var e = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(nodes.select(col("doc_id").as("u"), col("doc_id").as("v")))
+      .distinct().localCheckpoint(true)
+    var prev = (-1L, -1L)
+    var cur = checksum(e)
+    var rounds = 0
+    while (cur != prev && rounds < 30) {
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      prev = cur
+      cur = checksum(e)
+      rounds += 1
+    }
+    require(cur == prev, s"componentsStar did not converge in $rounds rounds")
+    val labels = e.groupBy("u").agg(fmin("v").as("comp"))
+      .select(col("u").as("doc_id"), col("comp"))
+    // left join: large-star drops self-loops, so an isolated node can
+    // leave the edge set entirely — it is its own component
+    val out = nodes.join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+      .localCheckpoint(true)
+    out
+  }
+
+  /** Order-insensitive edge-set fingerprint for the convergence test:
+    * (count, bit_xor of per-edge xxhash64) — xor commutes across
+    * executors and can't overflow under ANSI mode. A collision would
+    * need two edge SETS with equal count and xor-colliding hashes
+    * across one round of a monotonically-shrinking computation — and
+    * this is not the correctness gate anyway: [[componentsStar]]'s
+    * require + ComponentsSpec equivalence are. */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** [[dedupComponents]] semantics via the O(log n) star algorithm —
+    * same nodes, same edges, same oracle; only the iteration scheme
+    * differs. Declared separately so the driver hash-checks both. */
+  def dedupComponentsStar(s: SparkSession, dir: String): DataFrame =
+    componentsStar(
+      t(s, dir, "documents").filter(col("doc_id") < 300).select("doc_id"),
+      dedupNgramJaccard(s, dir).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
 
   /** The FULL near-dedup product in one query: candidate pairs
     * (gram-sharing Jaccard ≥ 0.1) → connected components → keep one
@@ -328,8 +428,41 @@ object DedupQueries {
       .orderBy("lang")
   }
 
+  /** Shared by dedup_components and dedup_components_star: same pair
+    * derivation as dedup_ngram_jaccard, then recursive-CTE transitive
+    * closure; comp = min reachable doc_id, singletons label themselves
+    * (equals both Spark fixpoints by definition). */
+  private val componentsOracleSql: String =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents WHERE doc_id < 300),
+      |g AS (SELECT DISTINCT doc_id,
+      |        unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+      |      FROM w),
+      |sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |            count(*) AS n_inter
+      |          FROM g a JOIN g b
+      |            ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b FROM inter
+      |          JOIN sizes sa ON sa.doc_id = doc_a
+      |          JOIN sizes sb ON sb.doc_id = doc_b
+      |          WHERE floor((CAST(n_inter AS DOUBLE)
+      |              / (sa.n_grams + sb.n_grams - n_inter)) * 10000.0 + 0.5)
+      |            / 10000.0 >= 0.1),
+      |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM w
+      |  UNION
+      |  SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u)
+      |SELECT src AS doc_id, min(dst) AS comp
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> dedupComponents,
+    "dedup_components_star" -> dedupComponentsStar,
     "pipeline_near_dedup" -> pipelineNearDedup,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_exact" -> dedupExact,
@@ -408,33 +541,10 @@ object DedupQueries {
     // same pair derivation as dedup_ngram_jaccard, then recursive-CTE
     // transitive closure; comp = min reachable doc_id, singletons
     // label themselves (equals Spark's min-label-propagation fixpoint)
-    "dedup_components" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws
-        |           FROM documents WHERE doc_id < 300),
-        |g AS (SELECT DISTINCT doc_id,
-        |        unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
-        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
-        |      FROM w),
-        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |            count(*) AS n_inter
-        |          FROM g a JOIN g b
-        |            ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |pairs AS (SELECT doc_a, doc_b FROM inter
-        |          JOIN sizes sa ON sa.doc_id = doc_a
-        |          JOIN sizes sb ON sb.doc_id = doc_b
-        |          WHERE floor((CAST(n_inter AS DOUBLE)
-        |              / (sa.n_grams + sb.n_grams - n_inter)) * 10000.0 + 0.5)
-        |            / 10000.0 >= 0.1),
-        |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT doc_id, doc_id FROM w
-        |  UNION
-        |  SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u)
-        |SELECT src AS doc_id, min(dst) AS comp
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "dedup_components" -> componentsOracleSql,
+    // identical semantics — only the Spark-side iteration scheme
+    // (large-star/small-star vs min-label propagation) differs
+    "dedup_components_star" -> componentsOracleSql,
     "dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents WHERE doc_id < 300),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
 
 import graft.Fp
 import graft.Tables.t
@@ -49,20 +49,25 @@ object InferenceQueries {
     * toString/parseDouble round-trip is exact, so file-loaded weights
     * are bit-identical to [[weights]] (asserted in InferenceSpec). */
   val WeightsFileName = "graft_weights.txt"
-  private val weightsFileAdded = new AtomicBoolean(false)
-  def ensureWeightsFile(s: SparkSession): Unit =
+  // keyed on applicationId, not a bare boolean: addFile state is
+  // per-SparkContext, so a stop + fresh context in the same JVM must
+  // re-add or every task dies with file-not-found
+  private val weightsFileAddedFor = new AtomicReference[String](null)
+  def ensureWeightsFile(s: SparkSession): Unit = {
+    val appId = s.sparkContext.applicationId
     // latch AFTER write+addFile succeed — latching first would leave a
     // failed attempt permanently skipped (file-not-found in every task)
-    if (!weightsFileAdded.get()) synchronized {
-      if (!weightsFileAdded.get()) {
+    if (weightsFileAddedFor.get() != appId) synchronized {
+      if (weightsFileAddedFor.get() != appId) {
         val p = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"), WeightsFileName)
         java.nio.file.Files.writeString(p,
           weights.map(_.mkString(" ")).mkString("\n"))
         s.sparkContext.addFile(p.toString)
-        weightsFileAdded.set(true)
+        weightsFileAddedFor.set(appId)
       }
     }
+  }
 
   /** Once-per-partition model load FROM THE DISTRIBUTED FILE (R15). */
   def loadModelFromFile(): Array[Array[Double]] = {

@@ -137,7 +137,12 @@ object ScanQueries {
     * read bit-exactly, proven by per-type min/max formatted in UTC.
     * One-time write keyed on (tmpdir, sf) like sinkPartitioned. */
   def sinkTsRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.session.timeZone", "UTC")
+    // The CSV text and date_format output are timezone-sensitive; every
+    // harness (Verify, Bench, SparkFixture) pins UTC in its builder.
+    // Require it rather than mutate it: setting session config here
+    // would silently change every subsequent query in a non-UTC session.
+    require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+      "sink_ts_roundtrip requires spark.sql.session.timeZone=UTC")
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_ts_roundtrip_$tag"
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {

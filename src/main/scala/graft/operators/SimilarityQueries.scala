@@ -127,8 +127,11 @@ object SimilarityQueries {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      // zero guard keeps the query total: an all-zero vector must give
+      // qv=0, not NaN (Spark) vs a CAST error (DuckDB)
       .withColumn("qv", transform(col("v"),
-        x => floor(x * (lit(127.0) / col("mx")) + 0.5).cast("long")))
+        x => when(col("mx") === 0, lit(0L))
+          .otherwise(floor(x * (lit(127.0) / col("mx")) + 0.5).cast("long"))))
       .select(col("vec_id"),
         Fp.r4(col("mx")).as("max_abs"),
         aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
@@ -202,7 +205,8 @@ object SimilarityQueries {
         |    list_max(list_transform(v, x -> abs(x))) AS mx
         |  FROM e),
         |q AS (SELECT vec_id, mx,
-        |    list_transform(v, x -> CAST(floor(x * (127.0 / mx) + 0.5) AS BIGINT)) AS qv
+        |    list_transform(v, x -> CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(floor(x * (127.0 / mx) + 0.5) AS BIGINT) END) AS qv
         |  FROM m)
         |SELECT vec_id,
         |  floor(mx * 10000.0 + 0.5) / 10000.0 AS max_abs,
