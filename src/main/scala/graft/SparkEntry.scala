@@ -29,7 +29,8 @@ object SparkEntry {
       operators.DedupQueries.queries ++
       operators.SimilarityQueries.queries ++
       operators.TextQueries.queries ++
-      operators.MultimodalQueries.queries
+      operators.MultimodalQueries.queries ++
+      operators.SampleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       operators.DedupQueries.oracleSql ++
       operators.SimilarityQueries.oracleSql ++
       operators.TextQueries.oracleSql ++
-      operators.MultimodalQueries.oracleSql
+      operators.MultimodalQueries.oracleSql ++
+      operators.SampleQueries.oracleSql
 }

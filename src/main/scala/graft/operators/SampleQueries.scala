@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * At 100 TB, `rand()`-based sampling is the wrong tool: it is not
+  * reproducible across retried tasks (a recomputed partition draws new
+  * numbers → downstream stages can see different samples of the same
+  * data), not auditable, and not oracle-checkable. Production corpus
+  * pipelines sample by KEY HASH instead: a pure function of the row key
+  * decides membership, so any engine, any retry, any scale produces the
+  * same sample. Both queries here are single-pass projections with one
+  * final aggregation — no shuffle before the agg, embarrassingly
+  * parallel at any scale.
+  *
+  * The hash is a Knuth-style multiplicative congruence kept small
+  * enough that the integer arithmetic can't overflow under ANSI mode
+  * and is bit-identical in DuckDB: bucket(k) = ((k·40503 + 17) mod
+  * 65521) mod 100 — 65521 is the largest 16-bit prime, 40503 the
+  * 16-bit Knuth multiplier (same constant family as
+  * SimilarityQueries.planeAt).
+  */
+object SampleQueries {
+
+  /** Percentile bucket 0..99 of a bigint key — identical in DuckDB. */
+  def hashBucket(k: Column): Column = ((k * 40503L + 17L) % 65521L) % 100L
+  def hashBucketSql(k: String): String = s"((($k) * 40503 + 17) % 65521) % 100"
+
+  /** Per-stratum sampling rates (percent) for sample_stratified:
+    * downsample the over-represented language, keep the tails. */
+  val strataRates: Seq[(String, Int)] = Seq("en" -> 50, "de" -> 30)
+  val defaultRate: Int = 10
+
+  /** Stratified deterministic sample of documents: language decides the
+    * rate, the doc_id hash decides membership. Output is per-language
+    * totals + an id checksum so the oracle comparison covers exactly
+    * WHICH rows were kept, not just how many. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val rate = strataRates.foldRight(lit(defaultRate)) { case ((l, r), acc) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    t(s, dir, "documents")
+      .withColumn("keep", hashBucket(col("doc_id")) < rate)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("sampled_id_sum"))
+      .orderBy("lang")
+  }
+
+  /** Train/validation/test split (80/10/10) by event_id hash — the
+    * canonical "same row always lands in the same split" contract a
+    * training pipeline needs so that later runs (or other engines)
+    * never leak validation rows into training. */
+  def sampleSplit(s: SparkSession, dir: String): DataFrame = {
+    val b = hashBucket(col("event_id"))
+    t(s, dir, "events")
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("event_id")).as("id_sum"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("split")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> sampleStratified,
+    "sample_split" -> sampleSplit)
+
+  private val bucketDoc = hashBucketSql("doc_id")
+  private val bucketEvt = hashBucketSql("event_id")
+
+  val oracleSql: Map[String, String] = Map(
+    // integer-only hash arithmetic — bit-identical across engines
+    "sample_stratified" ->
+      s"""WITH d AS (SELECT lang, doc_id,
+         |    CASE WHEN lang = 'en' THEN 50
+         |         WHEN lang = 'de' THEN 30 ELSE 10 END AS rate,
+         |    $bucketDoc AS bkt
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN bkt < rate THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sampled,
+         |  CAST(sum(CASE WHEN bkt < rate THEN doc_id ELSE 0 END) AS BIGINT)
+         |    AS sampled_id_sum
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "sample_split" ->
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    CASE WHEN $bucketEvt < 80 THEN 'train'
+         |         WHEN $bucketEvt < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM events)
+         |SELECT split, count(*) AS n_rows,
+         |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM e GROUP BY split ORDER BY split""".stripMargin)
+}

@@ -68,14 +68,22 @@ object SimilarityQueries {
     * ||e||² − 2e·c + ||c||² minus the constant ||e||² term: score =
     * ||c||² − 2e·c, a pure per-row codegen'd expression — cluster
     * assignment SHUFFLES NOTHING at any scale. */
-  private def clustersRanked(e: Column): Column = {
-    val scored = (0 until IvfClusters).map { c =>
-      val cent = array((0 until IvfDim).map(i => lit(centroidAt(c, i))): _*)
-      val cc = (0 until IvfDim).map(i => centroidAt(c, i) * centroidAt(c, i)).sum
+  private def clustersRanked(e: Column): Column =
+    clustersRankedIn(e, seedCodebook)
+
+  /** Same ranking against an arbitrary codebook (k × dim doubles). */
+  private def clustersRankedIn(e: Column, cb: Array[Array[Double]]): Column = {
+    val scored = cb.indices.map { c =>
+      val cent = array(cb(c).map(lit(_)): _*)
+      val cc = cb(c).map(x => x * x).sum
       struct((lit(cc) - lit(2.0) * dot(e, cent)).as("score"), lit(c).as("cid"))
     }
     array_sort(array(scored: _*))
   }
+
+  /** The fixed deterministic codebook as a materialized k × dim array. */
+  def seedCodebook: Array[Array[Double]] =
+    Array.tabulate(IvfClusters, IvfDim)(centroidAt)
 
   /** IVF ANN: inverted-file search with the deterministic codebook as
     * coarse quantizer. Corpus rows are assigned to their nearest
@@ -89,17 +97,21 @@ object SimilarityQueries {
     * equi-join plan shape) — no SQL oracle because centroid scores are
     * FP sums whose near-ties could rank differently under DuckDB's
     * accumulation order. */
-  def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
+  def simAnnIvf(s: SparkSession, dir: String): DataFrame =
+    ivfSearch(s, dir, seedCodebook)
+
+  private def ivfSearch(s: SparkSession, dir: String,
+      cb: Array[Array[Double]]): DataFrame = {
     val e = t(s, dir, "embeddings")
     val corpus = e
       .select(col("vec_id").as("n_id"), col("embedding").as("ce"))
       .withColumn("cluster",
-        element_at(clustersRanked(col("ce")), 1).getField("cid"))
+        element_at(clustersRankedIn(col("ce"), cb), 1).getField("cid"))
       .withColumn("cnorm", norm(col("ce")))
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         explode(transform(
-          slice(clustersRanked(col("embedding")), 1, IvfProbes),
+          slice(clustersRankedIn(col("embedding"), cb), 1, IvfProbes),
           x => x.getField("cid"))).as("cluster"))
       .withColumn("qnorm", norm(col("qe")))
     val w = org.apache.spark.sql.expressions.Window
@@ -114,6 +126,52 @@ object SimilarityQueries {
       .select("q_id", "rank", "n_id", "cos")
       .orderBy("q_id", "rank")
   }
+
+  /** Lloyd-refined codebook: k-means over the corpus, seeded from the
+    * deterministic codebook, [[KmeansIters]] iterations. Each
+    * iteration is one narrow assignment projection + one
+    * (cluster, dim) aggregation — the exact distributed k-means shape
+    * that holds at 100 TB (the driver only ever holds the k × dim
+    * model, never data). Learned centroids are rounded to 6 decimals
+    * driver-side so downstream ranking is immune to last-ulp
+    * differences in distributed sum order; empty clusters keep their
+    * seed centroid. Cached per sfDir: Verify/Bench call queries
+    * repeatedly and must not retrain per call. */
+  val KmeansIters = 3
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  def trainedCodebook(s: SparkSession, dir: String): Array[Array[Double]] =
+    codebookCache.computeIfAbsent(dir, _ => {
+      val e = t(s, dir, "embeddings")
+      var cb = seedCodebook
+      for (_ <- 1 to KmeansIters) {
+        val assigned = e.select(
+          element_at(clustersRankedIn(col("embedding"), cb), 1)
+            .getField("cid").as("cluster"),
+          col("embedding"))
+        val means = assigned
+          .select(col("cluster"), posexplode(col("embedding")))
+          .groupBy("cluster", "pos")
+          .agg(avg(col("col").cast("double")).as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (c, rows) =>
+            c -> rows.map(r => (r.getInt(1), r.getDouble(2))).sortBy(_._1)
+              .map(p => math.floor(p._2 * 1e6 + 0.5) / 1e6).toArray
+          }
+        cb = cb.indices.map(c => means.getOrElse(c, cb(c))).toArray
+      }
+      cb
+    })
+
+  /** IVF with a TRAINED (k-means) codebook — the data-adaptive variant
+    * of [[simAnnIvf]]: same probe path, same equi-join scale shape,
+    * but the coarse quantizer is learned from the corpus. Self-checked
+    * (SimilaritySpec: determinism, recall vs brute force, training
+    * actually moves centroids); no SQL oracle because centroid means
+    * are distributed FP sums. */
+  def simAnnIvfTrained(s: SparkSession, dir: String): DataFrame =
+    ivfSearch(s, dir, trainedCodebook(s, dir))
 
   /** Int8 embedding quantization (per-vector max-abs scaling) — the
     * standard storage/bandwidth reduction before ANN serving: q_i =
@@ -192,7 +250,8 @@ object SimilarityQueries {
     "sim_cosine_topk" -> simCosineTopk,
     "sim_quantize" -> simQuantize,
     "sim_ann_lsh" -> simAnnLsh,
-    "sim_ann_ivf" -> simAnnIvf)
+    "sim_ann_ivf" -> simAnnIvf,
+    "sim_ann_ivf_trained" -> simAnnIvfTrained)
 
   val oracleSql: Map[String, String] = Map(
     // identical double arithmetic both sides: widen to double, one

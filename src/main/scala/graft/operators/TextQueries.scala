@@ -205,7 +205,59 @@ object TextQueries {
       .orderBy(desc("cnt"), asc("word"))
   }
 
+  /** BM25 top-3 terms per document (docs < 100) — the ranking function
+    * retrieval-based data curation actually uses (tf saturation + doc-
+    * length normalization), same join shape as [[textTfidf]]: term
+    * explode → (doc,term) tf → term df (broadcast-sized after the
+    * aggregate) → one broadcast scalar (n_docs, avgdl). Constants
+    * k1=1.2, b=0.75 appear as the same literals in the oracle so every
+    * FP op is a single identical IEEE op in both engines; avgdl comes
+    * from an exact BIGINT sum / exact count. */
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val terms = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val tfNorm = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+        lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("bm25"), asc("term"))
+    tf.join(df, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("bm25", Fp.r4(idf * tfNorm))
+      .filter(col("doc_id") < 100)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "bm25")
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Text normalization — the first stage of every corpus pipeline:
+    * lowercase, strip non-alphanumerics, collapse whitespace, trim.
+    * Runs over events.props (the one column with punctuation/digits to
+    * actually normalize). Pure per-row projection, zero shuffles before
+    * the final sort; the md5 digest makes the oracle comparison cover
+    * the full normalized string without shipping it. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_id") < 200)
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(lower(col("props")), "[^a-z0-9 ]", ""), " +", " ")))
+      .select(col("event_id"),
+        length(col("norm")).as("n_chars_norm"),
+        md5(col("norm").cast("binary")).as("digest"))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> textBm25,
+    "text_normalize" -> textNormalize,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "text_heavy_hitters" -> textHeavyHitters,
     "text_top_words" -> textTopWords,
@@ -255,6 +307,41 @@ object TextQueries {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
         |  count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // same literal constants and op order as the Spark expression tree:
+    // every FP step is one IEEE op, so only ln()'s last ulp could ever
+    // differ (same exposure as text_tfidf, green through sf0.1)
+    "text_bm25" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |               FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM terms) t GROUP BY term),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs,
+        |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |             floor((ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |               * ((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75
+        |                   + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))))
+        |               * 10000.0 + 0.5) / 10000.0 AS bm25
+        |           FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+        |           WHERE tf.doc_id < 100),
+        |r AS (SELECT doc_id, term, bm25,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY bm25 DESC, term) AS rn
+        |      FROM scored)
+        |SELECT doc_id, CAST(rn AS INTEGER) AS rank, term, bm25
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all; md5 is lowercase hex in both engines
+    "text_normalize" ->
+      """SELECT event_id,
+        |  CAST(length(norm) AS INTEGER) AS n_chars_norm,
+        |  md5(norm) AS digest
+        |FROM (SELECT event_id, trim(regexp_replace(regexp_replace(
+        |        lower(props), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |      FROM events WHERE event_id < 200) t
+        |ORDER BY event_id""".stripMargin,
     "text_tfidf" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |               FROM documents),

@@ -134,7 +134,41 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  /** End-to-end streaming FILE pipeline: parquet source directory →
+    * stateless filter/project → parquet SINK with a checkpoint,
+    * Trigger.AvailableNow, then a batch aggregate over the sunk files.
+    * This is the production shape for continuous ingest at scale —
+    * the sink's _spark_metadata commit log makes the output
+    * exactly-once, so re-running with the same checkpoint processes
+    * nothing and the result is stable (Verify and both Bench passes
+    * reuse one materialization; "v1" salts the tmp dirs against stale
+    * layouts from earlier code). The oracle replays the same
+    * filter/bucket arithmetic (one multiply + floor on a stored
+    * double — no accumulation) over the events table directly. */
+  def streamFileSink(s: SparkSession, dir: String): DataFrame = {
+    val tag = "v1_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sink_$tag"
+    val src = t(s, dir, "events")
+      .select("event_id", "event_type", "ts_s", "value")
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists())
+      src.write.mode("overwrite").parquet(s"$base/in")
+    val q = s.readStream.schema(src.schema).parquet(s"$base/in")
+      .filter(col("value") >= 0.25)
+      .withColumn("value_bucket", floor(col("value") * 4).cast("int"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .groupBy("event_type", "value_bucket")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+      .orderBy("event_type", "value_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_file_sink" -> streamFileSink,
     "stream_join" -> streamJoin,
     "stream_maxgap" -> streamMaxgap,
     "stream_tumbling" -> streamTumbling,
@@ -144,6 +178,12 @@ object StreamQueries {
     "filter_null" -> filterNull)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_file_sink" ->
+      """SELECT event_type,
+        |  CAST(floor(value * 4) AS INTEGER) AS value_bucket,
+        |  count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE value >= 0.25
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_join" ->
       """SELECT c.user_id, count(*) AS n_attributed
         |FROM (SELECT user_id, epoch_ns(ts) // 1000000000 AS click_s

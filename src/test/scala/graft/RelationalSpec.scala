@@ -14,7 +14,7 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
   test("every declared query runs at sf0.001 and has an oracle or documented self-check") {
     val selfChecked = Set("agg_approx_distinct", "agg_approx_quantile",
       "dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
-      "sim_ann_lsh", "sim_ann_ivf")
+      "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_trained")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty, s"$name has no columns")

@@ -100,4 +100,32 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val b = SparkEntry.queries("sim_ann_lsh")(spark, sf).collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  test("trained IVF: k-means actually moves centroids off the seed codebook") {
+    val seed = SimilarityQueries.seedCodebook
+    val trained = SimilarityQueries.trainedCodebook(spark, sf)
+    assert(trained.length == seed.length)
+    assert(trained.exists(_.length == seed.head.length))
+    val moved = seed.indices.count(c => !seed(c).sameElements(trained(c)))
+    assert(moved > 0, "training left every centroid on its seed value")
+  }
+
+  test("sim_ann_ivf_trained: valid ranks, deterministic, recall vs brute force") {
+    val rows = SparkEntry.queries("sim_ann_ivf_trained")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.sameElements(1 to g.length))
+    }
+    val again = SparkEntry.queries("sim_ann_ivf_trained")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rows.toSeq == again.toSeq)
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val top1 = rows.filter(_._2 == 1)
+    val hits = top1.count { case (q, _, n, _) => brute.get(q).exists(_.contains(n)) }
+    assert(hits.toDouble / top1.length >= 0.3,
+      s"trained-IVF top-1 recall vs brute top-5: $hits/${top1.length}")
+  }
 }
