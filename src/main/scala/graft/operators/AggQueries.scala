@@ -210,7 +210,31 @@ object AggQueries {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Ordered funnel: per user, the earliest view / click / purchase
+    * timestamps, kept only when they occur in funnel order — the
+    * conversion-analysis aggregate every event pipeline ships. One
+    * groupBy(user) with three conditional mins (single shuffle), then a
+    * 5-row summary: stage reached × users, using integer epoch seconds
+    * end-to-end so the oracle is exact. */
+  def aggFunnel(s: SparkSession, dir: String): DataFrame = {
+    val stageTs = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts_s"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts_s"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts_s"))).as("t_purchase"))
+    val stage = when(col("t_view").isNull, lit(0))
+      .when(col("t_click").isNull || col("t_click") < col("t_view"), lit(1))
+      .when(col("t_purchase").isNull || col("t_purchase") < col("t_click"), lit(2))
+      .otherwise(lit(3))
+    stageTs.withColumn("stage", stage)
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_users"), sum("user_id").as("user_id_sum"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_funnel" -> aggFunnel,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_collect_struct" -> aggCollectStruct,
     "agg_quantile" -> aggQuantile,
@@ -227,6 +251,25 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    // integer epoch seconds end-to-end (events ts_s convention)
+    "agg_funnel" ->
+      """WITH s AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view'
+        |        THEN epoch_ns(ts) // 1000000000 END) AS t_view,
+        |    min(CASE WHEN event_type = 'click'
+        |        THEN epoch_ns(ts) // 1000000000 END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase'
+        |        THEN epoch_ns(ts) // 1000000000 END) AS t_purchase
+        |  FROM events GROUP BY user_id),
+        |st AS (SELECT user_id,
+        |    CASE WHEN t_view IS NULL THEN 0
+        |         WHEN t_click IS NULL OR t_click < t_view THEN 1
+        |         WHEN t_purchase IS NULL OR t_purchase < t_click THEN 2
+        |         ELSE 3 END AS stage
+        |  FROM s)
+        |SELECT stage, count(*) AS n_users,
+        |  CAST(sum(user_id) AS BIGINT) AS user_id_sum
+        |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
     // list(... ORDER BY ln, qty) mirrors sort_array's lexicographic
     // struct order; struct fields accessed positionally on both sides
     "agg_collect_struct" ->

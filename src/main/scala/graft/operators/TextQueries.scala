@@ -255,7 +255,32 @@ object TextQueries {
         md5(col("norm").cast("binary")).as("digest"))
       .orderBy("event_id")
 
+  /** Sequence packing — the "concatenate then chunk" step that turns a
+    * cleaned corpus into fixed-budget training sequences: documents are
+    * laid end-to-end per language in doc_id order and every document is
+    * assigned to the 512-token bin its STARTING offset falls in
+    * (bin = start_offset div 512). One running-sum window per language
+    * partition + one aggregation — all-integer, so the oracle is exact,
+    * and the window scales as the per-partition sort (the same shape as
+    * win_running). */
+  def pipelinePackBins(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    t(s, dir, "documents")
+      .withColumn("tokens", size(words(col("text"))).cast("long"))
+      .withColumn("start_off", coalesce(sum("tokens").over(w), lit(0L)))
+      .withColumn("bin", expr("start_off div 512"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tokens").as("sum_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("lang", "bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pack_bins" -> pipelinePackBins,
     "text_bm25" -> textBm25,
     "text_normalize" -> textNormalize,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
@@ -307,6 +332,21 @@ object TextQueries {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
         |  count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // all-integer packing arithmetic; DuckDB // is integer division on
+    // BIGINTs exactly like Spark's div
+    "pipeline_pack_bins" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |o AS (SELECT lang, doc_id, tokens,
+        |    CAST(coalesce(sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
+        |  FROM d)
+        |SELECT lang, start_off // 512 AS bin, count(*) AS n_docs,
+        |  CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // same literal constants and op order as the Spark expression tree:
     // every FP step is one IEEE op, so only ln()'s last ulp could ever
     // differ (same exposure as text_tfidf, green through sf0.1)

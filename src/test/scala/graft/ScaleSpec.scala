@@ -60,4 +60,43 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  /** Runtime bloom-filter join pruning: when a join's small side
+    * carries a selective filter, the optimizer can inject a bloom
+    * filter built from that side into the LARGE side's scan, dropping
+    * non-matching rows before the shuffle. At 100 TB this is the
+    * difference between shuffling the whole fact table and shuffling
+    * the ~1% that can actually join. The production thresholds
+    * (10 MB creation side / 10 GB application side) are test-sized
+    * down; what's asserted is that the mechanism fires on our join
+    * shape — config, not code, at scale. */
+  test("runtime bloom filter prunes the big side of a selective join") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep a shuffle join
+      val big = graft.Tables.t(spark, "/root/testdata/sf0.01", "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice")
+      val dim = graft.Tables.t(spark, "/root/testdata/sf0.01", "supplier")
+        .filter(col("s_nationkey") === 3) // selective creation side
+        .select("s_suppkey")
+      val q = big.join(dim, col("l_suppkey") === col("s_suppkey"))
+        .agg(count(lit(1)).as("n"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"runtime bloom filter did not inject; final plan:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
