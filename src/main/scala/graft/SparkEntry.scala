@@ -30,7 +30,8 @@ object SparkEntry {
       operators.SimilarityQueries.queries ++
       operators.TextQueries.queries ++
       operators.MultimodalQueries.queries ++
-      operators.SampleQueries.queries
+      operators.SampleQueries.queries ++
+      operators.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
       operators.SimilarityQueries.oracleSql ++
       operators.TextQueries.oracleSql ++
       operators.MultimodalQueries.oracleSql ++
-      operators.SampleQueries.oracleSql
+      operators.SampleQueries.oracleSql ++
+      operators.GraphQueries.oracleSql
 }

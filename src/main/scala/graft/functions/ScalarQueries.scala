@@ -196,7 +196,43 @@ object ScalarQueries {
         bit_count(col("event_id")).as("popcount"))
       .orderBy("event_id")
 
+  /** Second string-function wave: translate / reverse / repeat /
+    * lpad / locate / left-right slices — all pure per-row codegen'd
+    * projections (zero shuffle; the ORDER BY is the only exchange). */
+  def scalarStringExtra(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_custkey") <= 500)
+      .select(
+        col("c_custkey"),
+        translate(col("c_name"), "#0", "_O").as("translated"),
+        reverse(col("c_name")).as("reversed"),
+        repeat(substring(col("c_name"), 1, 3), 2).as("repeated"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        locate("1", col("c_name")).cast("int").as("pos_one"),
+        expr("left(c_name, 9)").as("head9"),
+        expr("right(c_name, 4)").as("tail4"))
+      .orderBy("c_custkey")
+
+  /** Second date-function wave: quarter / last_day / dayofweek /
+    * add_months (end-of-month clamping verified identical on both
+    * engines: Jan 31 + 1 month = Feb 28). Spark's dayofweek is
+    * 1=Sunday; DuckDB's is 0=Sunday — oracle adds 1. */
+  def scalarDateExtra(s: SparkSession, dir: String): DataFrame = {
+    val d = col("o_orderdate").cast("date")
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        quarter(d).as("qtr"),
+        last_day(d).as("month_end"),
+        dayofweek(d).as("dow"),
+        add_months(d, 3).as("plus3mo"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_date_extra" -> scalarDateExtra,
+    "scalar_string_extra" -> scalarStringExtra,
     "scalar_bitwise" -> scalarBitwise,
     "scalar_regex" -> scalarRegex,
     "scalar_regex_all" -> scalarRegexAll,
@@ -215,6 +251,25 @@ object ScalarQueries {
     .map { case (k, v) => s"WHEN $k THEN '$v'" }.mkString(" ")
 
   val oracleSql: Map[String, String] = Map(
+    "scalar_date_extra" ->
+      """SELECT o_orderkey,
+        |  CAST(quarter(CAST(o_orderdate AS DATE)) AS INTEGER) AS qtr,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3mo
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
+    "scalar_string_extra" ->
+      """SELECT c_custkey,
+        |  translate(c_name, '#0', '_O') AS translated,
+        |  reverse(c_name) AS reversed,
+        |  repeat(substring(c_name, 1, 3), 2) AS repeated,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  CAST(strpos(c_name, '1') AS INTEGER) AS pos_one,
+        |  left(c_name, 9) AS head9,
+        |  right(c_name, 4) AS tail4
+        |FROM customer WHERE c_custkey <= 500
+        |ORDER BY c_custkey""".stripMargin,
     "scalar_bitwise" ->
       """SELECT event_id,
         |  event_id << 3 AS shl3,

@@ -233,7 +233,83 @@ object AggQueries {
       .orderBy("stage")
   }
 
+  /** max_by / min_by (argmax/argmin) per nation: which supplier holds
+    * the extreme account balance. The ordering key is a (acctbal,
+    * suppkey) struct so ties — impossible-to-rule-out on a double
+    * column — resolve deterministically on both engines. One two-phase
+    * hash aggregate; at scale each partial keeps a single champion row
+    * per group, so the shuffle carries one row per (partition, group). */
+  def aggMinmaxBy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .groupBy("s_nationkey")
+      .agg(
+        max_by(col("s_name"), struct(col("s_acctbal"), col("s_suppkey"))).as("richest"),
+        min_by(col("s_name"), struct(col("s_acctbal"), col("s_suppkey"))).as("poorest"),
+        Fp.r4(max("s_acctbal")).as("max_bal"),
+        Fp.r4(min("s_acctbal")).as("min_bal"))
+      .orderBy("s_nationkey")
+
+  /** Conditional / boolean aggregates: count_if, bool_and (every),
+    * bool_or (any) — the "data-quality flags" aggregate shape. All
+    * integer/boolean, so the oracle is exact. */
+  def aggCountIf(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count_if(col("value") > 50.0).as("n_high"),
+        count_if(col("user_id") % 2 === 0).as("n_even_user"),
+        bool_and(col("value") >= 0.0).as("all_nonneg"),
+        bool_or(col("value") > 99.0).as("any_extreme"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Bitwise aggregates (bit_and/bit_or/bit_xor) — set-membership
+    * fingerprints over integer keys; exact on both engines. */
+  def aggBitagg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        bit_and(col("user_id")).as("band"),
+        bit_or(col("user_id")).as("bor"),
+        bit_xor(col("user_id")).as("bxor"))
+      .orderBy("event_type")
+
+  /** Bivariate statistics per group: Pearson correlation and
+    * covariance between quantity and extended price. Co-moment
+    * merging is order-sensitive in the last ulp (same exposure as
+    * agg_stats' stddev, green through sf0.1); r4 rounding absorbs it. */
+  def aggCorr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        Fp.r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+        Fp.r4(covar_pop(col("l_quantity"), col("l_extendedprice"))).as("cov_pop"),
+        Fp.r4(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("cov_samp"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Mergeable HLL sketches (DataSketches): per-(type, half) sketches
+    * built independently, then UNIONED and estimated — the incremental
+    * pattern that matters at 100 TB: daily/partition sketches persist
+    * as bytes and merge without rescanning history, which
+    * approx_count_distinct (single-pass) cannot do. Estimates are
+    * implementation-specific ⇒ self-checked (±5% band vs exact,
+    * PropertySpec), like agg_approx_distinct. */
+  def aggSketchUnion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), (col("event_id") % 2).as("half"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sketches"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_sketch_union" -> aggSketchUnion,
+    "agg_minmax_by" -> aggMinmaxBy,
+    "agg_countif" -> aggCountIf,
+    "agg_bitagg" -> aggBitagg,
+    "agg_corr" -> aggCorr,
     "agg_funnel" -> aggFunnel,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_collect_struct" -> aggCollectStruct,
@@ -251,6 +327,44 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    // DuckDB arg_max/arg_min reject struct ordering keys, so the
+    // deterministic (acctbal, suppkey) tie-break is emulated with
+    // row_number windows — semantics identical to the Spark max_by/
+    // min_by over a struct key
+    "agg_minmax_by" ->
+      """WITH rk AS (SELECT s_nationkey, s_name, s_acctbal,
+        |    row_number() OVER (PARTITION BY s_nationkey
+        |      ORDER BY s_acctbal DESC, s_suppkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY s_nationkey
+        |      ORDER BY s_acctbal ASC, s_suppkey ASC) AS rmin
+        |  FROM supplier)
+        |SELECT s_nationkey,
+        |  max(CASE WHEN rmax = 1 THEN s_name END) AS richest,
+        |  min(CASE WHEN rmin = 1 THEN s_name END) AS poorest,
+        |  floor(max(s_acctbal) * 10000.0 + 0.5) / 10000.0 AS max_bal,
+        |  floor(min(s_acctbal) * 10000.0 + 0.5) / 10000.0 AS min_bal
+        |FROM rk GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "agg_countif" ->
+      """SELECT event_type,
+        |  count(*) FILTER (WHERE value > 50.0) AS n_high,
+        |  count(*) FILTER (WHERE user_id % 2 = 0) AS n_even_user,
+        |  bool_and(value >= 0.0) AS all_nonneg,
+        |  bool_or(value > 99.0) AS any_extreme,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_bitagg" ->
+      """SELECT event_type,
+        |  bit_and(user_id) AS band,
+        |  bit_or(user_id) AS bor,
+        |  bit_xor(user_id) AS bxor
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_corr" ->
+      """SELECT l_returnflag,
+        |  floor(corr(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS corr_qp,
+        |  floor(covar_pop(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS cov_pop,
+        |  floor(covar_samp(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS cov_samp,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // integer epoch seconds end-to-end (events ts_s convention)
     "agg_funnel" ->
       """WITH s AS (SELECT user_id,

@@ -214,7 +214,53 @@ object JoinQueries {
       .orderBy("s_nationkey")
   }
 
+  /** ExistenceJoin: an IN-subquery under OR can't be a plain semi join
+    * (the other disjunct must still pass rows), so Catalyst plans an
+    * ExistenceJoin — a semi-join variant emitting an `exists` flag that
+    * feeds the disjunction (asserted in RelationalSpec). At scale this
+    * is one hash join on o_custkey instead of a correlated per-row
+    * probe. */
+  def joinExistence(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("graft_cust_ex")
+    t(s, dir, "orders").createOrReplaceTempView("graft_ord_ex")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment
+        |FROM graft_cust_ex
+        |WHERE c_mktsegment = 'MACHINERY'
+        |   OR c_custkey IN (SELECT o_custkey FROM graft_ord_ex
+        |                    WHERE o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** MERGE/upsert semantics via full-outer join + coalesce: a base
+    * snapshot merged with a change set — matched rows take the update,
+    * unmatched-left rows survive, unmatched-right rows insert, and the
+    * action column labels which case fired (the audit column a real
+    * MERGE emits). Both sides are derived deterministically from
+    * orders so the oracle sees identical inputs. Scale: one shuffle on
+    * the merge key; with both sides bucketed on the key the exchange
+    * disappears entirely (join_bucketed proves that plan). */
+  def joinMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val base = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val updates = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") * 1.1).as("new_price"),
+        lit("U").as("new_status"))
+    base.join(updates, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        Fp.r4(coalesce(col("new_price"), col("o_totalprice"))).as("price"),
+        coalesce(col("new_status"), col("o_orderstatus")).as("status"),
+        when(col("new_price").isNotNull && col("o_totalprice").isNotNull, "updated")
+          .when(col("o_totalprice").isNull, "inserted")
+          .otherwise("kept").as("action"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_merge_upsert" -> joinMergeUpsert,
+    "join_existence" -> joinExistence,
     "join_bucketed" -> joinBucketed,
     "join_salted" -> joinSalted,
     "join_broadcast" -> joinBroadcast,
@@ -228,6 +274,31 @@ object JoinQueries {
     "join_range_binned" -> joinRangeBinned)
 
   val oracleSql: Map[String, String] = Map(
+    // same single IEEE multiply then r4 on both engines
+    "join_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |upd AS (SELECT o_orderkey,
+        |    o_totalprice * CAST(1.1 AS DOUBLE) AS new_price,
+        |    'U' AS new_status
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT o_orderkey,
+        |  floor(coalesce(new_price, o_totalprice) * 10000.0 + 0.5) / 10000.0
+        |    AS price,
+        |  coalesce(new_status, o_orderstatus) AS status,
+        |  CASE WHEN new_price IS NOT NULL AND o_totalprice IS NOT NULL
+        |         THEN 'updated'
+        |       WHEN o_totalprice IS NULL THEN 'inserted'
+        |       ELSE 'kept' END AS action
+        |FROM base FULL OUTER JOIN upd USING (o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_existence" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE c_mktsegment = 'MACHINERY'
+        |   OR c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
     // plain range join — DuckDB's IEJoin handles the inequality pair
     // directly; the binning on the Spark side is a pruning strategy
     // that cannot change the result (exact containment re-filtered)

@@ -69,7 +69,26 @@ object SampleQueries {
       .orderBy("split")
   }
 
+  /** Per-source quota sampling: each source contributes at most
+    * [[QuotaPerSource]] documents, chosen by hash priority (not "first
+    * N seen", which is partition-order-dependent). This is the corpus
+    * mixing primitive — cap dominant sources, keep the long tail.
+    * One window shuffle on source; at scale rank ≤ K truncates inside
+    * the window stage, so only K rows per source survive it. */
+  val QuotaPerSource = 15
+  def sampleQuota(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("prio"), col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("prio", (col("doc_id") * 40503L + 17L) % 65521L)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= QuotaPerSource)
+      .select("source", "rn", "doc_id", "prio")
+      .orderBy("source", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_quota" -> sampleQuota,
     "sample_stratified" -> sampleStratified,
     "sample_split" -> sampleSplit)
 
@@ -77,6 +96,15 @@ object SampleQueries {
   private val bucketEvt = hashBucketSql("event_id")
 
   val oracleSql: Map[String, String] = Map(
+    "sample_quota" ->
+      """WITH p AS (SELECT source, doc_id,
+        |    (doc_id * 40503 + 17) % 65521 AS prio FROM documents),
+        |r AS (SELECT source, doc_id, prio,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY prio, doc_id) AS INTEGER) AS rn
+        |  FROM p)
+        |SELECT source, rn, doc_id, CAST(prio AS BIGINT) AS prio
+        |FROM r WHERE rn <= 15 ORDER BY source, rn""".stripMargin,
     // integer-only hash arithmetic — bit-identical across engines
     "sample_stratified" ->
       s"""WITH d AS (SELECT lang, doc_id,

@@ -161,7 +161,54 @@ object ScanQueries {
       .orderBy("event_type")
   }
 
+  /** JSON-lines sink + schema'd source round-trip: documents metadata
+    * written as jsonl once per (tmpdir, sf), read back with an explicit
+    * schema (no inference pass — at 100 TB schema inference is a full
+    * extra scan), aggregated per lang. Oracle aggregates the same
+    * columns straight from parquet, so any JSON serialization drift
+    * (encoding, nulls, numeric text) would surface as a mismatch. */
+  def sinkJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_docs_$tag"
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      t(s, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").json(out)
+    }
+    s.read
+      .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+      .json(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").as("sum_chars"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("lang")
+  }
+
+  /** ORC sink + source round-trip (the third columnar format after
+    * parquet and CSV): lineitem measures written once per (tmpdir,
+    * sf), read back and aggregated. ORC keeps types natively so the
+    * check is the format plumbing, not parsing. */
+  def sinkOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_lineitem_$tag"
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").orc(out)
+    }
+    s.read.orc(out)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        Fp.r4(sum("l_quantity")).as("sum_qty"),
+        Fp.r4(sum("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_json_roundtrip" -> sinkJsonRoundtrip,
+    "sink_orc_roundtrip" -> sinkOrcRoundtrip,
     "sink_partitioned" -> sinkPartitioned,
     "proj_flatten" -> projFlatten,
     "sink_ts_roundtrip" -> sinkTsRoundtrip,
@@ -173,6 +220,16 @@ object ScanQueries {
     "source_inline" -> sourceInline)
 
   val oracleSql: Map[String, String] = Map(
+    "sink_json_roundtrip" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "sink_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+        |  floor(sum(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS sum_price
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "proj_flatten" ->
       """WITH f AS (SELECT vec_id, embedding,
         |  flatten([embedding[1:32], embedding[33:64]]) AS flat

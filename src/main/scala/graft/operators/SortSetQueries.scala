@@ -60,7 +60,28 @@ object SortSetQueries {
       .orderBy("o_custkey")
   }
 
+  /** Schema-evolution union: customers and suppliers share (name,
+    * acctbal) but each side carries a column the other lacks;
+    * unionByName(allowMissingColumns) aligns by NAME and null-fills —
+    * the shape every multi-source ingest hits when file schemas drift.
+    * Summarized per kind so the null-fill is visible in the counts. */
+  def setUnionByName(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+        col("c_mktsegment").as("segment"), lit("cust").as("kind"))
+    val supp = t(s, dir, "supplier")
+      .select(lit("supp").as("kind"), col("s_acctbal").as("acctbal"),
+        col("s_name").as("name")) // no segment column; different order
+    cust.unionByName(supp, allowMissingColumns = true)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        count(col("segment")).as("n_with_segment"),
+        Fp.r4(sum("acctbal")).as("sum_bal"))
+      .orderBy("kind")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_union_byname" -> setUnionByName,
     "sort_multi" -> sortMulti,
     "topk_global" -> topkGlobal,
     "distinct_sort" -> distinctSort,
@@ -69,6 +90,19 @@ object SortSetQueries {
     "set_except" -> setExcept)
 
   val oracleSql: Map[String, String] = Map(
+    // UNION ALL BY NAME aligns by column name and null-fills the
+    // missing `segment`, mirroring unionByName(allowMissingColumns)
+    "set_union_byname" ->
+      """WITH u AS (
+        |  SELECT c_name AS name, c_acctbal AS acctbal,
+        |    c_mktsegment AS segment, 'cust' AS kind FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT 'supp' AS kind, s_acctbal AS acctbal, s_name AS name
+        |  FROM supplier)
+        |SELECT kind, count(*) AS n,
+        |  count(segment) AS n_with_segment,
+        |  floor(sum(acctbal) * 10000.0 + 0.5) / 10000.0 AS sum_bal
+        |FROM u GROUP BY kind ORDER BY kind""".stripMargin,
     "sort_multi" ->
       """SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
         |FROM lineitem

@@ -279,7 +279,40 @@ object TextQueries {
       .orderBy("lang", "bin")
   }
 
+  /** posexplode_outer — the generator (UDTF) variant that KEEPS rows
+    * whose array is empty, emitting (null, null): long words per doc,
+    * with empty-result docs preserved. The lateral explode is
+    * partition-local (zero shuffle); output size is bounded by total
+    * token count, never rows². */
+  def udtfPosexplodeOuter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode_outer(filter(words(col("text")), w => length(w) > 6)))
+      .withColumnRenamed("col", "word")
+      .orderBy(asc("doc_id"), asc_nulls_first("pos"))
+
+  /** Corpus bigram counts (the n-gram language-model building block):
+    * each doc's word list zipped with its own tail, exploded, counted,
+    * global top-20 with a lexicographic tie-break. The zip/explode is
+    * partition-local; only (bigram, partial count) rows shuffle —
+    * counts, never text. Top-k compiles to TakeOrderedAndProject. */
+  def textBigrams(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val bigrams = zip_with(
+      slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    t(s, dir, "documents")
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigrams" -> textBigrams,
+    "udtf_posexplode_outer" -> udtfPosexplodeOuter,
     "pipeline_pack_bins" -> pipelinePackBins,
     "text_bm25" -> textBm25,
     "text_normalize" -> textNormalize,
@@ -332,6 +365,23 @@ object TextQueries {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
         |  count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_bigrams" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM w)
+        |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    // LEFT JOIN LATERAL over generate_series emulates posexplode_outer:
+    // empty arrays keep their row with (NULL, NULL); pos is 0-based on
+    // both sides
+    "udtf_posexplode_outer" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 6) AS arr
+        |  FROM documents)
+        |SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, arr[u.i] AS word
+        |FROM w LEFT JOIN LATERAL
+        |  (SELECT unnest(generate_series(1, len(arr))) AS i) u ON TRUE
+        |ORDER BY doc_id, pos NULLS FIRST""".stripMargin,
     // all-integer packing arithmetic; DuckDB // is integer division on
     // BIGINTs exactly like Spark's div
     "pipeline_pack_bins" ->

@@ -99,7 +99,77 @@ object WindowQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Time-series gap-fill + forward-fill: per-user daily event counts
+    * resampled onto each user's own [first, last] day span (sequence +
+    * explode generates the calendar — bounded by span, never rows²),
+    * missing days null-filled by the calendar left join, then
+    * forward-filled with last(ignoreNulls) over a ROWS frame. The
+    * first calendar day is always observed, so no leading nulls. All
+    * integer counts ⇒ exact oracle. Scale: one agg shuffle + one join
+    * on (user, day) + one window on user — same key, and per-user
+    * spans are bounded (≤31 days here), so no partition explodes. */
+  def pipelineGapfill(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_obs"))
+    val cal = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "day"), "left_outer")
+      .withColumn("n_filled", last(col("n_obs"), ignoreNulls = true).over(w))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_obs"), col("n_filled"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Batch sessionization (gaps-and-islands): a session breaks after
+    * [[SessionGapS]] idle seconds; session id = running count of
+    * breaks. The batch twin of stream_session — same 30-min gap —
+    * computed with two windows over the SAME (user, time) partition
+    * key, so Spark plans ONE shuffle + one sort reused by both.
+    * All-integer (ts_s, counts) ⇒ exact oracle. */
+  val SessionGapS = 1800L
+  def winSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("brk",
+        when(col("ts_s") - lag("ts_s", 1).over(byTime) > SessionGapS, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_id", sum("brk").over(running))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_s").as("start_s"),
+        (max("ts_s") - min("ts_s")).as("dur_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** SCD2 history build: per user, collapse consecutive identical
+    * event_types, then emit validity intervals [valid_from, valid_to)
+    * with lead() — the slowly-changing-dimension shape every warehouse
+    * ingest needs. Change detection and interval close are two window
+    * passes over the same (user, time) key ⇒ one shuffle. Integer
+    * epoch seconds; open intervals end NULL. */
+  def pipelineScd2(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val changes = t(s, dir, "events")
+      .withColumn("prev_type", lag("event_type", 1).over(byTime))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("valid_to", lead("ts_s", 1).over(byTime))
+      .select(col("user_id"), col("event_id").as("first_event_id"),
+        col("event_type"), col("ts_s").as("valid_from"), col("valid_to"))
+      .orderBy("user_id", "valid_from", "first_event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_sessionize" -> winSessionize,
+    "pipeline_scd2" -> pipelineScd2,
+    "pipeline_gapfill" -> pipelineGapfill,
     "win_percent" -> winPercent,
     "win_rank" -> winRank,
     "win_running" -> winRunning,
@@ -108,6 +178,53 @@ object WindowQueries {
     "win_ntile" -> winNtile)
 
   val oracleSql: Map[String, String] = Map(
+    "win_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |b AS (SELECT user_id, event_id, ts_s,
+        |    CASE WHEN ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |s AS (SELECT user_id, ts_s,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_s) AS start_s, max(ts_s) - min(ts_s) AS dur_s
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pipeline_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |ch AS (SELECT * FROM (
+        |    SELECT user_id, event_id, event_type, ts_s,
+        |      lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts_s, event_id) AS prev_type
+        |    FROM e)
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_id AS first_event_id, event_type,
+        |  ts_s AS valid_from,
+        |  lead(ts_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts_s, event_id) AS valid_to
+        |FROM ch ORDER BY user_id, valid_from, first_event_id""".stripMargin,
+    // generate_series yields the same per-user calendar; last_value
+    // IGNORE NULLS over the same ROWS frame is the forward fill
+    "pipeline_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_obs
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |cal AS (SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span)
+        |SELECT cal.user_id, strftime(cal.day, '%Y-%m-%d') AS day,
+        |  daily.n_obs AS n_obs,
+        |  last_value(daily.n_obs IGNORE NULLS) OVER (
+        |    PARTITION BY cal.user_id ORDER BY cal.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_filled
+        |FROM cal LEFT JOIN daily
+        |  ON daily.user_id = cal.user_id AND daily.day = cal.day
+        |ORDER BY cal.user_id, day""".stripMargin,
     "win_percent" ->
       """SELECT o_custkey, o_orderkey,
         |  floor((percent_rank() OVER w) * 10000.0 + 0.5) / 10000.0 + 0.0 AS pr,

@@ -73,6 +73,19 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       s"approx $approx vs exact $exact")
   }
 
+  test("agg_sketch_union: merged HLL sketches within 5% of exact per type") {
+    val exact = Tables.t(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    SparkEntry.queries("agg_sketch_union")(spark, sf).collect().foreach { r =>
+      val (tpe, approx) = (r.getString(0), r.getLong(2).toDouble)
+      val ex = exact(tpe).toDouble
+      assert(math.abs(approx - ex) / ex <= 0.05, s"$tpe: approx $approx vs exact $ex")
+      assert(r.getLong(1) == 2, "two half-sketches per type")
+    }
+  }
+
   test("minhash pair generation only ever pairs doc_a < doc_b, no self-pairs") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
       .toDF("doc_id", "text")

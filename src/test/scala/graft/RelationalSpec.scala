@@ -13,8 +13,9 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
 
   test("every declared query runs at sf0.001 and has an oracle or documented self-check") {
     val selfChecked = Set("agg_approx_distinct", "agg_approx_quantile",
-      "dedup_minhash", "dedup_simhash", "dedup_simhash_pairs",
-      "sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_trained")
+      "agg_sketch_union", "dedup_minhash", "dedup_simhash",
+      "dedup_simhash_pairs", "sim_ann_lsh", "sim_ann_ivf",
+      "sim_ann_ivf_trained")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty, s"$name has no columns")
@@ -116,6 +117,12 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     val exc = SparkEntry.queries("set_except")(spark, sf)
       .as[Long].collect().toSet
     assert(inter.intersect(exc).isEmpty)
+  }
+
+  test("join_existence plans an ExistenceJoin for IN-under-OR") {
+    val q = SparkEntry.queries("join_existence")(spark, sf)
+    assert(q.queryExecution.optimizedPlan.toString.contains("ExistenceJoin"),
+      q.queryExecution.optimizedPlan.toString)
   }
 
   test("win_rank emits at most 3 rows per customer, ranks 1..3") {
