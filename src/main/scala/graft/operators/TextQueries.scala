@@ -310,7 +310,38 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Train/eval contamination check (decontamination): the corpus is
+    * hash-split (same key-hash family as SampleQueries — eval =
+    * buckets ≥ 95), docs shingle into 5-word grams, and an equi-join
+    * on gram surfaces every eval doc sharing a gram with the training
+    * side. Output per contaminated eval doc: distinct shared grams +
+    * distinct train docs touched. Scale: gram-hash equi-join — the
+    * SAME shape as dedup_ngram_jaccard (never all-pairs); at 100 TB
+    * grams would be 64-bit hashes instead of strings so only 8-byte
+    * keys shuffle (dedup_ngram_jaccard demonstrates that variant). */
+  def pipelineContamination(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    // sequence() steps BACKWARD when start > stop, so short docs need
+    // an explicit empty-array branch, not sequence(1, size-4)
+    val grams5 = when(size(w) >= 5,
+      transform(sequence(lit(1), size(w) - 4),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+          element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4))))
+      .otherwise(array().cast("array<string>"))
+    val g = t(s, dir, "documents")
+      .withColumn("bkt", SampleQueries.hashBucket(col("doc_id")))
+      .select(col("doc_id"), col("bkt"), explode(grams5).as("gram"))
+    val evalG = g.filter(col("bkt") >= 95).select(col("doc_id").as("eval_doc"), col("gram"))
+    val trainG = g.filter(col("bkt") < 95).select(col("doc_id").as("train_doc"), col("gram"))
+    evalG.join(trainG, "gram")
+      .groupBy("eval_doc")
+      .agg(countDistinct("gram").as("n_shared_grams"),
+        countDistinct("train_doc").as("n_train_docs"))
+      .orderBy("eval_doc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_contamination" -> pipelineContamination,
     "text_bigrams" -> textBigrams,
     "udtf_posexplode_outer" -> udtfPosexplodeOuter,
     "pipeline_pack_bins" -> pipelinePackBins,
@@ -365,6 +396,23 @@ object TextQueries {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
         |  count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // same hash-split as sample_* ; grams via generate_series indexing
+    "pipeline_contamination" ->
+      """WITH d AS (SELECT doc_id,
+        |    ((doc_id * 40503 + 17) % 65521) % 100 AS bkt,
+        |    string_split(text, ' ') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, bkt,
+        |    unnest(list_transform(generate_series(1, len(ws) - 4),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+        |           ws[i+3] || ' ' || ws[i+4])) AS gram
+        |  FROM d WHERE len(ws) >= 5)
+        |SELECT e.doc_id AS eval_doc,
+        |  count(DISTINCT e.gram) AS n_shared_grams,
+        |  count(DISTINCT t.doc_id) AS n_train_docs
+        |FROM (SELECT doc_id, gram FROM g WHERE bkt >= 95) e
+        |JOIN (SELECT doc_id, gram FROM g WHERE bkt < 95) t USING (gram)
+        |GROUP BY e.doc_id ORDER BY eval_doc""".stripMargin,
     "text_bigrams" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
         |b AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
