@@ -19,8 +19,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *    registry.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.registrations.foreach(ext.injectFunction)
+    // whole-operator extension: plans graft.plans.LogicalPartialTopK
+    // into its map-side pruning physical operator
+    ext.injectPlannerStrategy(_ => graft.plans.PartialTopKStrategy)
+  }
 }
 
 object GraftFunctions {

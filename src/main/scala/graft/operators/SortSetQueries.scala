@@ -80,7 +80,32 @@ object SortSetQueries {
       .orderBy("kind")
   }
 
+  /** Per-key top-k through the engine's custom PartialTopKExec
+    * operator (graft.plans): map-side per-partition prune to k rows
+    * per key, then the exact window re-rank — the shuffle after the
+    * prune carries ≤ partitions×k rows per key instead of every row.
+    * Result is identical to the unpruned window formulation (that is
+    * what the oracle computes; PlansSpec asserts it row-for-row and
+    * that PartialTopKExec is in the executed plan). */
+  def topkPerKey(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.PartialTopK.ensureRegistered(s)
+    val o = t(s, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val pruned = graft.plans.PartialTopK.partialTopK(
+      o, Seq("o_custkey"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    pruned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topk_per_key" -> topkPerKey,
     "set_union_byname" -> setUnionByName,
     "sort_multi" -> sortMulti,
     "topk_global" -> topkGlobal,
@@ -90,6 +115,16 @@ object SortSetQueries {
     "set_except" -> setExcept)
 
   val oracleSql: Map[String, String] = Map(
+    // the unpruned formulation — the partial operator must be invisible
+    // in the result
+    "topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) x
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     // UNION ALL BY NAME aligns by column name and null-fills the
     // missing `segment`, mirroring unionByName(allowMissingColumns)
     "set_union_byname" ->

@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftPlanBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Custom whole-operator extension (SURVEY §2 option (c)): per-key
+  * partial top-k pruning BEFORE the window shuffle.
+  *
+  * Spark's native per-key top-k (`row_number().over(window) <= k`)
+  * shuffles EVERY row of every key, then sorts whole partitions —
+  * at 100 TB that means moving the full fact table to keep 3 rows per
+  * key. This operator inserts a map-side prune: each input partition
+  * keeps only its local top-k rows per key (a bounded buffer per key,
+  * O(keys·k) memory, no sort of the full partition), so the exchange
+  * that follows carries at most `partitions × k` rows per key instead
+  * of all of them — the same partial/final split Spark already applies
+  * to aggregates, extended to ranked selection. Correctness: a row in
+  * the global top-k of its key is necessarily in the local top-k of
+  * whichever partition holds it, for ANY partitioning of the input, so
+  * re-ranking the pruned stream yields exactly the unpruned answer
+  * (asserted row-for-row in PlansSpec, and by the DuckDB oracle on the
+  * unpruned formulation).
+  *
+  * Wiring: [[LogicalPartialTopK]] (logical) is planned by
+  * [[PartialTopKStrategy]] into [[PartialTopKExec]] (physical).
+  * The strategy registers either via the session extension point
+  * (`graft.functions.GraftExtensions` → injectPlannerStrategy) or
+  * imperatively through [[PartialTopK.ensureRegistered]] for sessions
+  * built without extensions.
+  */
+case class LogicalPartialTopK(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPartialTopK =
+    copy(child = newChild)
+}
+
+object PartialTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case LogicalPartialTopK(keys, order, k, child) =>
+      PartialTopKExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class PartialTopKExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning = child.outputPartitioning
+  override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (keyExprs, sortOrder, limit, childOutput) = (keys, order, k, child.output)
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // codegen'd comparator over the requested sort order
+      val ord = new LazilyGeneratedOrdering(sortOrder, childOutput)
+      val groups = scala.collection.mutable.HashMap
+        .empty[UnsafeRow, scala.collection.mutable.ArrayBuffer[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        groups.get(key) match {
+          case Some(buf) =>
+            buf += row.copy()
+            // amortized prune: sort+truncate at 2k keeps the buffer
+            // O(k) without a per-row heap operation
+            if (buf.length >= 2 * limit) {
+              val kept = buf.sorted(ord).take(limit)
+              buf.clear(); buf ++= kept
+            }
+          case None =>
+            val buf = new scala.collection.mutable.ArrayBuffer[InternalRow](limit + 1)
+            buf += row.copy()
+            groups.update(key.copy(), buf)
+        }
+      }
+      groups.valuesIterator.flatMap(_.sorted(ord).take(limit))
+    }, preservesPartitioning = true)
+  }
+}
+
+object PartialTopK {
+  /** Idempotent imperative registration for sessions built without
+    * `spark.sql.extensions` (Verify/Bench). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(PartialTopKStrategy)) {
+      spark.experimental.extraStrategies = cur :+ PartialTopKStrategy
+    }
+  }
+
+  /** Wraps `df` in a partial per-key top-k prune. Keys and sort
+    * columns are resolved BY NAME against df's analyzed output into
+    * plain catalyst attributes/SortOrders — no Column-node conversion,
+    * so the physical operator's captured expressions are pure catalyst
+    * and task-serializable. `ascending = false` means descending. */
+  def partialTopK(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val plan = df.queryExecution.analyzed
+    def attr(n: String): Attribute = plan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $n not in ${plan.output.map(_.name).mkString(", ")}"))
+    val sortOrder = orderCols.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    GraftPlanBridge.ofRows(df.sparkSession,
+      LogicalPartialTopK(keyCols.map(attr), sortOrder, k, plan))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.plans.PartialTopK
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom PartialTopKPerKey operator: correctness (pruning is
+  * invisible in the final answer), plan shape (the custom exec node is
+  * actually planned), and the pruning bound itself. */
+class PlansSpec extends AnyFunSuite with SparkFixture {
+
+  private def orders = Tables.t(spark, sf, "orders")
+    .select("o_custkey", "o_orderkey", "o_totalprice")
+
+  test("topk_per_key equals the unpruned window formulation row-for-row") {
+    val pruned = SparkEntry.queries("topk_per_key")(spark, sf).collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val plain = orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+      .collect()
+    assert(pruned.sameElements(plain))
+  }
+
+  test("PartialTopKExec appears in the executed plan") {
+    val df = SparkEntry.queries("topk_per_key")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("PartialTopK"),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("the partial prune bounds rows per key without losing top rows") {
+    PartialTopK.ensureRegistered(spark)
+    // repartition to several partitions so the per-partition bound is
+    // actually exercised
+    val in = orders.repartition(7)
+    val nParts = in.rdd.getNumPartitions
+    val pruned = PartialTopK.partialTopK(
+      in, Seq("o_custkey"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+    val perKey = pruned.groupBy("o_custkey").count().collect()
+    perKey.foreach { r =>
+      assert(r.getLong(1) <= 3L * nParts,
+        s"key ${r.get(0)} kept ${r.getLong(1)} rows > 3 × $nParts partitions")
+    }
+    // no key with ≥3 input rows may fall below 3 kept rows
+    val inCounts = in.groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keptCounts = perKey.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    inCounts.foreach { case (k, n) =>
+      assert(keptCounts.getOrElse(k, 0L) >= math.min(n, 3L),
+        s"key $k lost rows: ${keptCounts.getOrElse(k, 0L)} kept of $n")
+    }
+  }
+
+  test("partial top-k works through the extension point (GraftExtensions session)") {
+    // SparkFixture's session is built with
+    // spark.sql.extensions=graft.functions.GraftExtensions, so the
+    // strategy must be active without ensureRegistered
+    val df = PartialTopK.partialTopK(
+      orders, Seq("o_custkey"), Seq("o_totalprice" -> false), 1)
+    assert(df.count() > 0)
+  }
+}
