@@ -246,7 +246,69 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  val PqM = 4      // subspaces
+  val PqK = 16     // sub-centroids per subspace
+  val PqSubDim = 16 // dims per subspace (4 × 16 = 64)
+
+  /** Deterministic PQ sub-centroid (m, c) component i in [-0.5, 0.5] —
+    * same integer-derived family as [[planeAt]]/[[centroidAt]]. */
+  def pqCentroidAt(m: Int, c: Int, i: Int): Double =
+    (((m * PqK + c) * 64 + i) * 48271 % 101 - 50) / 100.0
+
+  private lazy val pqCodebook: Seq[Seq[Seq[Double]]] =
+    (0 until PqM).map(m => (0 until PqK).map(c =>
+      (0 until PqSubDim).map(i => pqCentroidAt(m, c, i))))
+
+  private def pqSubvec(e: Column, m: Int): Column =
+    slice(e, lit(m * PqSubDim + 1), lit(PqSubDim))
+
+  /** Σ (aᵢ − cᵢ)² over one subspace. */
+  private def pqSqDist(sub: Column, centroid: Column): Column =
+    aggregate(
+      zip_with(sub, centroid, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** argmin over the m-th codebook — array_min of (dist, c) structs
+    * breaks distance ties on the lowest code id, deterministically. */
+  private def pqCode(e: Column, m: Int, cb: Column): Column =
+    array_min(transform(sequence(lit(0), lit(PqK - 1)), c =>
+      struct(pqSqDist(pqSubvec(e, m), element_at(element_at(cb, m + 1), c + 1)).as("d"),
+        c.as("c")))).getField("c")
+
+  /** Product quantization ANN — the memory-side scale path (IVF and
+    * LSH prune candidates; PQ compresses them): each vector encodes to
+    * [[PqM]] one-byte codes (64 floats → 4 codes = 64× smaller), and
+    * search scans codes with asymmetric distance (exact query sub-
+    * vector vs the centroid the code names) — no original vectors
+    * touched at query time. Encoding is a pure per-row expression
+    * (zero shuffle); queries broadcast. Self-checked (SimilaritySpec):
+    * a query's OWN row must rank 1 — its codes minimize every subspace
+    * distance, so PQ-dist(q,q) ≤ PQ-dist(q,x) for all x — plus
+    * determinism and code-range invariants. No SQL oracle: the argmin
+    * over FP distances could tie-break differently under DuckDB's FP
+    * reassociation (same policy as the other ANN variants). */
+  def simPq(s: SparkSession, dir: String): DataFrame = {
+    val cb = typedLit(pqCodebook)
+    val e = t(s, dir, "embeddings")
+    val corpus = e.select(
+      (col("vec_id").as("n_id")) +: (0 until PqM).map(m =>
+        pqCode(col("embedding"), m, cb).as(s"code$m")): _*)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("adist", (0 until PqM).map(m =>
+        pqSqDist(pqSubvec(col("qe"), m),
+          element_at(element_at(cb, m + 1), col(s"code$m") + 1))).reduce(_ + _))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("n_id"), Fp.r4(col("adist")).as("approx_dist"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq" -> simPq,
     "sim_cosine_topk" -> simCosineTopk,
     "sim_quantize" -> simQuantize,
     "sim_ann_lsh" -> simAnnLsh,

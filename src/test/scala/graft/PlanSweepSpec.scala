@@ -15,7 +15,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     * with a broadcast-sized build side, and crossJoins carrying a
     * broadcast tiny side (query vectors / a 1-row count). */
   private val bnljIntended = Set(
-    "join_theta", "sim_cosine_topk", "text_tfidf", "text_heavy_hitters",
+    "join_theta", "sim_cosine_topk", "sim_pq", "text_tfidf",
+    "text_heavy_hitters",
     "text_bm25") // bm25's crossJoin carries a broadcast 1-row (n_docs, avgdl)
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {

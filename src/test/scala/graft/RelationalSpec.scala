@@ -15,7 +15,7 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     val selfChecked = Set("agg_approx_distinct", "agg_approx_quantile",
       "agg_sketch_union", "dedup_minhash", "dedup_simhash",
       "dedup_simhash_pairs", "sim_ann_lsh", "sim_ann_ivf",
-      "sim_ann_ivf_trained")
+      "sim_ann_ivf_trained", "sim_pq")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty, s"$name has no columns")

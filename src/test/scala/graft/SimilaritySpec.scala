@@ -128,4 +128,35 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(hits.toDouble / top1.length >= 0.3,
       s"trained-IVF top-1 recall vs brute top-5: $hits/${top1.length}")
   }
+
+  test("sim_pq: every query's own row ranks 1 (its codes minimize each subspace)") {
+    val rows = SparkEntry.queries("sim_pq")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.map(_._2).sorted.sameElements(1 to g.length), s"ranks broken for $q")
+      val r1 = g.find(_._2 == 1).get
+      assert(r1._3 == q, s"query $q: rank-1 is ${r1._3}, not itself")
+    }
+  }
+
+  test("sim_pq codes are in [0, 16) and encoding is deterministic") {
+    import org.apache.spark.sql.functions._
+    val cb = (0 until SimilarityQueries.PqM).map(m =>
+      (0 until SimilarityQueries.PqK).map(c =>
+        (0 until SimilarityQueries.PqSubDim).map(i =>
+          SimilarityQueries.pqCentroidAt(m, c, i))))
+    assert(cb.flatten.flatten.forall(v => v >= -0.5 && v <= 0.5))
+    val a = SparkEntry.queries("sim_pq")(spark, sf).collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("sim_pq")(spark, sf).collect().map(_.toString).toSeq
+    assert(a == b)
+    // approx distances are non-negative and non-decreasing in rank
+    SparkEntry.queries("sim_pq")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).values.foreach { g =>
+        val byRank = g.sortBy(_._2).map(_._4)
+        assert(byRank.forall(_ >= 0.0))
+        assert(byRank.zip(byRank.tail).forall { case (x, y) => x <= y })
+      }
+  }
 }
