@@ -167,7 +167,34 @@ object StreamQueries {
       .orderBy("event_type", "value_bucket")
   }
 
+  /** Static dimension for stream_enrich: event_type → (weight,
+    * category). Broadcast-joined against the stream — the standard
+    * stream-static enrichment, STATELESS on the stream side (no
+    * watermark interplay; the dim is re-broadcast per micro-batch at
+    * production scale, which is why it must stay small). */
+  val typeDim: Seq[(String, Long, String)] = Seq(
+    ("view", 1L, "browse"), ("click", 2L, "browse"),
+    ("signup", 5L, "convert"), ("purchase", 10L, "convert"),
+    ("error", 0L, "ops"))
+
+  def enrichAgg(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), "event_type") // stream-static: stateless
+      .groupBy(window(col("ts"), "1 hour"), col("category"))
+      .agg(count(lit(1)).as("n"), sum("weight").as("weighted"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("category"), col("n"), col("weighted"))
+
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    enrichAgg(t(s, dir, "events"),
+      typeDim.toDF("event_type", "weight", "category"))
+      .orderBy("window_start_s", "category")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_enrich" -> streamEnrich,
     "stream_file_sink" -> streamFileSink,
     "stream_join" -> streamJoin,
     "stream_maxgap" -> streamMaxgap,
@@ -178,6 +205,22 @@ object StreamQueries {
     "filter_null" -> filterNull)
 
   val oracleSql: Map[String, String] = Map(
+    // hour-window start as epoch seconds; the dim is inlined as CASE
+    "stream_enrich" ->
+      """WITH e AS (SELECT
+        |    (epoch_ns(ts) // 1000000000) // 3600 * 3600 AS window_start_s,
+        |    CASE event_type
+        |      WHEN 'view' THEN 'browse' WHEN 'click' THEN 'browse'
+        |      WHEN 'signup' THEN 'convert' WHEN 'purchase' THEN 'convert'
+        |      ELSE 'ops' END AS category,
+        |    CASE event_type
+        |      WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |      WHEN 'signup' THEN 5 WHEN 'purchase' THEN 10
+        |      ELSE 0 END AS weight
+        |  FROM events)
+        |SELECT window_start_s, category, count(*) AS n,
+        |  CAST(sum(weight) AS BIGINT) AS weighted
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_file_sink" ->
       """SELECT event_type,
         |  CAST(floor(value * 4) AS INTEGER) AS value_bucket,

@@ -69,6 +69,14 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(sortedRows(spark.table("t_fsrc")) == sortedRows(batch))
   }
 
+  test("stream-static enrichment join equals the batch aggregate") {
+    val dim = StreamQueries.typeDim.toDF("event_type", "weight", "category")
+    val streamed = runStream(sample, df => StreamQueries.enrichAgg(df, dim), "t_enrich")
+    val batch = StreamQueries.enrichAgg(sample.toDF(), dim)
+    assert(sortedRows(streamed) == sortedRows(batch))
+    assert(streamed.count() > 0)
+  }
+
   test("sliding window on a bounded stream equals the batch aggregate") {
     val streamed = runStream(sample, StreamQueries.slidingAgg, "t_sliding")
     val batch = StreamQueries.slidingAgg(sample.toDF())
