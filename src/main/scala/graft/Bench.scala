@@ -29,7 +29,8 @@ object Bench {
     // setup phase: queries that create one-time side tables (bucketed /
     // partitioned sinks) materialize them HERE, untimed, so the timed
     // runs below measure their reads, not a one-off write
-    Seq("join_bucketed", "sink_partitioned", "sink_ts_roundtrip").foreach(n =>
+    Seq("join_bucketed", "sink_partitioned", "sink_ts_roundtrip",
+        "stream_file_sink", "stream_foreachbatch").foreach(n =>
       selected.get(n).foreach(fn =>
         // NonFatal only: an OOM/linkage error here must crash loudly, and
         // a broken one-time sink write must be visible, not silent
@@ -37,20 +38,24 @@ object Bench {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench-setup] $n failed: $e")
         }))
-    // Two INTERLEAVED passes over the whole suite, per-query min across
-    // passes. Round-1's single cold run let first-touch page cache / JIT
-    // / GC noise masquerade as plan cost (VERDICT §perf), and back-to-
-    // back min-of-2 still let one sustained multi-second stall (GC,
-    // external load) poison both timings of the same query — observed:
-    // 44-67 s for sub-second plans. Minutes-apart passes make that
-    // require the same stall at the same suite position twice.
+    // Three INTERLEAVED passes over the whole suite, per-query min
+    // across passes. Round-1's single cold run let first-touch page
+    // cache / JIT / GC noise masquerade as plan cost (VERDICT §perf),
+    // and back-to-back min-of-2 still let one sustained multi-second
+    // stall (GC, external load) poison both timings of the same query —
+    // observed: 44-67 s for sub-second plans, and a contended r03 box
+    // inflated the whole suite ~3× (VERDICT r03). Minutes-apart passes
+    // make a stall have to recur at the same suite position EVERY pass
+    // to survive the min; per-pass totals are printed so a contended
+    // run is self-evident in the artifact (healthy: passes within
+    // ~20%; contended: one pass several× another).
     val names = selected.keys.toSeq
     def once(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       run(fn(spark, sfDir))
       (System.nanoTime() - t0) / 1e9
     }
-    val passes = (1 to 2).map { _ =>
+    val passes = (1 to 3).map { _ =>
       names.map { name =>
         name -> (try once(selected(name)) catch { case _: Throwable => -1.0 })
       }.toMap
@@ -67,8 +72,10 @@ object Bench {
     // failures carry value -1.0 (visible, excluded from the total) —
     // a broken query must not report as a fast success
     val total = results.values.filter(_ >= 0).sum
+    val passTotals = passes.map(_.values.filter(_ >= 0).sum)
+      .map(fmt).mkString("[", ",", "]")
     def line(m: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${qsJson(m)},"failed":[${failed.mkString(",")}],"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"pass_totals":$passTotals,"queries":${qsJson(m)},"failed":[${failed.mkString(",")}],"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     // Full per-query detail goes to a FILE: the driver captures only the
     // last ~2000 chars of stdout, and 98 entries overflow that (round-2's
     // BENCH parsed as null). Stdout keeps the contract line, with the

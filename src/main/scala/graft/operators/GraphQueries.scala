@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions._
   * edges against the current rank vector (Spark auto-broadcasts the
   * rank side while it fits; at 100 TB both sides hash-partition on the
   * same key so the shuffle is reused) followed by one groupBy(dst) —
-  * the canonical O(iters)-shuffle iterative shape. Edges are cached:
-  * they are re-read every iteration and must not re-execute the
-  * upstream join. The driver never holds data, only the loop counter.
+  * the canonical O(iters)-shuffle iterative shape. The (edge, outdeg)
+  * frame and the node set are materialized ONCE via localCheckpoint,
+  * and the rank vector is localCheckpointed EVERY iteration — without
+  * that, iteration i's plan nests iteration i−1's (the lineage-growth
+  * problem components() solves the same way), re-deriving the edge
+  * build per iteration and growing analysis cost superlinearly in the
+  * iteration count. The driver never holds data, only the loop
+  * counter; checkpoint blocks are GC-cleaned, never CacheManager
+  * entries.
   *
   * Determinism: fixed-point INTEGER arithmetic — ranks scaled by
   * [[PrScale]], per-edge contribution `rank div outdeg`, damping
@@ -31,7 +37,7 @@ import org.apache.spark.sql.functions._
 object GraphQueries {
 
   val PrScale = 1000000000L // rank fixed-point scale (1.0 == 1e9)
-  val PrIters = 3
+  val PrIters = 5
 
   /** Node ids: customers ↦ 2·key, suppliers ↦ 2·key+1 (disjoint). */
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
@@ -42,21 +48,28 @@ object GraphQueries {
       .distinct()
     val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
       .union(pairs.select(col("p").as("src"), col("c").as("dst")))
-      .cache()
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // (src, dst, deg) materialized once — every iteration needs the
+    // out-degree next to the edge, and joining it fresh per round
+    // re-ran the groupBy 5×
+    val edgesDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint(true)
     val nodes = t(s, dir, "customer").select((col("c_custkey") * 2).as("node"))
       .union(t(s, dir, "supplier").select((col("s_suppkey") * 2 + 1).as("node")))
+      .localCheckpoint(true)
     var ranks = nodes.withColumn("pr", lit(PrScale))
     for (_ <- 1 to PrIters) {
-      val contrib = edges
+      val contrib = edgesDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("pr div deg")).as("contrib"))
+      // eager checkpoint: iteration i's plan starts from materialized
+      // partitions, not iteration i-1's full plan
       ranks = nodes.join(contrib, Seq("node"), "left_outer")
         .select(col("node"),
           (lit(PrScale * 15 / 100) +
             expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100")).as("pr"))
+        .localCheckpoint(true)
     }
     ranks.orderBy("node")
   }
@@ -64,10 +77,12 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> graphPagerank)
 
-  val oracleSql: Map[String, String] = Map(
-    // same fixed-point arithmetic, iterations unrolled; // is BIGINT
-    // floor division exactly like Spark's div (all values positive)
-    "graph_pagerank" ->
+  /** The unrolled-CTE oracle is GENERATED from [[PrIters]] so the
+    * iteration count can never drift between the two engines. Same
+    * fixed-point arithmetic per step; // is BIGINT floor division
+    * exactly like Spark's div (all values positive). */
+  private def pagerankOracle(iters: Int): String = {
+    val head =
       """WITH pairs AS (
         |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
         |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS p
@@ -78,24 +93,19 @@ object GraphQueries {
         |nodes AS (SELECT CAST(c_custkey * 2 AS BIGINT) AS node FROM customer
         |          UNION ALL
         |          SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) FROM supplier),
-        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
-        |c1 AS (SELECT e.dst AS node, sum(r.pr // d.deg) AS contrib
-        |       FROM edges e JOIN r0 r ON r.node = e.src
-        |       JOIN outdeg d ON d.src = e.src GROUP BY e.dst),
-        |r1 AS (SELECT n.node,
-        |         CAST(150000000 + (85 * coalesce(c1.contrib, 0)) // 100 AS BIGINT) AS pr
-        |       FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
-        |c2 AS (SELECT e.dst AS node, sum(r.pr // d.deg) AS contrib
-        |       FROM edges e JOIN r1 r ON r.node = e.src
-        |       JOIN outdeg d ON d.src = e.src GROUP BY e.dst),
-        |r2 AS (SELECT n.node,
-        |         CAST(150000000 + (85 * coalesce(c2.contrib, 0)) // 100 AS BIGINT) AS pr
-        |       FROM nodes n LEFT JOIN c2 ON c2.node = n.node),
-        |c3 AS (SELECT e.dst AS node, sum(r.pr // d.deg) AS contrib
-        |       FROM edges e JOIN r2 r ON r.node = e.src
-        |       JOIN outdeg d ON d.src = e.src GROUP BY e.dst),
-        |r3 AS (SELECT n.node,
-        |         CAST(150000000 + (85 * coalesce(c3.contrib, 0)) // 100 AS BIGINT) AS pr
-        |       FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
-        |SELECT node, pr FROM r3 ORDER BY node""".stripMargin)
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, sum(r.pr // d.deg) AS contrib
+         |       FROM edges e JOIN r${i - 1} r ON r.node = e.src
+         |       JOIN outdeg d ON d.src = e.src GROUP BY e.dst),
+         |r$i AS (SELECT n.node,
+         |         CAST(150000000 + (85 * coalesce(c$i.contrib, 0)) // 100 AS BIGINT) AS pr
+         |       FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, pr FROM r$iters ORDER BY node"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankOracle(PrIters))
 }

@@ -310,33 +310,60 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Grams with train-side document frequency above this are dropped
+    * before the contamination join: a ubiquitous gram (license
+    * boilerplate, template headers) carries no contamination signal but
+    * fans the gram equi-join out by |eval_docs(g)|×|train_docs(g)| —
+    * the single-key shuffle explosion that kills decontamination jobs
+    * at corpus scale. Production pipelines cap exactly like this; the
+    * cap is part of the query's spec and the oracle replays it. */
+  val ContaminationMaxDf = 10
+
   /** Train/eval contamination check (decontamination): the corpus is
     * hash-split (same key-hash family as SampleQueries — eval =
     * buckets ≥ 95), docs shingle into 5-word grams, and an equi-join
-    * on gram surfaces every eval doc sharing a gram with the training
-    * side. Output per contaminated eval doc: distinct shared grams +
-    * distinct train docs touched. Scale: gram-hash equi-join — the
-    * SAME shape as dedup_ngram_jaccard (never all-pairs); at 100 TB
-    * grams would be 64-bit hashes instead of strings so only 8-byte
-    * keys shuffle (dedup_ngram_jaccard demonstrates that variant). */
+    * on gram surfaces every eval doc sharing a (non-ubiquitous) gram
+    * with the training side. Output per contaminated eval doc: number
+    * of distinct shared grams + total train-doc hits those grams carry.
+    *
+    * Scale: the train side pre-aggregates to (gram, df) and drops
+    * grams with df > [[ContaminationMaxDf]] BEFORE the join, so no
+    * gram can fan out more than MaxDf-fold and the join output is
+    * ≤ |eval grams| × MaxDf rows. The eval side dedups (doc, gram)
+    * first, so the final per-doc rollup is a plain count/sum — no
+    * countDistinct Expand anywhere. At 100 TB grams would be 64-bit
+    * hashes instead of strings so only 8-byte keys shuffle
+    * (dedup_ngram_jaccard demonstrates that variant). */
   def pipelineContamination(s: SparkSession, dir: String): DataFrame = {
-    val w = words(col("text"))
-    // sequence() steps BACKWARD when start > stop, so short docs need
-    // an explicit empty-array branch, not sequence(1, size-4)
-    val grams5 = when(size(w) >= 5,
-      transform(sequence(lit(1), size(w) - 4),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-          element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4))))
-      .otherwise(array().cast("array<string>"))
-    val g = t(s, dir, "documents")
+    // the word array is MATERIALIZED as a column before the gram lambda
+    // touches it: a raw `split(text)` expression inside the transform
+    // would re-tokenize the document for every element_at reference
+    // (5 per gram × ~200 grams = ~1000 splits/row — this, not the join,
+    // was the query's r03 hot spot)
+    val docs = t(s, dir, "documents")
       .withColumn("bkt", SampleQueries.hashBucket(col("doc_id")))
-      .select(col("doc_id"), col("bkt"), explode(grams5).as("gram"))
-    val evalG = g.filter(col("bkt") >= 95).select(col("doc_id").as("eval_doc"), col("gram"))
-    val trainG = g.filter(col("bkt") < 95).select(col("doc_id").as("train_doc"), col("gram"))
-    evalG.join(trainG, "gram")
+      .select(col("doc_id"), col("bkt"), words(col("text")).as("ws"))
+    val ws = col("ws")
+    // sequence() steps BACKWARD when start > stop, so short docs need
+    // an explicit empty-array branch, not sequence(1, size-4).
+    // Grams leave the projection as xxhash64 LONGS: only 8-byte keys
+    // ever shuffle/join (same trick as dedup_ngram_jaccard — the
+    // string-gram oracle would surface a collision as a hash mismatch)
+    val grams5 = when(size(ws) >= 5,
+      transform(sequence(lit(1), size(ws) - 4),
+        i => xxhash64(concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2), element_at(ws, i + 3), element_at(ws, i + 4)))))
+      .otherwise(array().cast("array<bigint>"))
+    val g = docs.select(col("doc_id"), col("bkt"), explode(grams5).as("gram"))
+    val evalG = g.filter(col("bkt") >= 95)
+      .select(col("doc_id").as("eval_doc"), col("gram")).distinct()
+    val trainDf = g.filter(col("bkt") < 95)
+      .select(col("doc_id"), col("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ContaminationMaxDf)
+    evalG.join(trainDf, "gram")
       .groupBy("eval_doc")
-      .agg(countDistinct("gram").as("n_shared_grams"),
-        countDistinct("train_doc").as("n_train_docs"))
+      .agg(count(lit(1)).as("n_shared_grams"), sum("df").as("n_train_hits"))
       .orderBy("eval_doc")
   }
 
@@ -396,7 +423,8 @@ object TextQueries {
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
         |  count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-    // same hash-split as sample_* ; grams via generate_series indexing
+    // same hash-split as sample_* ; grams via generate_series indexing;
+    // train side capped at df <= 10 exactly like the Spark plan
     "pipeline_contamination" ->
       """WITH d AS (SELECT doc_id,
         |    ((doc_id * 40503 + 17) % 65521) % 100 AS bkt,
@@ -406,13 +434,15 @@ object TextQueries {
         |    unnest(list_transform(generate_series(1, len(ws) - 4),
         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
         |           ws[i+3] || ' ' || ws[i+4])) AS gram
-        |  FROM d WHERE len(ws) >= 5)
-        |SELECT e.doc_id AS eval_doc,
-        |  count(DISTINCT e.gram) AS n_shared_grams,
-        |  count(DISTINCT t.doc_id) AS n_train_docs
-        |FROM (SELECT doc_id, gram FROM g WHERE bkt >= 95) e
-        |JOIN (SELECT doc_id, gram FROM g WHERE bkt < 95) t USING (gram)
-        |GROUP BY e.doc_id ORDER BY eval_doc""".stripMargin,
+        |  FROM d WHERE len(ws) >= 5),
+        |ev AS (SELECT DISTINCT doc_id AS eval_doc, gram FROM g WHERE bkt >= 95),
+        |tr AS (SELECT gram, count(DISTINCT doc_id) AS df
+        |       FROM g WHERE bkt < 95 GROUP BY gram
+        |       HAVING count(DISTINCT doc_id) <= 10)
+        |SELECT eval_doc, count(*) AS n_shared_grams,
+        |  CAST(sum(df) AS BIGINT) AS n_train_hits
+        |FROM ev JOIN tr USING (gram)
+        |GROUP BY eval_doc ORDER BY eval_doc""".stripMargin,
     "text_bigrams" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
         |b AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
