@@ -47,11 +47,20 @@ object DedupQueries {
 
   val MinhashPerms = 16
   val MinhashBands = 4 // 4 rows per band
+  /** Largest prime below 2³²: the modulus of the affine permutation
+    * family. Multipliers stay < 2²⁰ so a·h + b < 2⁵² — exact in BIGINT
+    * on both engines (and even in a double mantissa). */
+  val MinhashPrime = 4294967291L
+  private def permA(p: Int): Long = p * 40503L % 1048573L + 1L
+  private def permB(p: Int): Long = p * 48271L % MinhashPrime
 
-  /** MinHash+LSH near-dup candidate pairs. Deterministic: permutation
-    * p hashes shingle s as xxhash64(p, s) (fixed seeds via the leading
-    * literal), so reruns produce the identical pair set (self-check:
-    * DedupSpec asserts exact dups always pair + determinism). */
+  /** MinHash+LSH near-dup candidate pairs. Deterministic AND
+    * oracle-replayable (r03 VERDICT item 4): shingle s hashes to the
+    * first 8 hex digits of md5(s) read as an integer — md5 is bit-
+    * identical across engines and 8 hex digits fit exactly in BIGINT —
+    * and permutation p maps h ↦ (aₚ·h + bₚ) mod [[MinhashPrime]], all
+    * integer arithmetic DuckDB replays exactly. The earlier xxhash64
+    * kernel was engine-private, which forced this row to self-check. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     minhashPairs(t(s, dir, "documents"))
 
@@ -59,32 +68,44 @@ object DedupQueries {
     * exposed for property tests.
     *
     * Signature computation is fully NARROW (one projection, zero
-    * shuffles): shingles are hashed word-triple → long (no string
-    * concat), and each of the 16 permutation minima folds over the
-    * per-row hash array. The only shuffle in the whole query is the
-    * tiny (band, sig) bucket groupBy. An explode + groupBy(doc) with
-    * 16 min-aggs would shuffle |doc|×|shingles| rows instead. */
+    * shuffles): the word array and per-shingle hash array materialize
+    * as columns once per row (a bare split()/md5() expression inside
+    * the lambdas would re-evaluate per reference), and each of the 16
+    * permutation minima folds over the per-row hash array. The only
+    * shuffle in the whole query is the tiny (band, key) bucket groupBy.
+    * An explode + groupBy(doc) with 16 min-aggs would shuffle
+    * |doc|×|shingles| rows instead. */
   def minhashPairs(documents: DataFrame): DataFrame = {
+    val ws = col("ws")
+    val sh = transform(sequence(lit(1), size(ws) - 2),
+      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+        element_at(ws, i + 2)))
     val sigs = documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(ws) >= 3) // sequence(1,0) would step backward
       .select(col("doc_id"),
-        graft.functions.Native.minhashSig(split(col("text"), " "), MinhashPerms)
-          .as("sig"))
-      .filter(col("sig").isNotNull)
+        transform(sh, g =>
+          conv(substring(md5(g), 1, 8), 16, 10).cast("long")).as("hs"))
+      .select(col("doc_id") +: (0 until MinhashPerms).map(p =>
+        array_min(transform(col("hs"),
+          h => (lit(permA(p)) * h + lit(permB(p))) % lit(MinhashPrime)))
+          .as(s"m$p")): _*)
     val rowsPerBand = MinhashPerms / MinhashBands
     val bandCols = (0 until MinhashBands).map { b =>
       struct(lit(b).as("band"),
-        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("sig"))
+        concat_ws("_", (0 until rowsPerBand).map(r =>
+          col(s"m${b * rowsPerBand + r}")): _*).as("key"))
     }
     val bands = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // Single pass: group docs per (band, sig) bucket and emit pairs from
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.key").as("key"))
+    // Single pass: group docs per (band, key) bucket and emit pairs from
     // inside each bucket — a band self-join would recompute the whole
     // shingle→minhash pipeline for both sides AND shuffle it twice.
     // Bucket size is bounded by design (a huge bucket means exact dups);
     // skewed buckets are AQE-splittable since the explode is downstream.
     bands
-      .groupBy("band", "sig")
+      .groupBy("band", "key")
       .agg(array_sort(collect_list("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"), (a, i) =>
@@ -95,10 +116,17 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash sketch per document from xxhash64(token): bit j is
+  val SimhashBits = 48 // 12 md5 hex digits — exact BIGINT on both engines
+
+  /** 48-bit SimHash sketch per document: token hash = first 12 hex
+    * digits of md5(token) read as an integer; bit j of the sketch is
     * the sign of the sum of ±1 votes from each token's hash bit j.
     * Constant space per row — the sketch that scales to 100 TB.
-    * Self-checked (DedupSpec: equal text ⇒ equal simhash; determinism). */
+    * Oracle-replayable (r03 VERDICT item 4): md5 is bit-identical
+    * across engines and every later step is integer arithmetic, so
+    * DuckDB recomputes the sketch exactly (the earlier 64-bit xxhash64
+    * sketch was engine-private and forced self-check); the 64→48
+    * narrowing costs ~0 discrimination at near-dup Hamming radii. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     simhashSketch(t(s, dir, "documents")).orderBy("doc_id")
 
@@ -107,39 +135,43 @@ object DedupQueries {
   def simhashSketch(documents: DataFrame): DataFrame = {
     val tok = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val voteCols = (0 until 64).map(j =>
+      .withColumn("h",
+        conv(substring(md5(col("token")), 1, 12), 16, 10).cast("long"))
+    val voteCols = (0 until SimhashBits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"b$j"))
     val votes = tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val sketch = (0 until 64)
+    val sketch = (0 until SimhashBits)
       .map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
       .reduce(_.bitwiseOR(_))
     votes.select(col("doc_id"), sketch.as("simhash"))
   }
 
   val SimhashBands = 4
+  val SimhashBandBits = SimhashBits / SimhashBands // 12
   val SimhashMaxHamming = 3
 
   /** SimHash near-dup PAIRS — the candidate stage round 1 only promised
-    * (VERDICT "What's missing" §3). EXACT for Hamming ≤ 3: the 64-bit
-    * sketch splits into 4 disjoint 16-bit bands, and a pair within
+    * (VERDICT "What's missing" §3). EXACT for Hamming ≤ 3: the 48-bit
+    * sketch splits into 4 disjoint 12-bit bands, and a pair within
     * Hamming distance 3 must agree exactly on ≥1 band (pigeonhole over
     * 4 bands / ≤3 flipped bits), so the banded equi-join on
     * (band, chunk) misses nothing while only same-band pairs ever
     * materialize — no all-pairs anywhere. Verification is
-    * bit_count(xor) on the joined sketches. Self-checked (DedupSpec:
-    * equals brute-force Hamming≤3 pair set; exact dups pair at 0;
-    * deterministic). */
+    * bit_count(xor) on the joined sketches. Oracle-replayable like
+    * [[dedupSimhash]]; DedupSpec additionally asserts equality with
+    * the brute-force Hamming≤3 pair set and Hamming-0 exact dups. */
   def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
     simhashPairs(simhashSketch(t(s, dir, "documents")))
 
   /** Banded candidate join + exact Hamming verify over any
     * (doc_id, simhash) frame — exposed for property tests. */
   def simhashPairs(sketches: DataFrame): DataFrame = {
+    val bandMask = (1L << SimhashBandBits) - 1
     val bandCols = (0 until SimhashBands).map(b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("chunk")))
+        shiftright(col("simhash"), b * SimhashBandBits)
+          .bitwiseAND(bandMask).as("chunk")))
     val bands = sketches
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bc"))
       .select(col("doc_id"), col("simhash"),
@@ -460,6 +492,72 @@ object DedupQueries {
       |SELECT src AS doc_id, min(dst) AS comp
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  /** GENERATED from the same [[permA]]/[[permB]]/[[MinhashPrime]]
+    * constants the Spark plan uses, so the permutation family can never
+    * drift between engines. ('0x'||hex)::BIGINT reads md5's leading 8
+    * hex digits exactly like Spark's conv(...,16,10). */
+  private def minhashOracleSql: String = {
+    val rowsPerBand = MinhashPerms / MinhashBands
+    val mins = (0 until MinhashPerms).map(p =>
+      s"min((${permA(p)}*h + ${permB(p)}) % $MinhashPrime) AS m$p")
+      .mkString(",\n        ")
+    val bandSelects = (0 until MinhashBands).map { b =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"m${b * rowsPerBand + r}::VARCHAR")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n          UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+       |       FROM w WHERE len(ws) >= 3),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins
+       |        FROM h GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Shared sketch CTEs for the two simhash oracles — GENERATED from
+    * [[SimhashBits]]/[[SimhashBands]] so the bit layout can never drift
+    * from the Spark plan. Per-(doc, j) vote sums replay Spark's 48
+    * column aggregates; the final sum of disjoint powers of two equals
+    * Spark's bitwise OR. */
+  private def simhashSketchCte: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |             FROM documents),
+       |h AS (SELECT doc_id,
+       |        ('0x' || substr(md5(token), 1, ${SimhashBits / 4}))::BIGINT AS h
+       |      FROM tok),
+       |votes AS (SELECT doc_id, j,
+       |            sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |          FROM h, range($SimhashBits) t(j) GROUP BY doc_id, j),
+       |sk AS (SELECT doc_id,
+       |         CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << j ELSE 0 END)
+       |           AS BIGINT) AS simhash
+       |       FROM votes GROUP BY doc_id)""".stripMargin
+
+  private def simhashOracleSql: String =
+    s"""$simhashSketchCte
+       |SELECT doc_id, simhash FROM sk ORDER BY doc_id""".stripMargin
+
+  private def simhashPairsOracleSql: String = {
+    val mask = (1L << SimhashBandBits) - 1
+    s"""$simhashSketchCte,
+       |bands AS (SELECT doc_id, simhash, b AS band,
+       |            (simhash >> (b * $SimhashBandBits)) & $mask AS chunk
+       |          FROM sk, range($SimhashBands) t(b)),
+       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |      FROM bands a JOIN bands b
+       |        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM p
+       |WHERE hamming <= $SimhashMaxHamming ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> dedupComponents,
     "dedup_components_star" -> dedupComponentsStar,
@@ -472,6 +570,9 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard)
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_minhash" -> minhashOracleSql,
+    "dedup_simhash" -> simhashOracleSql,
+    "dedup_simhash_pairs" -> simhashPairsOracleSql,
     // replays the SAME axis-aligned sign-bucket candidate pruning as the
     // engine (single-coordinate float > 0 comparisons — no FP summation,
     // so the two engines prune identically), then exact cosine verify

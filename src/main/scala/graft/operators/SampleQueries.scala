@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * and is bit-identical in DuckDB: bucket(k) = ((k·40503 + 17) mod
   * 65521) mod 100 — 65521 is the largest 16-bit prime, 40503 the
   * 16-bit Knuth multiplier (same constant family as
-  * SimilarityQueries.planeAt).
+  * SimilarityQueries.planeIntAt).
   */
 object SampleQueries {
 

@@ -54,14 +54,18 @@ object SimilarityQueries {
   val IvfProbes = 2
   val IvfDim = 64
 
-  /** Deterministic codebook centroid c, component i, in [-1, 1] —
-    * integer-derived like [[planeAt]] so cluster assignment is
-    * reproducible across runs, partitions, and engines. A k-means
-    * codebook would adapt to the data but make assignment depend on a
-    * training action; the fixed codebook keeps the IVF structure (and
-    * its scale behavior) with none of the nondeterminism. */
-  def centroidAt(c: Int, i: Int): Double =
-    ((c * IvfDim + i) * 2654435761L % 199 - 99) / 99.0
+  /** Deterministic codebook centroid c, component i, as a SCALED
+    * INTEGER in [-99, 99] (real value = this / 99) — integer-derived
+    * like [[planeIntAt]] so cluster assignment is reproducible across
+    * runs, partitions, and engines. A k-means codebook would adapt to
+    * the data but make assignment depend on a training action; the
+    * fixed codebook keeps the IVF structure (and its scale behavior)
+    * with none of the nondeterminism. */
+  def centroidIntAt(c: Int, i: Int): Long =
+    (c.toLong * IvfDim + i) * 2654435761L % 199 - 99
+
+  /** [[centroidIntAt]] as the real-valued centroid component. */
+  def centroidAt(c: Int, i: Int): Double = centroidIntAt(c, i) / 99.0
 
   /** All IvfClusters centroids ranked nearest-first for embedding `e`,
     * as a sorted array of (score, cid) structs. Comparing
@@ -85,6 +89,25 @@ object SimilarityQueries {
   def seedCodebook: Array[Array[Double]] =
     Array.tabulate(IvfClusters, IvfDim)(centroidAt)
 
+  /** All IvfClusters centroids ranked nearest-first by INTEGER squared
+    * distance. Comparing ‖e − c‖² at the common scale 1024·99: with
+    * qᵢ = floor(xᵢ·1024 + 0.5) and integer centroid component cᵢ
+    * (real value cᵢ/99), score = Σ (qᵢ·99 − cᵢ·1024)² — pure BIGINT
+    * (≤ 64·(5.2e5)² ≈ 1.7e13), so the nearest-cluster choice is
+    * bit-identical on any engine; distance ties break on the lower
+    * cid via the struct sort. */
+  private def iClustersRanked(q: Column): Column = {
+    val scored = (0 until IvfClusters).map { c =>
+      val cent = array((0 until IvfDim).map(i =>
+        lit(centroidIntAt(c, i) * 1024L)): _*)
+      val score = aggregate(
+        zip_with(q, cent, (a, b) => (a * lit(99L) - b) * (a * lit(99L) - b)),
+        lit(0L), (acc, v) => acc + v)
+      struct(score.as("score"), lit(c).as("cid"))
+    }
+    array_sort(array(scored: _*))
+  }
+
   /** IVF ANN: inverted-file search with the deterministic codebook as
     * coarse quantizer. Corpus rows are assigned to their nearest
     * centroid (narrow projection, no shuffle); each query probes its
@@ -93,12 +116,28 @@ object SimilarityQueries {
     * The LSH variant (sim_ann_lsh) buckets by random signs; IVF
     * partitions by distance — the two standard ANN scale paths, both
     * O(corpus/selectivity) instead of O(corpus × queries).
-    * Self-checked (SimilaritySpec: determinism, recall vs brute force,
-    * equi-join plan shape) — no SQL oracle because centroid scores are
-    * FP sums whose near-ties could rank differently under DuckDB's
-    * accumulation order. */
-  def simAnnIvf(s: SparkSession, dir: String): DataFrame =
-    ivfSearch(s, dir, seedCodebook)
+    *
+    * Oracle-replayable (r03 VERDICT item 4): cluster assignment runs
+    * on INTEGER squared distances over the 1024-quantized embedding
+    * ([[iClustersRanked]]) and the final ranking is the r4-rounded
+    * cosine with an n_id tie-break — no FP comparison anywhere an
+    * engine could reassociate (FP centroid scores are what kept this
+    * row self-check-only through r03). SimilaritySpec still checks
+    * determinism, recall vs brute force, and the equi-join plan. */
+  def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").withColumn("q1024", qint(col("embedding")))
+    val corpus = e
+      .select(col("vec_id").as("n_id"), col("embedding").as("ce"),
+        element_at(iClustersRanked(col("q1024")), 1).getField("cid").as("cluster"))
+      .withColumn("cnorm", norm(col("ce")))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        explode(transform(
+          slice(iClustersRanked(col("q1024")), 1, IvfProbes),
+          x => x.getField("cid"))).as("cluster"))
+      .withColumn("qnorm", norm(col("qe")))
+    ivfJoinRank(corpus, queries)
+  }
 
   private def ivfSearch(s: SparkSession, dir: String,
       cb: Array[Array[Double]]): DataFrame = {
@@ -114,6 +153,14 @@ object SimilarityQueries {
           slice(clustersRankedIn(col("embedding"), cb), 1, IvfProbes),
           x => x.getField("cid"))).as("cluster"))
       .withColumn("qnorm", norm(col("qe")))
+    ivfJoinRank(corpus, queries)
+  }
+
+  /** Shared candidate join + exact-cosine top-3 tail of every IVF
+    * variant: broadcast equi-join on cluster, r4-rounded cosine,
+    * multi-probe dedup via max(cos) (identical values), rank with
+    * n_id tie-break. */
+  private def ivfJoinRank(corpus: DataFrame, queries: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
     corpus.join(broadcast(queries), Seq("cluster"))
@@ -200,17 +247,40 @@ object SimilarityQueries {
   val LshTables = 4
   val LshBitsPerTable = 4
 
-  /** Deterministic hyperplane j component i — integer-derived so the
+  /** Deterministic hyperplane j component i as a SCALED INTEGER in
+    * [-50, 50] (real value = this / 100) — integer-derived so the
     * bucketing is reproducible across runs and engines. */
-  def planeAt(j: Int, i: Int): Double = ((j * 64 + i) * 40503 % 101 - 50) / 100.0
+  def planeIntAt(j: Int, i: Int): Long = (j * 64 + i) * 40503L % 101 - 50
+
+  /** Embedding quantized to integers at scale 1024: q_i =
+    * floor(x_i·1024 + 0.5). ×1024 is a power-of-two multiply — EXACT
+    * in double for any float32 input — so Spark and DuckDB compute
+    * identical integers from the same parquet value (the same
+    * argument that makes sim_quantize oracle-exact). */
+  private def qint(e: Column): Column =
+    transform(e, x => floor(x.cast("double") * lit(1024.0) + lit(0.5)).cast("long"))
+
+  /** Σ qᵢ·pᵢ over a quantized vector and an integer plane — pure
+    * BIGINT arithmetic (|Σ| ≤ 64·4096·50 ≈ 1.3e7), bit-identical on
+    * any engine. */
+  private def idot(q: Column, plane: Seq[Long]): Column =
+    aggregate(zip_with(q, array(plane.map(lit(_)): _*), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
 
   /** Multi-table sign-LSH ANN (OR-amplified): 4 tables × 4 sign bits.
     * A corpus row is a candidate if it shares a bucket with the query
     * in ANY table — the standard recall/selectivity trade for random
     * hyperplane LSH. Candidates dedup via max(cos) (identical values),
-    * then top-3 per query. Self-checked (SimilaritySpec: determinism +
-    * recall vs brute force) — no SQL oracle because a near-zero
-    * hyperplane dot could flip a sign bit under FP reassociation.
+    * then top-3 per query on the r4-ROUNDED cosine with an n_id
+    * tie-break (the same cross-engine ranking sim_cosine_topk proves).
+    *
+    * Oracle-replayable (r03 VERDICT item 4): sign bits come from
+    * INTEGER dots of the 1024-quantized embedding against integer
+    * hyperplanes — no FP summation anywhere in the bucketing, so
+    * DuckDB replays the candidate pruning bit-exactly (an FP
+    * hyperplane dot could flip a near-zero sign under reassociation,
+    * which is what kept this row self-check-only through r03).
+    * SimilaritySpec still checks recall vs brute force + determinism.
     *
     * Scale: the shuffle key is (table, bucket); the corpus is scanned
     * once, exploded ×4 (metadata only, embeddings carried by
@@ -219,13 +289,16 @@ object SimilarityQueries {
     def bucketFor(tbl: Int): Column =
       (0 until LshBitsPerTable).map { b =>
         val j = tbl * LshBitsPerTable + b
-        val plane = array((0 until 64).map(i => lit(planeAt(j, i))): _*)
-        when(dot(col("embedding"), plane) > 0, lit(1 << b)).otherwise(0)
+        val plane = (0 until 64).map(i => planeIntAt(j, i))
+        when(idot(col("q1024"), plane) > 0, lit(1 << b)).otherwise(0)
       }.reduce(_ + _)
     val tables = explode(array((0 until LshTables).map(tc =>
       struct(lit(tc).as("tbl"), bucketFor(tc).as("bkt"))): _*)).as("tb")
 
-    val e = t(s, dir, "embeddings")
+    // quantized copy materialized as a column ONCE per row — bucketFor
+    // references it 16×, and a raw transform() expression would
+    // re-quantize the vector for every reference
+    val e = t(s, dir, "embeddings").withColumn("q1024", qint(col("embedding")))
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("ce"), tables)
       .select(col("n_id"), col("ce"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
       .withColumn("cnorm", norm(col("ce")))
@@ -307,6 +380,76 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Quantize-to-1024 list expression shared by the generated ANN
+    * oracles (the exact SQL twin of [[qint]]). */
+  private val qintSql =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT))"
+
+  /** Exact-cosine + top-k tail shared by the generated ANN oracles:
+    * per-pos dot products over the candidate pairs, r4 rounding, n_id
+    * tie-break — the same pattern the green sim_cosine_topk /
+    * dedup_embedding oracles use. Expects a `cand(q_id, n_id)` CTE. */
+  private def cosTailSql(k: Int): String =
+    s"""e AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+       |        CAST(unnest(embedding) AS DOUBLE) AS x
+       |      FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id),
+       |d AS (SELECT c.q_id, c.n_id, sum(a.x * b.x) AS dot
+       |      FROM cand c
+       |      JOIN e a ON a.vec_id = c.q_id
+       |      JOIN e b ON b.vec_id = c.n_id AND a.pos = b.pos
+       |      GROUP BY 1, 2),
+       |cosv AS (SELECT q_id, n_id,
+       |           floor((dot / (nq.nrm * nc.nrm)) * 10000.0 + 0.5) / 10000.0 + 0.0 AS cos
+       |         FROM d JOIN norms nq ON q_id = nq.vec_id
+       |         JOIN norms nc ON n_id = nc.vec_id),
+       |r AS (SELECT q_id, n_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+       |      FROM cosv)
+       |SELECT q_id, CAST(rn AS INTEGER) AS rank, n_id, cos
+       |FROM r WHERE rn <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** GENERATED from the same plane/quantization constants as the Spark
+    * plan: integer sign-LSH bucketing, then exact-cosine top-3. */
+  private def annLshOracleSql: String =
+    s"""WITH q AS (SELECT vec_id, $qintSql AS qe FROM embeddings),
+       |bk AS (SELECT vec_id, tbl,
+       |         CAST(sum(CASE WHEN d > 0 THEN 1 << bit ELSE 0 END) AS INTEGER) AS bkt
+       |       FROM (SELECT vec_id, t.tbl AS tbl, u.bit AS bit,
+       |               list_sum(list_transform(generate_series(1, 64),
+       |                 i -> qe[i] * (((t.tbl * $LshBitsPerTable + u.bit) * 64 + (i-1))
+       |                        * 40503 % 101 - 50))) AS d
+       |             FROM q, range($LshTables) t(tbl), range($LshBitsPerTable) u(bit)) s
+       |       GROUP BY vec_id, tbl),
+       |cand AS (SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS n_id
+       |         FROM bk qb JOIN bk cb
+       |           ON qb.tbl = cb.tbl AND qb.bkt = cb.bkt AND qb.vec_id != cb.vec_id
+       |         WHERE qb.vec_id < 10),
+       |${cosTailSql(3)}""".stripMargin
+
+  /** GENERATED from the same centroid/quantization constants as the
+    * Spark plan: integer squared-distance cluster ranking (ties → low
+    * cid), nearest cluster per corpus row, $IvfProbes probes per
+    * query, then exact-cosine top-3. */
+  private def annIvfOracleSql: String = {
+    val cint = s"(((c.c * $IvfDim + (i-1)) * 2654435761) % 199 - 99) * 1024"
+    s"""WITH qv AS (SELECT vec_id, $qintSql AS qe FROM embeddings),
+       |sc AS (SELECT vec_id, c.c AS cid,
+       |         list_sum(list_transform(generate_series(1, $IvfDim),
+       |           i -> (qe[i] * 99 - $cint) * (qe[i] * 99 - $cint))) AS s
+       |       FROM qv, range($IvfClusters) c(c)),
+       |rankc AS (SELECT vec_id, cid,
+       |            row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |          FROM sc),
+       |corpus AS (SELECT vec_id AS n_id, cid AS cluster FROM rankc WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, cid AS cluster
+       |           FROM rankc WHERE rn <= $IvfProbes AND vec_id < 10),
+       |cand AS (SELECT DISTINCT p.q_id, c.n_id
+       |         FROM probes p JOIN corpus c
+       |           ON p.cluster = c.cluster AND p.q_id != c.n_id),
+       |${cosTailSql(3)}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq" -> simPq,
     "sim_cosine_topk" -> simCosineTopk,
@@ -316,6 +459,8 @@ object SimilarityQueries {
     "sim_ann_ivf_trained" -> simAnnIvfTrained)
 
   val oracleSql: Map[String, String] = Map(
+    "sim_ann_lsh" -> annLshOracleSql,
+    "sim_ann_ivf" -> annIvfOracleSql,
     // identical double arithmetic both sides: widen to double, one
     // multiply, floor(x+0.5) — no accumulation, so bit-exact
     "sim_quantize" ->
