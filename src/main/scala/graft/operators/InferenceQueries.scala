@@ -265,7 +265,89 @@ object InferenceQueries {
       .orderBy("vec_id")
   }
 
+  val TrainIters = 5
+  val TrainScale = 1000000L // fixed-point weight scale (1.0 == 1e6)
+  val TrainLrDen = 6000L // lr = 1/6000 ≈ 1/(2·E[x²]) — x ≈ 50-60 words
+  val TrainLossDiv = 1000L // residuals shrink /1000 before squaring
+
+  /** Distributed model TRAINING (r03 VERDICT item 5 — the north star's
+    * "distributed training" clause had no declared representative; the
+    * reference only scores a pre-trained model, ipynb:195/228-268).
+    *
+    * Batch gradient descent on a linear model n_chars ≈ a·n_words + b
+    * in FIXED-POINT INTEGER arithmetic: weights scaled by
+    * [[TrainScale]], residual r = a·x + b − y·scale, per-iteration
+    * average gradients sum(x·r) div n and sum(r) div n, update
+    * w −= grad div [[TrainLrDen]]. Integer sums are associative, so
+    * partition order cannot perturb a bit, and Spark's `div` truncates
+    * toward zero exactly like DuckDB's `//` — the whole trajectory
+    * (weights AND the scaled squared loss) is replayed by an
+    * unrolled-CTE oracle, same argument as graph_pagerank.
+    *
+    * Scale design: the feature frame is localCheckpointed once
+    * (re-read every iteration); each iteration is ONE full aggregate
+    * over the data (the canonical distributed-GD shape — at 100 TB the
+    * gradient is a tree-aggregated partial sum per partition, which is
+    * exactly what a Spark sum is); the 1-row weight state rides a
+    * broadcast crossJoin and is checkpointed per iteration so the
+    * loop's lineage stays constant-size. The driver never holds data —
+    * only the iteration counter; InferenceSpec asserts the loss
+    * decreases strictly every iteration and the learned slope lands
+    * near the corpus's true chars-per-word ratio. */
+  def inferTrain(s: SparkSession, dir: String): DataFrame = {
+    val feats = t(s, dir, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("x"),
+        col("n_chars").cast("long").as("y"))
+      .localCheckpoint(true)
+    var w = s.range(1).select(lit(0L).as("a"), lit(0L).as("b"))
+    val iterRows = (1 to TrainIters).map { it =>
+      val st = feats.crossJoin(broadcast(w))
+        .withColumn("r",
+          col("a") * col("x") + col("b") - col("y") * lit(TrainScale))
+        .agg(
+          sum(expr(s"(r div $TrainLossDiv) * (r div $TrainLossDiv)")).as("loss"),
+          expr("sum(x * r) div count(1)").as("dan"),
+          expr("sum(r) div count(1)").as("dbn"),
+          min("a").as("a0"), min("b").as("b0"))
+      val row = st.select(lit(it).as("iter"),
+        (col("a0") - expr(s"dan div $TrainLrDen")).as("w_slope"),
+        (col("b0") - expr(s"dbn div $TrainLrDen")).as("w_bias"),
+        col("loss").as("loss_scaled"))
+        .localCheckpoint(true)
+      w = row.select(col("w_slope").as("a"), col("w_bias").as("b"))
+      row
+    }
+    iterRows.reduce(_ unionAll _).orderBy("iter")
+  }
+
+  /** Unrolled-CTE oracle GENERATED from the same
+    * iters/scale/lr/loss-div constants as [[inferTrain]]. */
+  private def trainOracleSql: String = {
+    val head =
+      s"""WITH f AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+         |             CAST(n_chars AS BIGINT) AS y
+         |           FROM documents),
+         |w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b)""".stripMargin
+    val steps = (1 to TrainIters).map { i =>
+      s"""s$i AS (SELECT sum((r // $TrainLossDiv) * (r // $TrainLossDiv)) AS loss,
+         |         sum(x * r) // count(*) AS dan, sum(r) // count(*) AS dbn,
+         |         min(a) AS a0, min(b) AS b0
+         |       FROM (SELECT f.x, f.y, w.a, w.b,
+         |               w.a * f.x + w.b - f.y * $TrainScale AS r
+         |             FROM f, w${i - 1} w) t),
+         |w$i AS (SELECT CAST(a0 - (dan // $TrainLrDen) AS BIGINT) AS a,
+         |          CAST(b0 - (dbn // $TrainLrDen) AS BIGINT) AS b FROM s$i),
+         |i$i AS (SELECT $i AS iter, w.a AS w_slope, w.b AS w_bias,
+         |          CAST(s$i.loss AS BIGINT) AS loss_scaled FROM w$i w, s$i)""".stripMargin
+    }
+    val union = (1 to TrainIters).map(i => s"SELECT * FROM i$i").mkString(" UNION ALL ")
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT CAST(iter AS INTEGER) AS iter, w_slope, w_bias, loss_scaled" +
+      s"\nFROM ($union) u ORDER BY iter"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "infer_train" -> inferTrain,
     "udf_scalar" -> udfScalar,
     "udaf_agg" -> udafAgg,
     "udtf_explode" -> udtfExplode,
@@ -284,6 +366,7 @@ object InferenceQueries {
   // eager init would crash EVERY query at object load on a machine
   // without the artifact, not just infer_mean_xml
   lazy val oracleSql: Map[String, String] = Map(
+    "infer_train" -> trainOracleSql,
     // `+ 0.0` normalizes DuckDB's -0.0 (Spark's BigDecimal round never
     // emits negative zero)
     "udf_scalar" ->

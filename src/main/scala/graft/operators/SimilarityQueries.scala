@@ -323,60 +323,74 @@ object SimilarityQueries {
   val PqK = 16     // sub-centroids per subspace
   val PqSubDim = 16 // dims per subspace (4 × 16 = 64)
 
-  /** Deterministic PQ sub-centroid (m, c) component i in [-0.5, 0.5] —
-    * same integer-derived family as [[planeAt]]/[[centroidAt]]. */
-  def pqCentroidAt(m: Int, c: Int, i: Int): Double =
-    (((m * PqK + c) * 64 + i) * 48271 % 101 - 50) / 100.0
+  /** Deterministic PQ sub-centroid (m, c) component i as a SCALED
+    * INTEGER in [-50, 50] (real value = this / 100) — same integer-
+    * derived family as [[planeIntAt]]/[[centroidIntAt]]. */
+  def pqCentroidIntAt(m: Int, c: Int, i: Int): Long =
+    ((m * PqK + c) * 64 + i) * 48271L % 101 - 50
 
-  private lazy val pqCodebook: Seq[Seq[Seq[Double]]] =
+  /** [[pqCentroidIntAt]] as the real-valued component in [-0.5, 0.5]. */
+  def pqCentroidAt(m: Int, c: Int, i: Int): Double = pqCentroidIntAt(m, c, i) / 100.0
+
+  /** Codebook at the common integer scale 1024·100: centroid component
+    * × 1024 so it compares against 100× the 1024-quantized embedding. */
+  private lazy val pqCodebookInt: Seq[Seq[Seq[Long]]] =
     (0 until PqM).map(m => (0 until PqK).map(c =>
-      (0 until PqSubDim).map(i => pqCentroidAt(m, c, i))))
+      (0 until PqSubDim).map(i => pqCentroidIntAt(m, c, i) * 1024L)))
 
   private def pqSubvec(e: Column, m: Int): Column =
     slice(e, lit(m * PqSubDim + 1), lit(PqSubDim))
 
-  /** Σ (aᵢ − cᵢ)² over one subspace. */
-  private def pqSqDist(sub: Column, centroid: Column): Column =
+  /** Σ (qᵢ·100 − cᵢ)² over one subspace — pure BIGINT (≤ 16·(4.6e5)²
+    * ≈ 3.4e12), bit-identical on any engine. */
+  private def pqSqDistInt(sub: Column, centroid: Column): Column =
     aggregate(
-      zip_with(sub, centroid, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-      lit(0.0), (acc, v) => acc + v)
+      zip_with(sub, centroid,
+        (x, c) => (x * lit(100L) - c) * (x * lit(100L) - c)),
+      lit(0L), (acc, v) => acc + v)
 
   /** argmin over the m-th codebook — array_min of (dist, c) structs
     * breaks distance ties on the lowest code id, deterministically. */
-  private def pqCode(e: Column, m: Int, cb: Column): Column =
+  private def pqCode(q: Column, m: Int, cb: Column): Column =
     array_min(transform(sequence(lit(0), lit(PqK - 1)), c =>
-      struct(pqSqDist(pqSubvec(e, m), element_at(element_at(cb, m + 1), c + 1)).as("d"),
+      struct(pqSqDistInt(pqSubvec(q, m), element_at(element_at(cb, m + 1), c + 1)).as("d"),
         c.as("c")))).getField("c")
 
   /** Product quantization ANN — the memory-side scale path (IVF and
     * LSH prune candidates; PQ compresses them): each vector encodes to
     * [[PqM]] one-byte codes (64 floats → 4 codes = 64× smaller), and
-    * search scans codes with asymmetric distance (exact query sub-
-    * vector vs the centroid the code names) — no original vectors
-    * touched at query time. Encoding is a pure per-row expression
-    * (zero shuffle); queries broadcast. Self-checked (SimilaritySpec):
-    * a query's OWN row must rank 1 — its codes minimize every subspace
-    * distance, so PQ-dist(q,q) ≤ PQ-dist(q,x) for all x — plus
-    * determinism and code-range invariants. No SQL oracle: the argmin
-    * over FP distances could tie-break differently under DuckDB's FP
-    * reassociation (same policy as the other ANN variants). */
+    * search scans codes with asymmetric distance (query sub-vector vs
+    * the centroid the code names) — no original vectors touched at
+    * query time. Encoding is a pure per-row expression (zero shuffle);
+    * queries broadcast.
+    *
+    * Oracle-replayable (r03 VERDICT item 4): both encoding and the
+    * asymmetric distance run on INTEGER squared distances over the
+    * 1024-quantized embedding against the scaled-integer codebook —
+    * argmin ties break on the lower code id, rank ties on n_id, so
+    * DuckDB replays the full trajectory (the earlier FP distances
+    * could tie-break differently under reassociation, which kept this
+    * row self-check-only). `approx_dist` is the scaled integer
+    * distance (units (1024·100)⁻² of squared L2). SimilaritySpec
+    * keeps the own-row-rank-1 proof: a query's own codes minimize
+    * every subspace term, so PQ-dist(q,q) ≤ PQ-dist(q,x) ∀x. */
   def simPq(s: SparkSession, dir: String): DataFrame = {
-    val cb = typedLit(pqCodebook)
-    val e = t(s, dir, "embeddings")
+    val cb = typedLit(pqCodebookInt)
+    val e = t(s, dir, "embeddings").withColumn("q1024", qint(col("embedding")))
     val corpus = e.select(
       (col("vec_id").as("n_id")) +: (0 until PqM).map(m =>
-        pqCode(col("embedding"), m, cb).as(s"code$m")): _*)
+        pqCode(col("q1024"), m, cb).as(s"code$m")): _*)
     val queries = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .select(col("vec_id").as("q_id"), col("q1024").as("qe"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))
     corpus.crossJoin(broadcast(queries))
       .withColumn("adist", (0 until PqM).map(m =>
-        pqSqDist(pqSubvec(col("qe"), m),
+        pqSqDistInt(pqSubvec(col("qe"), m),
           element_at(element_at(cb, m + 1), col(s"code$m") + 1))).reduce(_ + _))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .select(col("q_id"), col("rank"), col("n_id"), Fp.r4(col("adist")).as("approx_dist"))
+      .select(col("q_id"), col("rank"), col("n_id"), col("adist").as("approx_dist"))
       .orderBy("q_id", "rank")
   }
 
@@ -450,6 +464,38 @@ object SimilarityQueries {
        |${cosTailSql(3)}""".stripMargin
   }
 
+  /** GENERATED from the same PQ codebook/quantization constants as the
+    * Spark plan: integer subspace argmin encoding (ties → low code),
+    * integer asymmetric distances, rank ties → low n_id. */
+  private def pqOracleSql: String = {
+    def cent(m: String, c: String) =
+      s"(((($m * $PqK + $c) * 64 + (i-1)) * 48271) % 101 - 50) * 1024"
+    def sqDist(m: String, c: String) =
+      s"""list_sum(list_transform(generate_series(1, $PqSubDim),
+         |          i -> (qe[$m * $PqSubDim + i] * 100 - ${cent(m, c)})
+         |             * (qe[$m * $PqSubDim + i] * 100 - ${cent(m, c)})))""".stripMargin
+    s"""WITH qv AS (SELECT vec_id, $qintSql AS qe FROM embeddings),
+       |g AS (SELECT vec_id, mm, cc,
+       |        ${sqDist("mm", "cc")} AS d
+       |      FROM qv, range($PqM) m(mm), range($PqK) c(cc)),
+       |codes AS (SELECT vec_id, mm, cc AS code FROM
+       |            (SELECT *, row_number() OVER (PARTITION BY vec_id, mm
+       |               ORDER BY d, cc) AS rn FROM g) t WHERE rn = 1),
+       |pair AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id, n.mm AS mm,
+       |           n.code AS code, q.qe AS qe
+       |         FROM qv q, codes n WHERE q.vec_id < 10),
+       |pd AS (SELECT q_id, n_id,
+       |         ${sqDist("mm", "code")} AS d
+       |       FROM pair),
+       |ad AS (SELECT q_id, n_id, CAST(sum(d) AS BIGINT) AS adist
+       |       FROM pd GROUP BY 1, 2),
+       |r AS (SELECT q_id, n_id, adist,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rn
+       |      FROM ad)
+       |SELECT q_id, CAST(rn AS INTEGER) AS rank, n_id, adist AS approx_dist
+       |FROM r WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq" -> simPq,
     "sim_cosine_topk" -> simCosineTopk,
@@ -461,6 +507,7 @@ object SimilarityQueries {
   val oracleSql: Map[String, String] = Map(
     "sim_ann_lsh" -> annLshOracleSql,
     "sim_ann_ivf" -> annIvfOracleSql,
+    "sim_pq" -> pqOracleSql,
     // identical double arithmetic both sides: widen to double, one
     // multiply, floor(x+0.5) — no accumulation, so bit-exact
     "sim_quantize" ->

@@ -69,26 +69,33 @@ case class PartialTopKExec(
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // codegen'd comparator over the requested sort order
       val ord = new LazilyGeneratedOrdering(sortOrder, childOutput)
+      // Bounded binary heap per key, worst-of-the-kept at the head
+      // (reverse order): exactly k rows live per key — no 2k sort
+      // spikes — and a row that can't beat the current worst is
+      // REJECTED WITHOUT COPYING, so the common case (row outside the
+      // running top-k) is one comparison, zero allocation.
       val groups = scala.collection.mutable.HashMap
-        .empty[UnsafeRow, scala.collection.mutable.ArrayBuffer[InternalRow]]
+        .empty[UnsafeRow, java.util.PriorityQueue[InternalRow]]
       iter.foreach { row =>
         val key = keyProj(row)
         groups.get(key) match {
-          case Some(buf) =>
-            buf += row.copy()
-            // amortized prune: sort+truncate at 2k keeps the buffer
-            // O(k) without a per-row heap operation
-            if (buf.length >= 2 * limit) {
-              val kept = buf.sorted(ord).take(limit)
-              buf.clear(); buf ++= kept
+          case Some(heap) =>
+            if (heap.size < limit) heap.offer(row.copy())
+            else if (ord.compare(row, heap.peek()) < 0) {
+              heap.poll(); heap.offer(row.copy())
             }
           case None =>
-            val buf = new scala.collection.mutable.ArrayBuffer[InternalRow](limit + 1)
-            buf += row.copy()
-            groups.update(key.copy(), buf)
+            val heap = new java.util.PriorityQueue[InternalRow](
+              limit + 1, ord.reverse)
+            heap.offer(row.copy())
+            groups.update(key.copy(), heap)
         }
       }
-      groups.valuesIterator.flatMap(_.sorted(ord).take(limit))
+      groups.valuesIterator.flatMap { heap =>
+        val arr = heap.toArray(new Array[InternalRow](heap.size))
+        java.util.Arrays.sort(arr, ord)
+        arr.iterator
+      }
     }, preservesPartitioning = true)
   }
 }

@@ -167,6 +167,59 @@ object StreamQueries {
       .orderBy("event_type", "value_bucket")
   }
 
+  /** foreachBatch-driven streaming UPSERT — the production shape for
+    * maintaining a keyed serving table from a stream when the sink has
+    * no native MERGE (r03 VERDICT item 6; the mechanism was previously
+    * only exercised in StreamingSpec, not declared). Each micro-batch:
+    * (1) pre-aggregates the batch per user (map-side shrink — only
+    * |keys| rows leave the batch), (2) MERGEs into the keyed parquet
+    * state by unioning current state with the delta and re-aggregating
+    * (sum/sum/max are all merge-associative), (3) atomically swaps the
+    * state via an eager localCheckpoint before the overwrite — the
+    * merged frame must be MATERIALIZED before the path it reads from
+    * is rewritten. Exactly-once: the checkpoint makes a re-run with
+    * the same input process zero batches, so Verify and every Bench
+    * pass read the identical state (idempotent upsert, not
+    * append-twice). At scale state would live in a keyed table format;
+    * the merge algebra — partial agg per batch, associative combine
+    * into state — is identical. */
+  def streamForeachBatch(s: SparkSession, dir: String): DataFrame = {
+    val tag = "v1_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_feb_$tag"
+    val src = t(s, dir, "events")
+      .select("event_id", "event_type", "user_id", "ts_s", "value")
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists())
+      src.write.mode("overwrite").parquet(s"$base/in")
+    val statePath = s"$base/state"
+    val q = s.readStream.schema(src.schema).parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val sess = batch.sparkSession
+        val delta = batch.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum("event_id").as("id_sum"),
+            max("ts_s").as("last_ts_s"), sum("value").as("value_sum"))
+        val merged =
+          if (new java.io.File(s"$statePath/_SUCCESS").exists())
+            sess.read.parquet(statePath).unionByName(delta)
+              .groupBy("user_id")
+              .agg(sum("n_events").as("n_events"), sum("id_sum").as("id_sum"),
+                max("last_ts_s").as("last_ts_s"), sum("value_sum").as("value_sum"))
+          else delta
+        val out = merged.localCheckpoint(true)
+        out.write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(statePath)
+      .select(col("user_id"), col("n_events"), col("id_sum"), col("last_ts_s"),
+        Fp.r4(col("value_sum")).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   /** Static dimension for stream_enrich: event_type → (weight,
     * category). Broadcast-joined against the stream — the standard
     * stream-static enrichment, STATELESS on the stream side (no
@@ -194,6 +247,7 @@ object StreamQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_foreachbatch" -> streamForeachBatch,
     "stream_enrich" -> streamEnrich,
     "stream_file_sink" -> streamFileSink,
     "stream_join" -> streamJoin,
@@ -205,6 +259,14 @@ object StreamQueries {
     "filter_null" -> filterNull)
 
   val oracleSql: Map[String, String] = Map(
+    // the foreachBatch upsert's final state equals the plain batch
+    // per-user aggregate (merge-associativity of count/sum/max)
+    "stream_foreachbatch" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  CAST(max(epoch_ns(ts) // 1000000000) AS BIGINT) AS last_ts_s,
+        |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 + 0.0 AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // hour-window start as epoch seconds; the dim is inlined as CASE
     "stream_enrich" ->
       """WITH e AS (SELECT

@@ -77,6 +77,28 @@ class InferenceSpec extends AnyFunSuite with SparkFixture {
     assert(viaUdf == viaBuiltin)
   }
 
+  test("infer_train: loss strictly decreases; slope converges to chars-per-word") {
+    import spark.implicits._
+    val rows = InferenceQueries.inferTrain(spark, sf)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) == (1 to InferenceQueries.TrainIters),
+      "one row per iteration, ordered")
+    val losses = rows.map(_._4)
+    losses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b < a, s"loss must strictly decrease each GD step: $losses")
+    }
+    // true ratio on this corpus ≈ 5.5 chars/word; scaled by 1e6
+    val finalSlope = rows.last._2
+    assert(finalSlope > 4500000L && finalSlope < 6500000L,
+      s"slope $finalSlope should approach the corpus chars-per-word ratio")
+  }
+
+  test("infer_train is deterministic across runs") {
+    val a = InferenceQueries.inferTrain(spark, sf).collect()
+    val b = InferenceQueries.inferTrain(spark, sf).collect()
+    assert(a.sameElements(b))
+  }
+
   test("udaf centroid equals per-dimension avg via posexplode") {
     import spark.implicits._
     val viaUdaf = InferenceQueries.udafAgg(spark, sf)

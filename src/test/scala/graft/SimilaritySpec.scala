@@ -131,7 +131,7 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
 
   test("sim_pq: every query's own row ranks 1 (its codes minimize each subspace)") {
     val rows = SparkEntry.queries("sim_pq")(spark, sf)
-      .as[(Long, Int, Long, Double)].collect()
+      .as[(Long, Int, Long, Long)].collect()
     assert(rows.nonEmpty)
     rows.groupBy(_._1).foreach { case (q, g) =>
       assert(g.map(_._2).sorted.sameElements(1 to g.length), s"ranks broken for $q")
@@ -152,10 +152,10 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(a == b)
     // approx distances are non-negative and non-decreasing in rank
     SparkEntry.queries("sim_pq")(spark, sf)
-      .as[(Long, Int, Long, Double)].collect()
+      .as[(Long, Int, Long, Long)].collect()
       .groupBy(_._1).values.foreach { g =>
         val byRank = g.sortBy(_._2).map(_._4)
-        assert(byRank.forall(_ >= 0.0))
+        assert(byRank.forall(_ >= 0L))
         assert(byRank.zip(byRank.tail).forall { case (x, y) => x <= y })
       }
   }
