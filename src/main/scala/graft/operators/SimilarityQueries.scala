@@ -64,30 +64,16 @@ object SimilarityQueries {
   def centroidIntAt(c: Int, i: Int): Long =
     (c.toLong * IvfDim + i) * 2654435761L % 199 - 99
 
-  /** [[centroidIntAt]] as the real-valued centroid component. */
-  def centroidAt(c: Int, i: Int): Double = centroidIntAt(c, i) / 99.0
-
-  /** All IvfClusters centroids ranked nearest-first for embedding `e`,
-    * as a sorted array of (score, cid) structs. Comparing
-    * ||e||² − 2e·c + ||c||² minus the constant ||e||² term: score =
-    * ||c||² − 2e·c, a pure per-row codegen'd expression — cluster
-    * assignment SHUFFLES NOTHING at any scale. */
-  private def clustersRanked(e: Column): Column =
-    clustersRankedIn(e, seedCodebook)
-
-  /** Same ranking against an arbitrary codebook (k × dim doubles). */
-  private def clustersRankedIn(e: Column, cb: Array[Array[Double]]): Column = {
-    val scored = cb.indices.map { c =>
-      val cent = array(cb(c).map(lit(_)): _*)
-      val cc = cb(c).map(x => x * x).sum
-      struct((lit(cc) - lit(2.0) * dot(e, cent)).as("score"), lit(c).as("cid"))
-    }
-    array_sort(array(scored: _*))
-  }
-
-  /** The fixed deterministic codebook as a materialized k × dim array. */
-  def seedCodebook: Array[Array[Double]] =
-    Array.tabulate(IvfClusters, IvfDim)(centroidAt)
+  /** The seed codebook rescaled to the q1024 integer grid:
+    * (c·1024)/99 maps the scale-99 seed component onto the same scale
+    * the 1024-quantized embeddings live at, so seed and LEARNED
+    * centroids compare in one integer space. Scala's Long `/`
+    * truncates toward zero, exactly like DuckDB's integer `//`
+    * (NOT floor: −7/2 = −3 on both), keeping the oracle replay
+    * exact. */
+  def seedCodebookInt: Array[Array[Long]] =
+    Array.tabulate(IvfClusters, IvfDim)((c, i) =>
+      centroidIntAt(c, i) * 1024L / 99L)
 
   /** All IvfClusters centroids ranked nearest-first by INTEGER squared
     * distance. Comparing ‖e − c‖² at the common scale 1024·99: with
@@ -102,6 +88,21 @@ object SimilarityQueries {
         lit(centroidIntAt(c, i) * 1024L)): _*)
       val score = aggregate(
         zip_with(q, cent, (a, b) => (a * lit(99L) - b) * (a * lit(99L) - b)),
+        lit(0L), (acc, v) => acc + v)
+      struct(score.as("score"), lit(c).as("cid"))
+    }
+    array_sort(array(scored: _*))
+  }
+
+  /** Centroid ranking for a codebook ALREADY on the q1024 grid
+    * (seed-rescaled or k-means-learned): score = Σ (qᵢ − cᵢ)², pure
+    * BIGINT (≤ 64·(1.6e4)² ≈ 1.7e10); distance ties break on the
+    * lower cid via the struct sort — bit-identical on any engine. */
+  private def iClustersRankedIn(q: Column, cb: Array[Array[Long]]): Column = {
+    val scored = cb.indices.map { c =>
+      val cent = array(cb(c).map(lit(_)): _*)
+      val score = aggregate(
+        zip_with(q, cent, (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, v) => acc + v)
       struct(score.as("score"), lit(c).as("cid"))
     }
@@ -139,22 +140,6 @@ object SimilarityQueries {
     ivfJoinRank(corpus, queries)
   }
 
-  private def ivfSearch(s: SparkSession, dir: String,
-      cb: Array[Array[Double]]): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    val corpus = e
-      .select(col("vec_id").as("n_id"), col("embedding").as("ce"))
-      .withColumn("cluster",
-        element_at(clustersRankedIn(col("ce"), cb), 1).getField("cid"))
-      .withColumn("cnorm", norm(col("ce")))
-    val queries = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        explode(transform(
-          slice(clustersRankedIn(col("embedding"), cb), 1, IvfProbes),
-          x => x.getField("cid"))).as("cluster"))
-      .withColumn("qnorm", norm(col("qe")))
-    ivfJoinRank(corpus, queries)
-  }
 
   /** Shared candidate join + exact-cosine top-3 tail of every IVF
     * variant: broadcast equi-join on cluster, r4-rounded cosine,
@@ -174,51 +159,77 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
-  /** Lloyd-refined codebook: k-means over the corpus, seeded from the
-    * deterministic codebook, [[KmeansIters]] iterations. Each
-    * iteration is one narrow assignment projection + one
+  /** Lloyd-refined codebook: k-means over the 1024-quantized corpus,
+    * seeded from [[seedCodebookInt]], [[KmeansIters]] iterations.
+    * Each iteration is one narrow assignment projection + one
     * (cluster, dim) aggregation — the exact distributed k-means shape
     * that holds at 100 TB (the driver only ever holds the k × dim
-    * model, never data). Learned centroids are rounded to 6 decimals
-    * driver-side so downstream ranking is immune to last-ulp
-    * differences in distributed sum order; empty clusters keep their
-    * seed centroid. Cached per sfDir: Verify/Bench call queries
-    * repeatedly and must not retrain per call. */
+    * model, never data). ENTIRELY INTEGER (r03 VERDICT item 4):
+    * assignment argmin runs on BIGINT squared distances (ties → lower
+    * cid), the centroid update is Σqᵢ / n in truncating integer
+    * division — integer sums are associative, so the whole training
+    * trajectory is independent of
+    * partitioning and replayable by an unrolled-CTE DuckDB oracle
+    * (FP centroid means are what kept this row self-check-only
+    * through r03). Empty clusters keep their current centroid.
+    * Cached per sfDir: Verify/Bench call queries repeatedly and must
+    * not retrain per call. */
   val KmeansIters = 3
   private val codebookCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
-  def trainedCodebook(s: SparkSession, dir: String): Array[Array[Double]] =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
+  def trainedCodebookInt(s: SparkSession, dir: String): Array[Array[Long]] =
     codebookCache.computeIfAbsent(dir, _ => {
-      val e = t(s, dir, "embeddings")
-      var cb = seedCodebook
+      // narrow (vec_id, q1024) projection materialized once — scanned
+      // KmeansIters times, and lineage must not re-quantize per pass
+      val q = t(s, dir, "embeddings")
+        .select(col("vec_id"), qint(col("embedding")).as("q"))
+        .localCheckpoint(true)
+      var cb = seedCodebookInt
       for (_ <- 1 to KmeansIters) {
-        val assigned = e.select(
-          element_at(clustersRankedIn(col("embedding"), cb), 1)
-            .getField("cid").as("cluster"),
-          col("embedding"))
-        val means = assigned
-          .select(col("cluster"), posexplode(col("embedding")))
+        // assignment and posexplode live in SEPARATE selects: Spark
+        // 4.1's generator resolution strips struct field names from
+        // sibling expressions in the same projection list
+        val sums = q.select(
+            element_at(iClustersRankedIn(col("q"), cb), 1)
+              .getField("cid").as("cluster"),
+            col("q"))
+          .select(col("cluster"), posexplode(col("q")))
           .groupBy("cluster", "pos")
-          .agg(avg(col("col").cast("double")).as("m"))
+          .agg(sum("col").as("s"), count(lit(1)).as("n"))
           .collect()
-          .groupBy(_.getInt(0))
-          .map { case (c, rows) =>
-            c -> rows.map(r => (r.getInt(1), r.getDouble(2))).sortBy(_._1)
-              .map(p => math.floor(p._2 * 1e6 + 0.5) / 1e6).toArray
-          }
-        cb = cb.indices.map(c => means.getOrElse(c, cb(c))).toArray
+        // Long `/` truncates toward zero ≡ DuckDB's integer `//`
+        val upd = sums.groupBy(_.getInt(0)).map { case (c, rows) =>
+          c -> rows.map(r => (r.getInt(1), r.getLong(2) / r.getLong(3)))
+            .sortBy(_._1).map(_._2).toArray
+        }
+        cb = cb.indices.map(c => upd.getOrElse(c, cb(c))).toArray
       }
       cb
     })
 
   /** IVF with a TRAINED (k-means) codebook — the data-adaptive variant
     * of [[simAnnIvf]]: same probe path, same equi-join scale shape,
-    * but the coarse quantizer is learned from the corpus. Self-checked
-    * (SimilaritySpec: determinism, recall vs brute force, training
-    * actually moves centroids); no SQL oracle because centroid means
-    * are distributed FP sums. */
-  def simAnnIvfTrained(s: SparkSession, dir: String): DataFrame =
-    ivfSearch(s, dir, trainedCodebook(s, dir))
+    * but the coarse quantizer is learned from the corpus
+    * ([[trainedCodebookInt]]). Oracle-replayable end to end: integer
+    * training, integer assignment, r4-rounded cosine ranking with an
+    * n_id tie-break. SimilaritySpec keeps determinism, recall vs
+    * brute force, and centroids-move-off-seed checks. */
+  def simAnnIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val cb = trainedCodebookInt(s, dir)
+    val e = t(s, dir, "embeddings").withColumn("q1024", qint(col("embedding")))
+    val corpus = e
+      .select(col("vec_id").as("n_id"), col("embedding").as("ce"),
+        element_at(iClustersRankedIn(col("q1024"), cb), 1)
+          .getField("cid").as("cluster"))
+      .withColumn("cnorm", norm(col("ce")))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        explode(transform(
+          slice(iClustersRankedIn(col("q1024"), cb), 1, IvfProbes),
+          x => x.getField("cid"))).as("cluster"))
+      .withColumn("qnorm", norm(col("qe")))
+    ivfJoinRank(corpus, queries)
+  }
 
   /** Int8 embedding quantization (per-vector max-abs scaling) — the
     * standard storage/bandwidth reduction before ANN serving: q_i =
@@ -464,6 +475,50 @@ object SimilarityQueries {
        |${cosTailSql(3)}""".stripMargin
   }
 
+  /** GENERATED replay of the ENTIRE integer k-means training loop +
+    * trained-IVF search: [[KmeansIters]] unrolled Lloyd iterations
+    * (assignment argmin with cid tie-break, centroid update
+    * `sum // count` — DuckDB's integer `//` truncates toward zero
+    * exactly like Scala Long division, and integer sums are
+    * partition-order-independent), then the same
+    * probe/cosine tail as sim_ann_ivf. Empty clusters COALESCE to the
+    * previous centroid, exactly like the Spark loop. */
+  private def trainedIvfOracleSql: String = {
+    val seed =
+      s"((((c.cc * $IvfDim + p.pp) * 2654435761) % 199 - 99) * 1024) // 99"
+    val iters = (1 to KmeansIters).map { it =>
+      val prev = s"cent${it - 1}"
+      s"""d$it AS (SELECT e.vec_id, c.cid, sum((e.q - c.v) * (e.q - c.v)) AS d
+         |      FROM eu e JOIN $prev c ON c.pos = e.pos GROUP BY 1, 2),
+         |a$it AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |         FROM d$it) t WHERE rn = 1),
+         |u$it AS (SELECT a.cid, e.pos, CAST(sum(e.q) AS BIGINT) AS s, count(*) AS n
+         |      FROM a$it a JOIN eu e ON e.vec_id = a.vec_id GROUP BY 1, 2),
+         |cent$it AS (SELECT c.cid, c.pos, COALESCE(u.s // u.n, c.v) AS v
+         |      FROM $prev c LEFT JOIN u$it u
+         |        ON u.cid = c.cid AND u.pos = c.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS (SELECT vec_id, $qintSql AS qe FROM embeddings),
+       |eu AS (SELECT vec_id, p.pp + 1 AS pos, qe[p.pp + 1] AS q
+       |       FROM qv, range($IvfDim) p(pp)),
+       |cent0 AS (SELECT c.cc AS cid, p.pp + 1 AS pos, $seed AS v
+       |       FROM range($IvfClusters) c(cc), range($IvfDim) p(pp)),
+       |$iters,
+       |sc AS (SELECT e.vec_id, c.cid, sum((e.q - c.v) * (e.q - c.v)) AS s
+       |       FROM eu e JOIN cent$KmeansIters c ON c.pos = e.pos GROUP BY 1, 2),
+       |rankc AS (SELECT vec_id, cid,
+       |            row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |          FROM sc),
+       |corpus AS (SELECT vec_id AS n_id, cid AS cluster FROM rankc WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, cid AS cluster
+       |           FROM rankc WHERE rn <= $IvfProbes AND vec_id < 10),
+       |cand AS (SELECT DISTINCT p.q_id, c.n_id
+       |         FROM probes p JOIN corpus c
+       |           ON p.cluster = c.cluster AND p.q_id != c.n_id),
+       |${cosTailSql(3)}""".stripMargin
+  }
+
   /** GENERATED from the same PQ codebook/quantization constants as the
     * Spark plan: integer subspace argmin encoding (ties → low code),
     * integer asymmetric distances, rank ties → low n_id. */
@@ -507,6 +562,7 @@ object SimilarityQueries {
   val oracleSql: Map[String, String] = Map(
     "sim_ann_lsh" -> annLshOracleSql,
     "sim_ann_ivf" -> annIvfOracleSql,
+    "sim_ann_ivf_trained" -> trainedIvfOracleSql,
     "sim_pq" -> pqOracleSql,
     // identical double arithmetic both sides: widen to double, one
     // multiply, floor(x+0.5) — no accumulation, so bit-exact

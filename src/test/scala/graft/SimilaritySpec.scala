@@ -102,8 +102,8 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
   }
 
   test("trained IVF: k-means actually moves centroids off the seed codebook") {
-    val seed = SimilarityQueries.seedCodebook
-    val trained = SimilarityQueries.trainedCodebook(spark, sf)
+    val seed = SimilarityQueries.seedCodebookInt
+    val trained = SimilarityQueries.trainedCodebookInt(spark, sf)
     assert(trained.length == seed.length)
     assert(trained.exists(_.length == seed.head.length))
     val moved = seed.indices.count(c => !seed(c).sameElements(trained(c)))
