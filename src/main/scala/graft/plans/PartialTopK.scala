@@ -11,20 +11,29 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 /** Custom whole-operator extension (SURVEY §2 option (c)): per-key
   * partial top-k pruning BEFORE the window shuffle.
   *
-  * Spark's native per-key top-k (`row_number().over(window) <= k`)
-  * shuffles EVERY row of every key, then sorts whole partitions —
-  * at 100 TB that means moving the full fact table to keep 3 rows per
-  * key. This operator inserts a map-side prune: each input partition
-  * keeps only its local top-k rows per key (a bounded buffer per key,
-  * O(keys·k) memory, no sort of the full partition), so the exchange
-  * that follows carries at most `partitions × k` rows per key instead
-  * of all of them — the same partial/final split Spark already applies
+  * Each input partition keeps only its local top-k rows per key (a
+  * bounded heap per key, O(keys·k) memory), so the exchange that
+  * follows carries at most `partitions × k` rows per key instead of
+  * all of them — the same partial/final split Spark already applies
   * to aggregates, extended to ranked selection. Correctness: a row in
   * the global top-k of its key is necessarily in the local top-k of
   * whichever partition holds it, for ANY partitioning of the input, so
   * re-ranking the pruned stream yields exactly the unpruned answer
   * (asserted row-for-row in PlansSpec, and by the DuckDB oracle on the
   * unpruned formulation).
+  *
+  * Relationship to Spark's native `InferWindowGroupLimit` (3.5+):
+  * for the `row_number().over(w) <= k` FILTER pattern, Spark already
+  * inserts a Partial `WindowGroupLimitExec` below the exchange, so no
+  * custom rewrite rule is needed there (and none is provided — it
+  * would be redundant). What this operator adds: (a) it is a
+  * standalone API usable on ANY DataFrame — e.g. pruning the build
+  * side of a join or a pipeline stage with no window filter for the
+  * optimizer to infer from; (b) `WindowGroupLimitExec` requires a
+  * partition-local Sort below it (O(n log n) on every map partition),
+  * while the heap prune consumes UNSORTED input in O(n log k) — at
+  * 100 TB the map-side sort of the full fact table is the dominant
+  * cost the heap path avoids.
   *
   * Wiring: [[LogicalPartialTopK]] (logical) is planned by
   * [[PartialTopKStrategy]] into [[PartialTopKExec]] (physical).
