@@ -104,7 +104,40 @@ object SortSetQueries {
       .orderBy("o_custkey", "rn")
   }
 
+  /** PartialTopK composing with a REAL workload shape (not just the
+    * standalone rank query): per-nation top-3 customers by balance,
+    * pruned map-side by PartialTopKExec BEFORE the window shuffle,
+    * then enriched through a broadcast join with the nation dim. This
+    * is the pattern Spark's native InferWindowGroupLimit cannot reach
+    * when the prune target feeds a pipeline rather than sitting
+    * directly under a rn<=k filter the optimizer can see — here the
+    * prune is an explicit operator in the middle of a join plan. At
+    * 100 TB: the fact-side exchange carries ≤ partitions×3 rows per
+    * nation instead of every customer row, and the dim side is a
+    * 25-row broadcast. Deterministic: balance ties break on
+    * c_custkey. */
+  def topkJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.PartialTopK.ensureRegistered(s)
+    val c = t(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val pruned = graft.plans.PartialTopK.partialTopK(
+      c, Seq("c_nationkey"),
+      Seq("c_acctbal" -> false, "c_custkey" -> true), 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    val top = pruned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    top.join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("rn"), col("c_custkey"),
+        col("c_name"), col("c_acctbal"))
+      .orderBy("n_name", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topk_join" -> topkJoin,
     "topk_per_key" -> topkPerKey,
     "set_union_byname" -> setUnionByName,
     "sort_multi" -> sortMulti,
@@ -115,6 +148,17 @@ object SortSetQueries {
     "set_except" -> setExcept)
 
   val oracleSql: Map[String, String] = Map(
+    // unpruned window + join formulation — the partial operator must
+    // be invisible in the result
+    "topk_join" ->
+      """SELECT n.n_name, CAST(x.rn AS INTEGER) AS rn, x.c_custkey,
+        |  x.c_name, x.c_acctbal FROM (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) x
+        |JOIN nation n ON x.c_nationkey = n.n_nationkey
+        |WHERE x.rn <= 3 ORDER BY n.n_name, rn""".stripMargin,
     // the unpruned formulation — the partial operator must be invisible
     // in the result
     "topk_per_key" ->

@@ -56,6 +56,28 @@ class PlansSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("topk_join: prune composes with a broadcast join and stays invisible") {
+    val df = SparkEntry.queries("topk_join")(spark, sf)
+    val got = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopK"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey").orderBy(desc("c_acctbal"), asc("c_custkey"))
+    val plain = Tables.t(spark, sf, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .join(broadcast(Tables.t(spark, sf, "nation")
+        .select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("rn"), col("c_custkey"),
+        col("c_name"), col("c_acctbal"))
+      .orderBy("n_name", "rn")
+      .collect()
+    assert(got.sameElements(plain))
+  }
+
   test("partial top-k works through the extension point (GraftExtensions session)") {
     // SparkFixture's session is built with
     // spark.sql.extensions=graft.functions.GraftExtensions, so the
