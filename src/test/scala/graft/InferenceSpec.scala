@@ -99,6 +99,32 @@ class InferenceSpec extends AnyFunSuite with SparkFixture {
     assert(a.sameElements(b))
   }
 
+  test("infer_train trajectory equals a sequential driver-side replay") {
+    import InferenceQueries.{TrainIters, TrainScale, TrainLrDen, TrainLossDiv}
+    // partition-order independence, tested concretely: the distributed
+    // gradient steps must be BIT-IDENTICAL to a single-threaded replay
+    val docs = Tables.t(spark, sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("x"),
+        col("n_chars").cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var (a, b) = (0L, 0L)
+    val expect = (1 to TrainIters).map { it =>
+      var loss = 0L; var sxr = 0L; var sr = 0L
+      docs.foreach { case (x, y) =>
+        val r = a * x + b - y * TrainScale
+        val rd = r / TrainLossDiv
+        loss += rd * rd; sxr += x * r; sr += r
+      }
+      val n = docs.length.toLong
+      a -= (sxr / n) / TrainLrDen
+      b -= (sr / n) / TrainLrDen
+      (it, a, b, loss)
+    }
+    val got = InferenceQueries.inferTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+  }
+
   test("udaf centroid equals per-dimension avg via posexplode") {
     import spark.implicits._
     val viaUdaf = InferenceQueries.udafAgg(spark, sf)

@@ -110,6 +110,43 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(moved > 0, "training left every centroid on its seed value")
   }
 
+  test("distributed integer k-means equals a sequential driver-side replay") {
+    // the partition-order-independence claim, tested concretely: the
+    // cluster-parallel trajectory must be BIT-IDENTICAL to a single-
+    // threaded reference run over the same quantized vectors
+    val trained = SimilarityQueries.trainedCodebookInt(spark, sf)
+    val vecs = Tables.t(spark, sf, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray
+        .map(x => math.floor(x.toDouble * 1024.0 + 0.5).toLong))
+    var cb = SimilarityQueries.seedCodebookInt
+    for (_ <- 1 to SimilarityQueries.KmeansIters) {
+      val assigned = vecs.map { q =>
+        cb.indices.map { c =>
+          var d = 0L
+          var i = 0
+          while (i < q.length) {
+            val t = q(i) - cb(c)(i); d += t * t; i += 1
+          }
+          (d, c)
+        }.min._2 // distance ties break on the lower cid, like the engine
+      }
+      val next = cb.indices.map { c =>
+        val members = vecs.indices.filter(assigned(_) == c)
+        if (members.isEmpty) cb(c)
+        else cb(c).indices.map { i =>
+          members.map(vecs(_)(i)).sum / members.size.toLong
+        }.toArray
+      }.toArray
+      cb = next
+    }
+    assert(cb.length == trained.length)
+    cb.indices.foreach { c =>
+      assert(cb(c).sameElements(trained(c)),
+        s"centroid $c diverged from the sequential replay")
+    }
+  }
+
   test("sim_ann_ivf_trained: valid ranks, deterministic, recall vs brute force") {
     val rows = SparkEntry.queries("sim_ann_ivf_trained")(spark, sf)
       .as[(Long, Int, Long, Double)].collect()
