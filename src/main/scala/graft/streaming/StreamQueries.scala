@@ -26,6 +26,24 @@ import org.apache.spark.sql.functions._
   */
 object StreamQueries {
 
+  /** Content fingerprint for the /tmp working dirs of the two
+    * checkpointed file-based queries (stream_file_sink /
+    * stream_foreachbatch). Keying by sfDir path alone is a hazard: if
+    * the test data is ever REGENERATED at the same path, a leftover
+    * checkpoint would claim the old input files were already processed
+    * and the query would silently serve results for data that no
+    * longer exists. Count + two integer sums pin the actual content;
+    * cached per dir so Verify/Bench pay the aggregate once. */
+  private val tagCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def contentTag(s: SparkSession, dir: String): String =
+    tagCache.computeIfAbsent(dir, _ => {
+      val r = t(s, dir, "events")
+        .agg(count(lit(1)), sum("event_id"), sum("user_id")).head()
+      val slug = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      s"v2_${slug}_${r.getLong(0)}_${r.getLong(1)}_${r.getLong(2)}"
+    })
+
   /** 1-hour tumbling window: count + sum(value), 10-min watermark. */
   def tumblingAgg(events: DataFrame): DataFrame =
     events
@@ -141,12 +159,12 @@ object StreamQueries {
     * the sink's _spark_metadata commit log makes the output
     * exactly-once, so re-running with the same checkpoint processes
     * nothing and the result is stable (Verify and both Bench passes
-    * reuse one materialization; "v1" salts the tmp dirs against stale
-    * layouts from earlier code). The oracle replays the same
+    * reuse one materialization; [[contentTag]] salts the tmp dirs
+    * against stale layouts AND regenerated data). The oracle replays the same
     * filter/bucket arithmetic (one multiply + floor on a stored
     * double — no accumulation) over the events table directly. */
   def streamFileSink(s: SparkSession, dir: String): DataFrame = {
-    val tag = "v1_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tag = contentTag(s, dir)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sink_$tag"
     val src = t(s, dir, "events")
       .select("event_id", "event_type", "ts_s", "value")
@@ -184,7 +202,7 @@ object StreamQueries {
     * the merge algebra — partial agg per batch, associative combine
     * into state — is identical. */
   def streamForeachBatch(s: SparkSession, dir: String): DataFrame = {
-    val tag = "v1_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tag = contentTag(s, dir)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_feb_$tag"
     val src = t(s, dir, "events")
       .select("event_id", "event_type", "user_id", "ts_s", "value")
