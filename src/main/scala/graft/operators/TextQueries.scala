@@ -367,7 +367,44 @@ object TextQueries {
       .orderBy("eval_doc")
   }
 
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction — a standard pre-training scrub pass (emails and
+    * phone numbers replaced by typed placeholder tokens). The synthetic
+    * corpus carries no natural PII, so the query first ENRICHES each
+    * doc with deterministic doc_id-derived PII (some docs get an email,
+    * some a phone, some neither — both engines build the identical
+    * string), then scrubs it; the match counts and the md5 of the
+    * scrubbed text prove the redaction removed exactly what was
+    * injected. Regexes use only character classes and bounded
+    * quantifiers, where Java regex (Spark) and RE2 (DuckDB) agree.
+    * Scale: pure per-row projection — codegen'd regex over the text
+    * column, zero shuffle until the final orderBy. */
+  def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val email = when(col("doc_id") % 3 =!= 0,
+      concat(lit(" contact u"), col("doc_id").cast("string"), lit("@ex.com")))
+      .otherwise(lit(""))
+    val phone = when(col("doc_id") % 2 === 0,
+      concat(lit(" call "), (col("doc_id") % 900 + 100).cast("string"),
+        lit("-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(lit(""))
+    t(s, dir, "documents")
+      .withColumn("pii_text", concat(col("text"), email, phone))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("pii_text"), lit(EmailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(col("pii_text"), lit(PhoneRe), lit(0)))
+          .as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(col("pii_text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> textPiiScrub,
     "pipeline_contamination" -> pipelineContamination,
     "text_bigrams" -> textBigrams,
     "udtf_posexplode_outer" -> udtfPosexplodeOuter,
@@ -388,6 +425,25 @@ object TextQueries {
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    // replays the identical deterministic PII injection, then the same
+    // class-based regexes (Java and RE2 agree on these) — the md5 of
+    // the scrubbed text pins every replacement byte
+    "text_pii_scrub" ->
+      s"""WITH p AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 != 0
+        |         THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0
+        |         THEN ' call ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+        |           || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END AS pii_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii_text, '$EmailRe')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(pii_text, '$PhoneRe')) AS INTEGER) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(pii_text, '$EmailRe', '<EMAIL>', 'g'),
+        |      '$PhoneRe', '<PHONE>', 'g')) AS scrub_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
     // exact heavy hitters by definition — the sketch+verify pipeline
     // must produce precisely this set (MG superset guarantee + exact
     // re-count + integer threshold)

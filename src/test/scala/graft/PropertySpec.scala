@@ -100,4 +100,18 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(nSessions >= 1 && nSessions <= nEvents)
     }
   }
+
+  test("text_pii_scrub match counts equal exactly the injected PII") {
+    // doc_id % 3 != 0 docs get one email, doc_id % 2 == 0 one phone;
+    // the regexes must find precisely those — no miss, no double
+    // count, and no accidental match inside the base corpus text
+    val rows = SparkEntry.queries("text_pii_scrub")(spark, sf)
+      .as[(Long, Int, Int, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nEmails, nPhones, md5) =>
+      assert(nEmails == (if (id % 3 != 0) 1 else 0), s"doc $id emails")
+      assert(nPhones == (if (id % 2 == 0) 1 else 0), s"doc $id phones")
+      assert(md5.length == 32)
+    }
+  }
 }
