@@ -41,6 +41,13 @@ object GraftFunctions {
         require(args.length == 2, s"dot_f32 expects 2 arguments, got ${args.length}")
         DotProductF32(args(0), args(1))
       }),
+    (FunctionIdentifier("dot_i64"),
+      info("dot_i64",
+        "dot_i64(a, b) - integer dot product of two bigint arrays"),
+      args => {
+        require(args.length == 2, s"dot_i64 expects 2 arguments, got ${args.length}")
+        DotProductI64(args(0), args(1))
+      }),
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig",
         "minhash_sig(words, perms) - MinHash signature (perms 64-bit minima) over 3-word shingles"),

@@ -44,6 +44,9 @@ object Native {
 
   def dotF32(a: Column, b: Column): Column =
     column(DotProductF32(expression(a), expression(b)))
+
+  def dotI64(a: Column, b: Column): Column =
+    column(DotProductI64(expression(a), expression(b)))
 }
 
 /** One-pass MinHash kernel, shared VERBATIM by MinHashSig's interpreted
@@ -163,5 +166,49 @@ case class DotProductF32(left: Expression, right: Expression)
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF32 =
+    copy(left = l, right = r)
+}
+
+/** Integer dot product over two `array<bigint>` columns — the hot loop
+  * of quantized ANN scoring (IVF cluster assignment, LSH sign
+  * hashing). A `zip_with`+`aggregate` formulation interprets a lambda
+  * per ELEMENT (with boxing); this evaluates once per row with a tight
+  * primitive long loop, and `doGenCode` keeps it inside whole-stage
+  * codegen. Integer multiplication/addition are associative, so the
+  * value is identical to the higher-order formulation bit-for-bit
+  * (asserted in ExtensionsSpec). */
+case class DotProductI64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("dotN")
+      val acc = ctx.freshName("dotAcc")
+      val i = ctx.freshName("dotI")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductI64 =
     copy(left = l, right = r)
 }

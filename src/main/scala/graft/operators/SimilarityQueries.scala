@@ -78,32 +78,38 @@ object SimilarityQueries {
   /** All IvfClusters centroids ranked nearest-first by INTEGER squared
     * distance. Comparing ‖e − c‖² at the common scale 1024·99: with
     * qᵢ = floor(xᵢ·1024 + 0.5) and integer centroid component cᵢ
-    * (real value cᵢ/99), score = Σ (qᵢ·99 − cᵢ·1024)² — pure BIGINT
-    * (≤ 64·(5.2e5)² ≈ 1.7e13), so the nearest-cluster choice is
-    * bit-identical on any engine; distance ties break on the lower
-    * cid via the struct sort. */
+    * (real value cᵢ/99), the full distance is Σ (qᵢ·99 − cᵢ·1024)².
+    * Ranking drops the 99²·Σqᵢ² term (constant across clusters for a
+    * given row — subtracting it from every score preserves order AND
+    * ties exactly), leaving score = 1024²·Σcᵢ² − 2·99·1024·(q·c): one
+    * codegen'd [[graft.functions.DotProductI64]] per cluster instead
+    * of 64 interpreted lambda evaluations — assignment stays a pure
+    * per-row expression (no shuffle) and stays inside whole-stage
+    * codegen. Pure BIGINT (|score| ≤ 1.1e13); distance ties break on
+    * the lower cid via the struct sort; the ORACLE computes the full
+    * quadratic and ranks identically. */
   private def iClustersRanked(q: Column): Column = {
     val scored = (0 until IvfClusters).map { c =>
-      val cent = array((0 until IvfDim).map(i =>
-        lit(centroidIntAt(c, i) * 1024L)): _*)
-      val score = aggregate(
-        zip_with(q, cent, (a, b) => (a * lit(99L) - b) * (a * lit(99L) - b)),
-        lit(0L), (acc, v) => acc + v)
+      val cent = (0 until IvfDim).map(i => centroidIntAt(c, i))
+      val c2 = cent.map(x => x * x).sum
+      val score = lit(1048576L * c2) -
+        lit(202752L) * graft.functions.Native.dotI64(q, array(cent.map(lit(_)): _*))
       struct(score.as("score"), lit(c).as("cid"))
     }
     array_sort(array(scored: _*))
   }
 
   /** Centroid ranking for a codebook ALREADY on the q1024 grid
-    * (seed-rescaled or k-means-learned): score = Σ (qᵢ − cᵢ)², pure
-    * BIGINT (≤ 64·(1.6e4)² ≈ 1.7e10); distance ties break on the
-    * lower cid via the struct sort — bit-identical on any engine. */
+    * (seed-rescaled or k-means-learned). Full distance Σ (qᵢ − cᵢ)²;
+    * ranking drops the constant Σqᵢ² term (order- and tie-preserving),
+    * leaving score = Σcᵢ² − 2·(q·c) with the codegen'd integer dot —
+    * pure BIGINT, bit-identical ranking on any engine (the oracle and
+    * the sequential-replay test both compute the full quadratic). */
   private def iClustersRankedIn(q: Column, cb: Array[Array[Long]]): Column = {
     val scored = cb.indices.map { c =>
-      val cent = array(cb(c).map(lit(_)): _*)
-      val score = aggregate(
-        zip_with(q, cent, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v)
+      val c2 = cb(c).map(x => x * x).sum
+      val score = lit(c2) -
+        lit(2L) * graft.functions.Native.dotI64(q, array(cb(c).map(lit(_)): _*))
       struct(score.as("score"), lit(c).as("cid"))
     }
     array_sort(array(scored: _*))
@@ -273,10 +279,10 @@ object SimilarityQueries {
 
   /** Σ qᵢ·pᵢ over a quantized vector and an integer plane — pure
     * BIGINT arithmetic (|Σ| ≤ 64·4096·50 ≈ 1.3e7), bit-identical on
-    * any engine. */
+    * any engine; codegen'd (r4 — the LSH sign hash evaluates this 16×
+    * per row). */
   private def idot(q: Column, plane: Seq[Long]): Column =
-    aggregate(zip_with(q, array(plane.map(lit(_)): _*), (a, b) => a * b),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.Native.dotI64(q, array(plane.map(lit(_)): _*))
 
   /** Multi-table sign-LSH ANN (OR-amplified): 4 tables × 4 sign bits.
     * A corpus row is a candidate if it shares a bucket with the query

@@ -29,6 +29,25 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dot_i64 matches the zip_with/aggregate fold bit-for-bit") {
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1024.0) + lit(0.5)).cast("long"))
+    val plane = array((0 until 64).map(i => lit((i * 40503L % 101) - 50)): _*)
+    val viaExpr = Tables.t(spark, sf, "embeddings").limit(100)
+      .select(col("vec_id"),
+        graft.functions.Native.dotI64(q, plane).as("d"))
+      .orderBy("vec_id").collect()
+    val viaFold = Tables.t(spark, sf, "embeddings").limit(100)
+      .select(col("vec_id"),
+        aggregate(zip_with(q, plane, (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v).as("d"))
+      .orderBy("vec_id").collect()
+    assert(viaExpr.nonEmpty)
+    viaExpr.zip(viaFold).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1))
+    }
+  }
+
   test("minhash_sig is callable from SQL and matches the Column API") {
     Tables.t(spark, sf, "documents").limit(30)
       .createOrReplaceTempView("ext_docs")
