@@ -358,20 +358,30 @@ object SimilarityQueries {
   private def pqSubvec(e: Column, m: Int): Column =
     slice(e, lit(m * PqSubDim + 1), lit(PqSubDim))
 
-  /** Σ (qᵢ·100 − cᵢ)² over one subspace — pure BIGINT (≤ 16·(4.6e5)²
-    * ≈ 3.4e12), bit-identical on any engine. */
-  private def pqSqDistInt(sub: Column, centroid: Column): Column =
-    aggregate(
-      zip_with(sub, centroid,
-        (x, c) => (x * lit(100L) - c) * (x * lit(100L) - c)),
-      lit(0L), (acc, v) => acc + v)
+  /** Σ cᵢ² per (m, c) — literal constants of the codebook. */
+  private lazy val pqC2: Seq[Seq[Long]] =
+    pqCodebookInt.map(_.map(cent => cent.map(x => x * x).sum))
 
-  /** argmin over the m-th codebook — array_min of (dist, c) structs
-    * breaks distance ties on the lowest code id, deterministically. */
-  private def pqCode(q: Column, m: Int, cb: Column): Column =
+  /** argmin over the m-th codebook via the expanded quadratic
+    * Σ(100x − c)² = 10⁴Σx² − 200(x·c) + Σc²: the 10⁴Σx² term is
+    * constant across codes (order- and tie-preserving to drop), so
+    * score = Σc² − 200·(x·c) with ONE [[graft.functions.DotProductI64]]
+    * per code (a tight primitive loop) instead of a zip_with+aggregate
+    * per code (two interpreted lambdas per ELEMENT). The code loop
+    * stays data-driven (`transform` over 0..15) rather than unrolled —
+    * a 16-way unrolled struct array blows the whole-stage-codegen
+    * method-size limit and drops the entire projection to interpreted
+    * eval. array_min of (score, c) structs breaks distance ties on the
+    * lowest code id, deterministically. */
+  private def pqCode(q: Column, m: Int): Column = {
+    val sub = pqSubvec(q, m)
+    val cbm = typedLit(pqCodebookInt(m))
+    val c2m = typedLit(pqC2(m))
     array_min(transform(sequence(lit(0), lit(PqK - 1)), c =>
-      struct(pqSqDistInt(pqSubvec(q, m), element_at(element_at(cb, m + 1), c + 1)).as("d"),
+      struct((element_at(c2m, c + 1) - lit(200L) *
+        graft.functions.Native.dotI64(sub, element_at(cbm, c + 1))).as("d"),
         c.as("c")))).getField("c")
+  }
 
   /** Product quantization ANN — the memory-side scale path (IVF and
     * LSH prune candidates; PQ compresses them): each vector encodes to
@@ -392,19 +402,31 @@ object SimilarityQueries {
     * keeps the own-row-rank-1 proof: a query's own codes minimize
     * every subspace term, so PQ-dist(q,q) ≤ PQ-dist(q,x) ∀x. */
   def simPq(s: SparkSession, dir: String): DataFrame = {
-    val cb = typedLit(pqCodebookInt)
     val e = t(s, dir, "embeddings").withColumn("q1024", qint(col("embedding")))
     val corpus = e.select(
       (col("vec_id").as("n_id")) +: (0 until PqM).map(m =>
-        pqCode(col("q1024"), m, cb).as(s"code$m")): _*)
+        pqCode(col("q1024"), m).as(s"code$m")): _*)
+    // per-query subspace norms Σxᵢ² precomputed ONCE on the broadcast
+    // side — the asymmetric distance then needs only one codegen'd dot
+    // per (pair, subspace) plus literal Σc² lookups
     val queries = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("q1024").as("qe"))
+      .select((col("vec_id").as("q_id")) +: (col("q1024").as("qe")) +:
+        (0 until PqM).map(m =>
+          graft.functions.Native.dotI64(pqSubvec(col("q1024"), m),
+            pqSubvec(col("q1024"), m)).as(s"q2_$m")): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))
+    // full asymmetric distance per subspace, via the same expansion:
+    // 10⁴·q2_m − 200·(q·c) + Σc² — exact integer identity with the
+    // oracle's direct Σ(100x − c)²
+    val adist = (0 until PqM).map { m =>
+      val c2 = element_at(array(pqC2(m).map(lit(_)): _*), col(s"code$m") + 1)
+      val cent = element_at(typedLit(pqCodebookInt(m)), col(s"code$m") + 1)
+      lit(10000L) * col(s"q2_$m") -
+        lit(200L) * graft.functions.Native.dotI64(pqSubvec(col("qe"), m), cent) + c2
+    }.reduce(_ + _)
     corpus.crossJoin(broadcast(queries))
-      .withColumn("adist", (0 until PqM).map(m =>
-        pqSqDistInt(pqSubvec(col("qe"), m),
-          element_at(element_at(cb, m + 1), col(s"code$m") + 1))).reduce(_ + _))
+      .withColumn("adist", adist)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("n_id"), col("adist").as("approx_dist"))
