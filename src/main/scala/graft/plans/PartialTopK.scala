@@ -46,8 +46,10 @@ case class LogicalPartialTopK(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    maxKeys: Int = PartialTopKExec.DefaultMaxKeys) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
+  require(maxKeys > 0, s"maxKeys must be positive, got $maxKeys")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPartialTopK =
     copy(child = newChild)
@@ -55,8 +57,8 @@ case class LogicalPartialTopK(
 
 object PartialTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case LogicalPartialTopK(keys, order, k, child) =>
-      PartialTopKExec(keys, order, k, planLater(child)) :: Nil
+    case LogicalPartialTopK(keys, order, k, child, maxKeys) =>
+      PartialTopKExec(keys, order, k, planLater(child), maxKeys) :: Nil
     case _ => Nil
   }
 }
@@ -65,7 +67,8 @@ case class PartialTopKExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    maxKeys: Int = PartialTopKExec.DefaultMaxKeys) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
@@ -73,7 +76,8 @@ case class PartialTopKExec(
     copy(child = newChild)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val (keyExprs, sortOrder, limit, childOutput) = (keys, order, k, child.output)
+    val (keyExprs, sortOrder, limit, childOutput, keyCap) =
+      (keys, order, k, child.output, maxKeys)
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // codegen'd comparator over the requested sort order
@@ -85,28 +89,62 @@ case class PartialTopKExec(
       // running top-k) is one comparison, zero allocation.
       val groups = scala.collection.mutable.HashMap
         .empty[UnsafeRow, java.util.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row)
-        groups.get(key) match {
-          case Some(heap) =>
-            if (heap.size < limit) heap.offer(row.copy())
-            else if (ord.compare(row, heap.peek()) < 0) {
-              heap.poll(); heap.offer(row.copy())
-            }
-          case None =>
-            val heap = new java.util.PriorityQueue[InternalRow](
-              limit + 1, ord.reverse)
-            heap.offer(row.copy())
-            groups.update(key.copy(), heap)
-        }
+      def drain(): Iterator[InternalRow] = {
+        val out = groups.valuesIterator.flatMap { heap =>
+          val arr = heap.toArray(new Array[InternalRow](heap.size))
+          java.util.Arrays.sort(arr, ord)
+          arr.iterator
+        }.toArray.iterator
+        groups.clear()
+        out
       }
-      groups.valuesIterator.flatMap { heap =>
-        val arr = heap.toArray(new Array[InternalRow](heap.size))
-        java.util.Arrays.sort(arr, ord)
-        arr.iterator
+      // Memory guard for adversarial key cardinality: when a partition
+      // holds more than maxKeys distinct keys, the current batch is
+      // FLUSHED downstream and pruning restarts. Batch-local pruning
+      // stays correct for any batching: a row suppressed in its batch
+      // had >= k better same-key rows IN THAT BATCH, all of which are
+      // emitted, so every key's true global top-k always survives —
+      // a flush only trades pruning ratio, never correctness. Memory
+      // is thus O(maxKeys * k) regardless of input cardinality.
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+        private def advance(): Boolean = {
+          while (!pending.hasNext && iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row)
+            groups.get(key) match {
+              case Some(heap) =>
+                if (heap.size < limit) heap.offer(row.copy())
+                else if (ord.compare(row, heap.peek()) < 0) {
+                  heap.poll(); heap.offer(row.copy())
+                }
+              case None =>
+                // cap hit: flush the current batch downstream, then
+                // admit the new key into a fresh batch
+                if (groups.size == keyCap) pending = drain()
+                val heap = new java.util.PriorityQueue[InternalRow](
+                  limit + 1, ord.reverse)
+                heap.offer(row.copy())
+                groups.update(key.copy(), heap)
+            }
+          }
+          if (!pending.hasNext && groups.nonEmpty) pending = drain()
+          pending.hasNext
+        }
+        override def hasNext: Boolean = advance()
+        override def next(): InternalRow =
+          if (advance()) pending.next()
+          else throw new NoSuchElementException("empty iterator")
       }
     }, preservesPartitioning = true)
   }
+}
+
+object PartialTopKExec {
+  /** Key-cardinality cap per partition batch — 1M keys × k rows is a
+    * few hundred MB worst case at typical row widths; beyond it the
+    * operator degrades gracefully (less pruning) instead of OOMing. */
+  val DefaultMaxKeys: Int = 1 << 20
 }
 
 object PartialTopK {
@@ -125,7 +163,8 @@ object PartialTopK {
     * so the physical operator's captured expressions are pure catalyst
     * and task-serializable. `ascending = false` means descending. */
   def partialTopK(df: DataFrame, keyCols: Seq[String],
-      orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+      orderCols: Seq[(String, Boolean)], k: Int,
+      maxKeys: Int = PartialTopKExec.DefaultMaxKeys): DataFrame = {
     val plan = df.queryExecution.analyzed
     def attr(n: String): Attribute = plan.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(
@@ -134,6 +173,6 @@ object PartialTopK {
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }
     GraftPlanBridge.ofRows(df.sparkSession,
-      LogicalPartialTopK(keyCols.map(attr), sortOrder, k, plan))
+      LogicalPartialTopK(keyCols.map(attr), sortOrder, k, plan, maxKeys))
   }
 }

@@ -56,6 +56,29 @@ class PlansSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("a tiny maxKeys cap forces batch flushes without losing top rows") {
+    PartialTopK.ensureRegistered(spark)
+    // cap of 2 keys on ~1000 distinct custkeys per partition forces
+    // hundreds of flushes; batch-local pruning must still keep every
+    // key's true top-3 (a suppressed row had >= k better same-key rows
+    // in its own batch, all emitted)
+    val in = orders.repartition(5)
+    val pruned = PartialTopK.partialTopK(
+      in, Seq("o_custkey"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 3, maxKeys = 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val viaCapped = pruned
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn").collect()
+    val plain = orders
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn").collect()
+    assert(viaCapped.sameElements(plain))
+  }
+
   test("topk_join: prune composes with a broadcast join and stays invisible") {
     val df = SparkEntry.queries("topk_join")(spark, sf)
     val got = df.collect()
