@@ -334,13 +334,19 @@ object TextQueries {
     * countDistinct Expand anywhere. At 100 TB grams would be 64-bit
     * hashes instead of strings so only 8-byte keys shuffle
     * (dedup_ngram_jaccard demonstrates that variant). */
-  def pipelineContamination(s: SparkSession, dir: String): DataFrame = {
+  def pipelineContamination(s: SparkSession, dir: String): DataFrame =
+    contaminationFrom(t(s, dir, "documents"))
+
+  /** The contamination pipeline over an arbitrary (doc_id, text) frame
+    * — split out so tests can feed a crafted corpus (e.g. a ubiquitous
+    * boilerplate gram that must be cap-dropped). */
+  def contaminationFrom(documents: DataFrame): DataFrame = {
     // the word array is MATERIALIZED as a column before the gram lambda
     // touches it: a raw `split(text)` expression inside the transform
     // would re-tokenize the document for every element_at reference
     // (5 per gram × ~200 grams = ~1000 splits/row — this, not the join,
     // was the query's r03 hot spot)
-    val docs = t(s, dir, "documents")
+    val docs = documents
       .withColumn("bkt", SampleQueries.hashBucket(col("doc_id")))
       .select(col("doc_id"), col("bkt"), words(col("text")).as("ws"))
     val ws = col("ws")

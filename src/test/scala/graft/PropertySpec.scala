@@ -101,6 +101,23 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("contamination cap drops a ubiquitous gram but keeps rare overlaps") {
+    // doc_ids chosen for their hash buckets: 24/33 are eval (>= 95),
+    // 0..13 are train (< 95). One boilerplate gram spans 12 train docs
+    // (df = 12 > cap 10) and eval doc 24; one rare gram spans train
+    // docs 12,13 (df = 2) and eval doc 33. The capped join must report
+    // ONLY doc 33 — the boilerplate overlap is dropped by spec, the
+    // rare overlap carries its exact df.
+    val ubiq = "common words appear every where"
+    val rare = "rare secret test leak phrase"
+    val docs = ((0 to 11).map(id => (id.toLong, ubiq)) ++
+      Seq(12L -> rare, 13L -> rare, 24L -> ubiq, 33L -> rare)).toDF("doc_id", "text")
+    val out = graft.operators.TextQueries.contaminationFrom(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((33L, 1L, 2L)),
+      s"expected only the rare-gram overlap to survive the cap, got $out")
+  }
+
   test("text_pii_scrub match counts equal exactly the injected PII") {
     // doc_id % 3 != 0 docs get one email, doc_id % 2 == 0 one phone;
     // the regexes must find precisely those — no miss, no double
