@@ -10,6 +10,27 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class VerifySpec extends AnyFunSuite with SparkFixture {
 
+  test("query registry has no silent key collisions between operator files") {
+    // SparkEntry merges the per-file maps with ++, which OVERRIDES on
+    // duplicate keys: two files declaring the same query name would
+    // silently drop one implementation from the gate
+    val parts = Seq(
+      operators.ScanQueries.queries, operators.AggQueries.queries,
+      operators.JoinQueries.queries, operators.WindowQueries.queries,
+      operators.SortSetQueries.queries, functions.ScalarQueries.queries,
+      streaming.StreamQueries.queries, operators.InferenceQueries.queries,
+      operators.DedupQueries.queries, operators.SimilarityQueries.queries,
+      operators.TextQueries.queries, operators.MultimodalQueries.queries,
+      operators.SampleQueries.queries, operators.GraphQueries.queries)
+    val declared = parts.map(_.size).sum
+    assert(SparkEntry.queries.size == declared,
+      s"key collision: ${declared - SparkEntry.queries.size} queries lost in the merge")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
+    assert(SparkEntry.queries.size >= 134,
+      s"declared query count shrank to ${SparkEntry.queries.size}")
+  }
+
   test("Verify.main emits outputs for every query, valid JSON, and the manifest") {
     val out = java.nio.file.Files.createTempDirectory("graft_verify_contract").toString
     Verify.main(Array(sf, out))
