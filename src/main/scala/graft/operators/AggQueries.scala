@@ -304,7 +304,44 @@ object AggQueries {
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
       .orderBy("event_type")
 
+  /** Column-profiling pass (the data-quality first step of any
+    * training-data pipeline): per column of events — row count, null
+    * count, exact distinct count, and the string-form length range.
+    * Shape matters at scale: several `count(distinct col)`s in ONE
+    * aggregate plan an Expand (input × columns duplication feeding a
+    * single-point aggregate); melting to (column, value) pairs feeds
+    * a two-level aggregate instead — the first shuffle is bounded by
+    * the DISTINCT value count per column (map-side partial combine),
+    * the second touches one row per (column, value). Values are
+    * profiled as strings (bigint/date/varchar string forms are
+    * engine-identical); the double column is excluded — float
+    * formatting is not oracle-portable. */
+  def profileStats(s: SparkSession, dir: String): DataFrame = {
+    val kvs = Seq(
+      struct(lit("event_id").as("cname"),
+        col("event_id").cast("string").as("val")),
+      struct(lit("user_id").as("cname"),
+        col("user_id").cast("string").as("val")),
+      struct(lit("event_type").as("cname"),
+        col("event_type").as("val")),
+      struct(lit("day").as("cname"),
+        col("ts").cast("date").cast("string").as("val")),
+      struct(lit("props").as("cname"), col("props").as("val")))
+    t(s, dir, "events")
+      .select(explode(array(kvs: _*)).as("kv"))
+      .select(col("kv.cname").as("cname"), col("kv.val").as("val"))
+      .groupBy("cname", "val").agg(count(lit(1)).as("c"))
+      .groupBy("cname")
+      .agg(sum("c").as("n_rows"),
+        coalesce(sum(when(col("val").isNull, col("c"))), lit(0L)).as("n_null"),
+        count(col("val")).as("n_distinct"),
+        min(length(col("val"))).as("min_len"),
+        max(length(col("val"))).as("max_len"))
+      .orderBy("cname")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_stats" -> profileStats,
     "agg_sketch_union" -> aggSketchUnion,
     "agg_minmax_by" -> aggMinmaxBy,
     "agg_countif" -> aggCountIf,
@@ -327,6 +364,21 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    "profile_stats" ->
+      """WITH m AS (
+        |  SELECT 'event_id' AS cname, CAST(event_id AS VARCHAR) AS val FROM events
+        |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+        |  UNION ALL SELECT 'event_type', event_type FROM events
+        |  UNION ALL SELECT 'day', CAST(CAST(ts AS DATE) AS VARCHAR) FROM events
+        |  UNION ALL SELECT 'props', props FROM events),
+        |g AS (SELECT cname, val, count(*) AS c FROM m GROUP BY 1, 2)
+        |SELECT cname, CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(CASE WHEN val IS NULL THEN c END), 0) AS BIGINT)
+        |    AS n_null,
+        |  count(val) AS n_distinct,
+        |  CAST(min(length(val)) AS INTEGER) AS min_len,
+        |  CAST(max(length(val)) AS INTEGER) AS max_len
+        |FROM g GROUP BY cname ORDER BY cname""".stripMargin,
     // DuckDB arg_max/arg_min reject struct ordering keys, so the
     // deterministic (acctbal, suppkey) tie-break is emulated with
     // row_number windows — semantics identical to the Spark max_by/

@@ -320,6 +320,109 @@ object InferenceQueries {
     iterRows.reduce(_ unionAll _).orderBy("iter")
   }
 
+  val PercIters = 5
+
+  /** Distributed BINARY CLASSIFIER training (the logistic/perceptron
+    * companion to [[inferTrain]]'s regression): a batch perceptron on
+    * the 64-dim embeddings, target y = +1 if label is even else −1,
+    * features quantized to integers at scale 1024 (floor(x·1024+0.5) —
+    * a power-of-two multiply, exact in double for any float32, the
+    * same argument that makes sim_quantize oracle-exact). Per epoch:
+    * margin = w·xq + b per row (codegen'd DotProductI64 against the
+    * weight vector as a literal array), misclassified = y·margin ≤ 0,
+    * batch update w += Σ y·xq over misclassified rows, b += Σ y.
+    * All-integer sums are associative, so partition order cannot
+    * perturb a bit and an unrolled-CTE DuckDB oracle replays the whole
+    * trajectory ([[perceptronOracleSql]]).
+    *
+    * Scale design: features are localCheckpointed once; each epoch is
+    * one scan (margin filter is a pure per-row projection — no
+    * shuffle) plus one 64-key aggregate of the misclassified rows'
+    * exploded components, where map-side partial aggregation bounds
+    * the shuffle to 64 rows per input partition. The driver holds ONLY
+    * the 65-value model (the k-means-codebook precedent,
+    * SimilarityQueries.simAnnIvfTrained) — at 100 TB this is exactly
+    * the parameter-server-free shape MLlib's own GD uses: broadcast
+    * model out, tree-aggregate gradients back. Output per epoch:
+    * misclassified count, bias, and two weight-vector checksums. */
+  def inferTrainPerceptron(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+      .select(
+        when(col("label") % 2 === 0, lit(1L)).otherwise(lit(-1L)).as("y"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1024.0) + lit(0.5)).cast("long"))
+          .as("xq"))
+      .localCheckpoint(true)
+    val w = Array.fill(Dim)(0L)
+    var b = 0L
+    val hist = (1 to PercIters).map { it =>
+      val wLit = array(w.toSeq.map(lit(_)): _*)
+      val upd = base
+        .withColumn("marg",
+          graft.functions.Native.dotI64(col("xq"), wLit) + lit(b))
+        .filter(col("y") * col("marg") <= 0)
+        .select(col("y"), posexplode(col("xq")))
+        .groupBy("pos")
+        .agg(sum(col("y") * col("col")).as("dw"), sum("y").as("db"),
+          count(lit(1)).as("n_mis"))
+        .collect()
+      val n = if (upd.isEmpty) 0L else upd.head.getLong(3)
+      if (upd.nonEmpty) b += upd.head.getLong(2)
+      upd.foreach(r => w(r.getInt(0)) += r.getLong(1))
+      (it, n, b, w.map(math.abs).sum,
+        w.iterator.zipWithIndex.map { case (wi, i) => wi * (i + 1) }.sum)
+    }
+    s.createDataFrame(hist)
+      .toDF("iter", "n_miscl", "bias", "w_l1", "w_dot_pos")
+      .orderBy("iter")
+  }
+
+  /** Unrolled-CTE oracle for [[inferTrainPerceptron]] — replays every
+    * epoch (margins, misclassified set, weight/bias updates) in pure
+    * integer SQL. DuckDB's sum(BIGINT) widens to HUGEINT; the final
+    * SELECT casts back so the schema matches Spark's BIGINT columns
+    * (values are integer-exact throughout, so the casts are lossless).
+    * Oracle pos is 1-based (generate_subscripts); Spark's 0-based
+    * posexplode index only ever addresses the driver-side weight
+    * array, and the exported checksum uses (i+1), so the two agree. */
+  private def perceptronOracleSql: String = {
+    val head =
+      s"""WITH ex AS (SELECT vec_id,
+         |    CASE WHEN label % 2 = 0 THEN CAST(1 AS BIGINT)
+         |         ELSE CAST(-1 AS BIGINT) END AS y,
+         |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024.0 + 0.5) AS BIGINT) AS xq
+         |  FROM embeddings),
+         |w0 AS (SELECT CAST(range AS BIGINT) AS pos, CAST(0 AS BIGINT) AS w
+         |       FROM range(1, ${Dim + 1})),
+         |b0 AS (SELECT CAST(0 AS BIGINT) AS b)""".stripMargin
+    val steps = (1 to PercIters).map { i =>
+      s"""m$i AS (SELECT e.vec_id, e.y,
+         |      sum(wp.w * e.xq) + (SELECT b FROM b${i - 1}) AS marg
+         |    FROM ex e JOIN w${i - 1} wp USING (pos)
+         |    GROUP BY e.vec_id, e.y),
+         |mis$i AS (SELECT vec_id, y FROM m$i WHERE y * marg <= 0),
+         |st$i AS (SELECT count(*) AS n, coalesce(sum(y), 0) AS db FROM mis$i),
+         |u$i AS (SELECT e.pos, sum(e.y * e.xq) AS dw
+         |    FROM ex e JOIN mis$i mm ON e.vec_id = mm.vec_id
+         |    GROUP BY e.pos),
+         |w$i AS (SELECT wp.pos, wp.w + coalesce(u.dw, 0) AS w
+         |    FROM w${i - 1} wp LEFT JOIN u$i u USING (pos)),
+         |b$i AS (SELECT bp.b + (SELECT db FROM st$i) AS b FROM b${i - 1} bp),
+         |o$i AS (SELECT $i AS iter, (SELECT n FROM st$i) AS n_miscl,
+         |      (SELECT b FROM b$i) AS bias,
+         |      sum(abs(w)) AS w_l1, sum(w * pos) AS w_dot_pos
+         |    FROM w$i)""".stripMargin
+    }
+    val union = (1 to PercIters).map(i => s"SELECT * FROM o$i").mkString(" UNION ALL ")
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT CAST(iter AS INTEGER) AS iter, CAST(n_miscl AS BIGINT) AS n_miscl,
+         |       CAST(bias AS BIGINT) AS bias, CAST(w_l1 AS BIGINT) AS w_l1,
+         |       CAST(w_dot_pos AS BIGINT) AS w_dot_pos
+         |FROM ($union) u ORDER BY iter""".stripMargin
+  }
+
   /** Unrolled-CTE oracle GENERATED from the same
     * iters/scale/lr/loss-div constants as [[inferTrain]]. */
   private def trainOracleSql: String = {
@@ -348,6 +451,7 @@ object InferenceQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "infer_train" -> inferTrain,
+    "infer_train_perceptron" -> inferTrainPerceptron,
     "udf_scalar" -> udfScalar,
     "udaf_agg" -> udafAgg,
     "udtf_explode" -> udtfExplode,
@@ -367,6 +471,7 @@ object InferenceQueries {
   // without the artifact, not just infer_mean_xml
   lazy val oracleSql: Map[String, String] = Map(
     "infer_train" -> trainOracleSql,
+    "infer_train_perceptron" -> perceptronOracleSql,
     // `+ 0.0` normalizes DuckDB's -0.0 (Spark's BigDecimal round never
     // emits negative zero)
     "udf_scalar" ->

@@ -166,7 +166,27 @@ object WindowQueries {
       .orderBy("user_id", "valid_from", "first_event_id")
   }
 
+  /** Frame-edge value functions (first_value / last_value /
+    * nth_value) over a full-extent ROWS frame: per customer in
+    * orderdate order, the earliest price, the latest price, and the
+    * second order's key, carried on every row. The unique
+    * (o_orderdate, o_orderkey) ordering makes frame EDGES engine-
+    * deterministic; all three functions share one window ⇒ one
+    * shuffle + one sort. */
+  def winFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val full = Window.partitionBy("o_custkey")
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        first("o_totalprice").over(full).as("first_price"),
+        last("o_totalprice").over(full).as("last_price"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_key"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_first_last" -> winFirstLast,
     "win_sessionize" -> winSessionize,
     "pipeline_scd2" -> pipelineScd2,
     "pipeline_gapfill" -> pipelineGapfill,
@@ -178,6 +198,15 @@ object WindowQueries {
     "win_ntile" -> winNtile)
 
   val oracleSql: Map[String, String] = Map(
+    "win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_sessionize" ->
       """WITH e AS (SELECT user_id, event_id,
         |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),

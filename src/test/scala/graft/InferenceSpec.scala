@@ -137,4 +137,43 @@ class InferenceSpec extends AnyFunSuite with SparkFixture {
       .as[(Int, Int, Double)].collect().toSeq
     assert(viaUdaf == viaAvg)
   }
+
+  test("infer_train_perceptron equals a sequential driver-side replay and improves") {
+    // same partition-order-independence argument as infer_train: the
+    // distributed epoch (codegen'd integer margins, 64-key gradient
+    // aggregate) must be BIT-IDENTICAL to a single-threaded replay
+    val data = graft.Tables.t(spark, sf, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map { r =>
+        val y = if (r.getInt(0) % 2 == 0) 1L else -1L
+        val xq = r.getSeq[Float](1)
+          .map(f => math.floor(f.toDouble * 1024.0 + 0.5).toLong).toArray
+        (y, xq)
+      }
+    val dim = InferenceQueries.Dim
+    val w = Array.fill(dim)(0L)
+    var b = 0L
+    val expect = (1 to InferenceQueries.PercIters).map { it =>
+      val mis = data.filter { case (y, xq) =>
+        var m = b; var i = 0
+        while (i < dim) { m += w(i) * xq(i); i += 1 }
+        y * m <= 0L
+      }
+      mis.foreach { case (y, xq) =>
+        (0 until dim).foreach(i => w(i) += y * xq(i))
+      }
+      b += mis.iterator.map(_._1).sum
+      (it, mis.length.toLong, b, w.map(math.abs).sum,
+        w.iterator.zipWithIndex.map { case (wi, i) => wi * (i + 1) }.sum)
+    }
+    val got = InferenceQueries.inferTrainPerceptron(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect)
+    // epoch 1 flags every row (zero weights => zero margins, y*0 <= 0);
+    // training must then beat all-misclassified by a real margin
+    assert(expect.head._2 == data.length.toLong)
+    assert(expect.last._2 < data.length.toLong * 6 / 10,
+      s"final misclassification ${expect.last._2}/${data.length} not under 60%")
+  }
 }
