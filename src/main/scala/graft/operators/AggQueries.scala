@@ -340,7 +340,27 @@ object AggQueries {
       .orderBy("cname")
   }
 
+  /** Fixed-width histogram of order totalprice ([[profileStats]]'s
+    * numeric companion — the distribution half of a column profile).
+    * INTEGER bucketing from the first step: totalprice (a 2-decimal
+    * value stored as double) → cents via floor(x·100 + 0.5) — the
+    * value is within ~1e-7 of an integer, so the +0.5 floor lands the
+    * identical BIGINT on both engines (a bare CAST would not: Spark
+    * truncates where DuckDB rounds) — then bucket = cents div
+    * 25_000_00. One two-phase aggregate; ~25 bucket keys on the
+    * shuffle regardless of input size. */
+  def profileHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(floor(col("o_totalprice") * 100 + 0.5).as("cents"))
+      .groupBy(expr("cents div 2500000").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("cents").as("min_cents"),
+        max("cents").as("max_cents"),
+        sum("cents").as("sum_cents"))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_histogram" -> profileHistogram,
     "profile_stats" -> profileStats,
     "agg_sketch_union" -> aggSketchUnion,
     "agg_minmax_by" -> aggMinmaxBy,
@@ -364,6 +384,14 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    "profile_histogram" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |    AS cents
+        |  FROM orders)
+        |SELECT cents // 2500000 AS bucket, count(*) AS n,
+        |  min(cents) AS min_cents, max(cents) AS max_cents,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "profile_stats" ->
       """WITH m AS (
         |  SELECT 'event_id' AS cname, CAST(event_id AS VARCHAR) AS val FROM events
