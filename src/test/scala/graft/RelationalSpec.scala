@@ -133,4 +133,24 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length))
     }
   }
+
+  test("profile_stats plans NO Expand (melt replaces stacked count-distincts)") {
+    // the scaladoc's scale claim, asserted: stacked count(distinct c1),
+    // count(distinct c2), ... in one aggregate would plan an Expand
+    // multiplying input rows by the column count; the melt + two-level
+    // aggregate shape must not
+    val p = plan("profile_stats")
+    assert(!p.contains("Expand"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("profile_histogram uses two-phase HashAggregate (bounded shuffle keys)") {
+    val p = plan("profile_histogram")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("win_first_last computes all three frame-edge functions in ONE Window node") {
+    val p = plan("win_first_last")
+    assert("Window".r.findAllIn(p).size == 1, p)
+  }
 }
