@@ -340,6 +340,22 @@ object AggQueries {
       .orderBy("cname")
   }
 
+  /** Per-group ordinary-least-squares aggregates (regr_slope /
+    * regr_intercept / regr_r2 / regr_count — price vs quantity per
+    * returnflag): the built-in regression family rides the same
+    * two-phase HashAggregate as any sum (partial moment sums
+    * map-side). Same FP posture as [[aggCorr]]: round AFTER the
+    * aggregate so accumulation-order noise dies before hashing. */
+  def aggRegression(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        Fp.r4(regr_slope(col("l_extendedprice"), col("l_quantity"))).as("slope"),
+        Fp.r4(regr_intercept(col("l_extendedprice"), col("l_quantity"))).as("icept"),
+        Fp.r4(regr_r2(col("l_extendedprice"), col("l_quantity"))).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy("l_returnflag")
+
   /** Fixed-width histogram of order totalprice ([[profileStats]]'s
     * numeric companion — the distribution half of a column profile).
     * INTEGER bucketing from the first step: totalprice (a 2-decimal
@@ -360,6 +376,7 @@ object AggQueries {
       .orderBy("bucket")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_regression" -> aggRegression,
     "profile_histogram" -> profileHistogram,
     "profile_stats" -> profileStats,
     "agg_sketch_union" -> aggSketchUnion,
@@ -438,6 +455,13 @@ object AggQueries {
         |  bit_or(user_id) AS bor,
         |  bit_xor(user_id) AS bxor
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_regression" ->
+      """SELECT l_returnflag,
+        |  floor(regr_slope(l_extendedprice, l_quantity) * 10000.0 + 0.5) / 10000.0 AS slope,
+        |  floor(regr_intercept(l_extendedprice, l_quantity) * 10000.0 + 0.5) / 10000.0 AS icept,
+        |  floor(regr_r2(l_extendedprice, l_quantity) * 10000.0 + 0.5) / 10000.0 AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_corr" ->
       """SELECT l_returnflag,
         |  floor(corr(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS corr_qp,

@@ -87,7 +87,39 @@ object SampleQueries {
       .orderBy("source", "rn")
   }
 
+  /** Corpus MIXTURE sampling — the data-mixing op an LLM pipeline runs
+    * last: hit a target per-language document count by COMPUTING each
+    * language's keep-rate from its observed frequency (downsample the
+    * dominant languages toward [[MixTargetPerLang]], keep rare ones
+    * whole), then selecting rows by the same deterministic key hash as
+    * the other samplers. Differs from sample_stratified (fixed
+    * author-chosen rates) in that the rates are DERIVED from corpus
+    * statistics — re-mixing after ingest never needs a config change.
+    *
+    * Two passes over a narrow (lang, doc_id) projection: a per-lang
+    * count (n_langs rows, broadcast back) then the filtered scan —
+    * the count side is a tiny dim at any corpus size. Integer
+    * threshold arithmetic (thr = min(65521, target·65521 div c)) so
+    * membership is bit-identical in DuckDB. */
+  val MixTargetPerLang = 40L
+  def pipelineMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val rates = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      .withColumn("thr",
+        least(lit(65521L), expr(s"($MixTargetPerLang * 65521) div c")))
+    docs.select("lang", "doc_id")
+      .join(broadcast(rates), "lang")
+      .withColumn("keep",
+        ((col("doc_id") * 40503L + 17L) % 65521L) < col("thr"))
+      .groupBy("lang")
+      .agg(min("c").as("n_docs"), min("thr").as("thr"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_mixture" -> pipelineMixture,
     "sample_quota" -> sampleQuota,
     "sample_stratified" -> sampleStratified,
     "sample_split" -> sampleSplit)
@@ -96,6 +128,20 @@ object SampleQueries {
   private val bucketEvt = hashBucketSql("event_id")
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_mixture" ->
+      s"""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+         |r AS (SELECT lang, c,
+         |    least(65521, ($MixTargetPerLang * 65521) // c) AS thr FROM c),
+         |k AS (SELECT d.lang, r.c, r.thr, d.doc_id,
+         |    ((d.doc_id * 40503 + 17) % 65521) < r.thr AS keep
+         |  FROM documents d JOIN r USING (lang))
+         |SELECT lang, CAST(min(c) AS BIGINT) AS n_docs,
+         |  CAST(min(thr) AS BIGINT) AS thr,
+         |  CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(coalesce(sum(CASE WHEN keep THEN doc_id END), 0) AS BIGINT)
+         |    AS kept_id_sum
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     "sample_quota" ->
       """WITH p AS (SELECT source, doc_id,
         |    (doc_id * 40503 + 17) % 65521 AS prio FROM documents),

@@ -13,6 +13,23 @@ import org.scalatest.funsuite.AnyFunSuite
 class PropertySpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
 
+  test("pipeline_mixture: rare langs kept whole, dominant langs near target") {
+    val rows = graft.operators.SampleQueries.pipelineMixture(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val target = graft.operators.SampleQueries.MixTargetPerLang
+    rows.foreach { case (lang, nDocs, thr, nKept) =>
+      assert(nKept <= nDocs, s"$lang kept more than exists")
+      // thr saturated at the hash modulus means "keep everything"
+      if (thr == 65521L) assert(nKept == nDocs, s"$lang: saturated but lossy")
+      // a downsampled language must land within binomial noise of the
+      // target (hash buckets are near-uniform; 3x is a loose band)
+      else assert(nKept <= target * 3,
+        s"$lang: kept $nKept, target $target — hash badly non-uniform")
+    }
+  }
+
   private val smallLists =
     Gen.listOfN(30, Gen.chooseNum(0L, 15L))
 
