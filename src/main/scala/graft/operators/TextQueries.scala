@@ -334,6 +334,19 @@ object TextQueries {
     * countDistinct Expand anywhere. At 100 TB grams would be 64-bit
     * hashes instead of strings so only 8-byte keys shuffle
     * (dedup_ngram_jaccard demonstrates that variant). */
+  /** 5-word grams of a MATERIALIZED word-array column, hashed to
+    * xxhash64 longs so only 8-byte keys ever shuffle/join (shared by
+    * [[contaminationFrom]] and [[pipelineEndToEnd]]; the string-gram
+    * oracles would surface a hash collision as a mismatch).
+    * sequence() steps BACKWARD when start > stop, so short docs need
+    * the explicit empty-array branch, not sequence(1, size-4). */
+  private def grams5Of(ws: Column): Column =
+    when(size(ws) >= 5,
+      transform(sequence(lit(1), size(ws) - 4),
+        i => xxhash64(concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2), element_at(ws, i + 3), element_at(ws, i + 4)))))
+      .otherwise(array().cast("array<bigint>"))
+
   def pipelineContamination(s: SparkSession, dir: String): DataFrame =
     contaminationFrom(t(s, dir, "documents"))
 
@@ -349,18 +362,8 @@ object TextQueries {
     val docs = documents
       .withColumn("bkt", SampleQueries.hashBucket(col("doc_id")))
       .select(col("doc_id"), col("bkt"), words(col("text")).as("ws"))
-    val ws = col("ws")
-    // sequence() steps BACKWARD when start > stop, so short docs need
-    // an explicit empty-array branch, not sequence(1, size-4).
-    // Grams leave the projection as xxhash64 LONGS: only 8-byte keys
-    // ever shuffle/join (same trick as dedup_ngram_jaccard — the
-    // string-gram oracle would surface a collision as a hash mismatch)
-    val grams5 = when(size(ws) >= 5,
-      transform(sequence(lit(1), size(ws) - 4),
-        i => xxhash64(concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-          element_at(ws, i + 2), element_at(ws, i + 3), element_at(ws, i + 4)))))
-      .otherwise(array().cast("array<bigint>"))
-    val g = docs.select(col("doc_id"), col("bkt"), explode(grams5).as("gram"))
+    val g = docs.select(col("doc_id"), col("bkt"),
+      explode(grams5Of(col("ws"))).as("gram"))
     val evalG = g.filter(col("bkt") >= 95)
       .select(col("doc_id").as("eval_doc"), col("gram")).distinct()
     val trainDf = g.filter(col("bkt") < 95)
@@ -371,6 +374,67 @@ object TextQueries {
       .groupBy("eval_doc")
       .agg(count(lit(1)).as("n_shared_grams"), sum("df").as("n_train_hits"))
       .orderBy("eval_doc")
+  }
+
+  /** The WHOLE curation pipeline as one declared query — the chain a
+    * training-data job actually ships, each stage one of this engine's
+    * standalone operators:
+    *
+    *   exact dedup (sha2 survivors) → quality gate (integer
+    *   predicates) → deterministic train/eval hash split →
+    *   DECONTAMINATE train (drop any train doc sharing a rare
+    *   [df ≤ [[ContaminationMaxDf]]] 5-gram with eval — the capped
+    *   aggregate keeps the gram join fan-out bounded exactly as in
+    *   [[contaminationFrom]]) → per-language MIXTURE sampling
+    *   (SampleQueries.pipelineMixture's derived integer thresholds).
+    *
+    * Output: per-language accounting of every stage (clean-train
+    * count, contamination drops, post-mix keeps + id checksum), so the
+    * oracle hash pins the whole chain, not just the final counts.
+    *
+    * Scale: the narrow projections compose — text is read once for the
+    * sha2 digest and once for the word array; after that only digests,
+    * 8-byte gram hashes, ids and (lang, count) micro-dims shuffle.
+    * Every stage bound argued for the standalone operators carries
+    * over unchanged (this query adds NO new shuffle shape). */
+  def pipelineEndToEnd(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val surv = docs.groupBy(sha2(col("text"), 256).as("sha"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val clean = docs.join(surv, "doc_id")
+      .withColumn("ws", words(col("text")))
+      .filter(size(col("ws")) >= 5 &&
+        size(array_distinct(col("ws"))) * 2 >= size(col("ws")))
+      .withColumn("bkt", SampleQueries.hashBucket(col("doc_id")))
+      .select("doc_id", "lang", "bkt", "ws")
+    val g = clean.select(col("doc_id"), col("bkt"),
+      explode(grams5Of(col("ws"))).as("gram"))
+    val evalG = g.filter(col("bkt") >= 95).select("gram").distinct()
+    val trainG = g.filter(col("bkt") < 95)
+      .select("doc_id", "gram").distinct()
+    val rareDf = trainG.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ContaminationMaxDf)
+    val contam = trainG.join(rareDf, "gram").join(evalG, "gram")
+      .select("doc_id").distinct()
+    val cleanTrain = clean.filter(col("bkt") < 95)
+    val train2 = cleanTrain.join(contam, Seq("doc_id"), "left_anti")
+    val rates = train2.groupBy("lang").agg(count(lit(1)).as("c"))
+      .withColumn("thr", least(lit(65521L),
+        expr(s"(${SampleQueries.MixTargetPerLang} * 65521) div c")))
+    val pre = cleanTrain.groupBy("lang")
+      .agg(count(lit(1)).as("n_clean_train"))
+    train2.join(broadcast(rates), "lang")
+      .withColumn("keep",
+        ((col("doc_id") * 40503L + 17L) % 65521L) < col("thr"))
+      .groupBy("lang")
+      .agg(min("c").as("n_after"), min("thr").as("thr"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+      .join(pre, "lang")
+      .select(col("lang"), col("n_clean_train"),
+        (col("n_clean_train") - col("n_after")).as("n_dropped_contam"),
+        col("n_after"), col("thr"), col("n_kept"), col("kept_id_sum"))
+      .orderBy("lang")
   }
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -410,6 +474,7 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_end_to_end" -> pipelineEndToEnd,
     "text_pii_scrub" -> textPiiScrub,
     "pipeline_contamination" -> pipelineContamination,
     "text_bigrams" -> textBigrams,
@@ -431,6 +496,49 @@ object TextQueries {
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    // the full curation chain, stage by stage: string grams where
+    // Spark joins on xxhash64 longs (identical join semantics absent a
+    // collision, which would surface as a hash mismatch)
+    "pipeline_end_to_end" ->
+      s"""WITH surv AS (SELECT min(doc_id) AS doc_id
+         |              FROM documents GROUP BY sha256(text)),
+         |q AS (SELECT * FROM (
+         |    SELECT d.doc_id, d.lang,
+         |      ((d.doc_id * 40503 + 17) % 65521) % 100 AS bkt,
+         |      string_split(d.text, ' ') AS ws
+         |    FROM documents d JOIN surv USING (doc_id))
+         |  WHERE len(ws) >= 5 AND len(list_distinct(ws)) * 2 >= len(ws)),
+         |g AS (SELECT doc_id, bkt,
+         |    unnest(list_transform(generate_series(1, len(ws) - 4),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+         |           ws[i+3] || ' ' || ws[i+4])) AS gram
+         |  FROM q),
+         |evalg AS (SELECT DISTINCT gram FROM g WHERE bkt >= 95),
+         |traing AS (SELECT DISTINCT doc_id, gram FROM g WHERE bkt < 95),
+         |rare AS (SELECT gram FROM traing GROUP BY gram
+         |         HAVING count(*) <= $ContaminationMaxDf),
+         |contam AS (SELECT DISTINCT t.doc_id
+         |  FROM traing t JOIN rare USING (gram) JOIN evalg USING (gram)),
+         |train2 AS (SELECT doc_id, lang FROM q
+         |  WHERE bkt < 95 AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |r AS (SELECT lang, count(*) AS c,
+         |    least(65521, (${graft.operators.SampleQueries.MixTargetPerLang} * 65521) // count(*)) AS thr
+         |  FROM train2 GROUP BY lang),
+         |pre AS (SELECT lang, count(*) AS n_clean_train FROM q
+         |  WHERE bkt < 95 GROUP BY lang),
+         |k AS (SELECT t.lang, r.c, r.thr, t.doc_id,
+         |    ((t.doc_id * 40503 + 17) % 65521) < r.thr AS keep
+         |  FROM train2 t JOIN r USING (lang))
+         |SELECT k.lang, CAST(min(pre.n_clean_train) AS BIGINT) AS n_clean_train,
+         |  CAST(min(pre.n_clean_train) - min(k.c) AS BIGINT) AS n_dropped_contam,
+         |  CAST(min(k.c) AS BIGINT) AS n_after,
+         |  CAST(min(k.thr) AS BIGINT) AS thr,
+         |  CAST(coalesce(sum(CASE WHEN k.keep THEN 1 END), 0) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(coalesce(sum(CASE WHEN k.keep THEN k.doc_id END), 0) AS BIGINT)
+         |    AS kept_id_sum
+         |FROM k JOIN pre USING (lang)
+         |GROUP BY k.lang ORDER BY k.lang""".stripMargin,
     // replays the identical deterministic PII injection, then the same
     // class-based regexes (Java and RE2 agree on these) — the md5 of
     // the scrubbed text pins every replacement byte
