@@ -392,11 +392,13 @@ object TextQueries {
     * count, contamination drops, post-mix keeps + id checksum), so the
     * oracle hash pins the whole chain, not just the final counts.
     *
-    * Scale: the narrow projections compose — text is read once for the
-    * sha2 digest and once for the word array; after that only digests,
-    * 8-byte gram hashes, ids and (lang, count) micro-dims shuffle.
-    * Every stage bound argued for the standalone operators carries
-    * over unchanged (this query adds NO new shuffle shape). */
+    * Scale: the clean frame feeds FOUR consumers (gram explode,
+    * pre-counts, rates, final rollup), so it is materialized once via
+    * localCheckpoint — the same lineage cut the iterative loops use;
+    * without it every consumer re-runs the scan + dedup join. After
+    * that only digests, 8-byte gram hashes, ids and (lang, count)
+    * micro-dims shuffle; every stage bound argued for the standalone
+    * operators carries over unchanged (no new shuffle shape). */
   def pipelineEndToEnd(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val surv = docs.groupBy(sha2(col("text"), 256).as("sha"))
@@ -407,6 +409,7 @@ object TextQueries {
         size(array_distinct(col("ws"))) * 2 >= size(col("ws")))
       .withColumn("bkt", SampleQueries.hashBucket(col("doc_id")))
       .select("doc_id", "lang", "bkt", "ws")
+      .localCheckpoint(true)
     val g = clean.select(col("doc_id"), col("bkt"),
       explode(grams5Of(col("ws"))).as("gram"))
     val evalG = g.filter(col("bkt") >= 95).select("gram").distinct()
