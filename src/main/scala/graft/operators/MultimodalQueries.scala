@@ -106,12 +106,55 @@ object MultimodalQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** RESIZE: the decoded "image" (first 64 payload bytes as an 8×8
+    * single-channel pixel grid — the FakeDecoder stand-in for a real
+    * codec) is downsampled 2× by average pooling in INTEGER
+    * arithmetic: out(py,px) = mean of the 2×2 source block, div 4.
+    * Emits one row per output pixel — the tensor-as-rows layout a
+    * downstream feature store ingests. Same per-partition batch
+    * plumbing as decode/frames; docs shorter than one full image are
+    * filtered on BOTH engines (part of the spec). Payload bytes never
+    * shuffle — 16 integer pixels per doc leave the partition. */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .filter(octet_length(col("payload")) >= 64)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          for { py <- 0 until 4; px <- 0 until 4 } yield {
+            def pix(r: Int, c: Int): Long = payload(r * 8 + c) & 0xffL
+            val v = (pix(2 * py, 2 * px) + pix(2 * py, 2 * px + 1) +
+              pix(2 * py + 1, 2 * px) + pix(2 * py + 1, 2 * px + 1)) / 4
+            (id, py, px, v)
+          }
+        }
+      }
+      .toDF("doc_id", "py", "px", "v")
+      .orderBy("doc_id", "py", "px")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_resize" -> multimodalResize,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames)
 
   val oracleSql: Map[String, String] = Map(
+    // same ASCII chars==octets assumption as decode/frames
+    // (FixtureSpec); 1-based substr pos of pixel (r,c) is r*8 + c + 1
+    "multimodal_resize" ->
+      """SELECT doc_id, CAST(py AS INTEGER) AS py, CAST(px AS INTEGER) AS px,
+        |  CAST((ascii(substr(text, CAST(2*py*8 + 2*px + 1 AS INTEGER), 1))
+        |      + ascii(substr(text, CAST(2*py*8 + 2*px + 2 AS INTEGER), 1))
+        |      + ascii(substr(text, CAST((2*py+1)*8 + 2*px + 1 AS INTEGER), 1))
+        |      + ascii(substr(text, CAST((2*py+1)*8 + 2*px + 2 AS INTEGER), 1)))
+        |    // 4 AS BIGINT) AS v
+        |FROM documents, range(4) t1(py), range(4) t2(px)
+        |WHERE octet_length(encode(text)) >= 64
+        |ORDER BY doc_id, py, px""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
