@@ -66,6 +66,44 @@ object ScaleProbe {
       }
       println(s"""{"partitions":$parts,"aqe":$aqe,${cells.mkString(",")}}""")
     }
+    spark.conf.set("spark.sql.shuffle.partitions", 8)
+    spark.conf.set("spark.sql.adaptive.enabled", true)
+
+    // Experiment 2: bucketed-table amortization — write orders+lineitem
+    // bucketed by the join key ONCE (the expensive step), then join N
+    // times with zero exchanges vs the plain shuffle join each time.
+    val bdir = s"/tmp/graft_probe_bucketed_${sfDir.replaceAll("[^0-9.]", "")}"
+    val t0b = System.nanoTime()
+    Tables.t(spark, sfDir, "orders").write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$bdir/orders").saveAsTable("probe_orders")
+    Tables.t(spark, sfDir, "lineitem").write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$bdir/lineitem").saveAsTable("probe_lineitem")
+    val writeSec = (System.nanoTime() - t0b) / 1e9
+    def bucketedJoin: DataFrame =
+      spark.table("probe_orders")
+        .join(spark.table("probe_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum("l_extendedprice").as("rev"))
+    val plainSec = (1 to 3).map(_ => run(shuffleJoin)).min
+    val bucketedSec = (1 to 3).map(_ => run(bucketedJoin)).min
+    println(f"""{"experiment":"bucketed_reuse","bucket_write_once":$writeSec%.3f,"plain_join":$plainSec%.3f,"bucketed_join":$bucketedSec%.3f}""")
+    spark.sql("DROP TABLE IF EXISTS probe_orders")
+    spark.sql("DROP TABLE IF EXISTS probe_lineitem")
+
+    // Experiment 3: scan-split sizing — maxPartitionBytes controls how
+    // many tasks read a file (row-group granularity). Too-large splits
+    // serialize the scan on a few cores; the aggregate is scan-bound.
+    for (mb <- Seq(1, 8, 128)) {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", s"${mb}MB")
+      val scanAgg = Tables.t(spark, sfDir, "lineitem")
+        .agg(sum("l_extendedprice"), avg("l_quantity"))
+      val secs = (1 to 3).map(_ => run(scanAgg)).min
+      val tasks = Tables.t(spark, sfDir, "lineitem").rdd.getNumPartitions
+      println(f"""{"experiment":"scan_split","maxPartitionBytes_mb":$mb,"scan_tasks":$tasks,"agg_sec":$secs%.3f}""")
+    }
     spark.stop()
   }
 }
