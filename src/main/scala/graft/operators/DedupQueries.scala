@@ -558,7 +558,49 @@ object DedupQueries {
        |WHERE hamming <= $SimhashMaxHamming ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Window length / stride for [[dedupSubstring]]. */
+  val SubstrLen = 64
+  val SubstrStride = 32
+  val SubstrMaxDf = 10
+
+  /** CHARACTER-level exact-substring dedup (the "train-data substring
+    * duplication" signal — word-level shingles miss shared spans that
+    * cross token boundaries or live inside long words): each doc emits
+    * its [[SubstrLen]]-char windows at stride [[SubstrStride]]
+    * (overlapping, so any shared span ≥ len+stride−1 chars is
+    * guaranteed to produce at least one aligned identical window —
+    * only SPAN ALIGNMENT to the stride grid matters, not absolute
+    * position). Windows leave the projection as xxhash64 longs; a
+    * window shared by more than [[SubstrMaxDf]] docs is boilerplate
+    * and dropped (the same fan-out cap as decontamination), the rest
+    * bucket docs pairwise. Output: (doc_a, doc_b, n_shared windows).
+    *
+    * Scale: one narrow (doc_id, hash) projection — ~len/stride
+    * 8-byte keys per doc — one df aggregate, and a bucket-local
+    * self-join bounded by df ≤ MaxDf (≤ 45 pairs per window). Text
+    * never shuffles. */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val wnd = t(s, dir, "documents")
+      .filter(length(txt) >= SubstrLen)
+      .select(col("doc_id"), explode(
+        transform(
+          sequence(lit(1), length(txt) - (SubstrLen - 1), lit(SubstrStride)),
+          i => xxhash64(txt.substr(i, lit(SubstrLen))))).as("h"))
+      .distinct()
+    val keep = wnd.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= SubstrMaxDf)
+      .select("h")
+    val w2 = wnd.join(keep, "h")
+    w2.join(w2.withColumnRenamed("doc_id", "doc_b"), "h")
+      .filter(col("doc_id") < col("doc_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> dedupSubstring,
     "dedup_components" -> dedupComponents,
     "dedup_components_star" -> dedupComponentsStar,
     "pipeline_near_dedup" -> pipelineNearDedup,
@@ -570,6 +612,23 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard)
 
   val oracleSql: Map[String, String] = Map(
+    // string windows where Spark joins on xxhash64 longs — identical
+    // join semantics absent a collision (which would hash-mismatch)
+    "dedup_substring" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |           WHERE length(text) >= $SubstrLen),
+         |w0 AS (SELECT doc_id,
+         |    unnest(list_transform(
+         |      generate_series(1, length(text) - ${SubstrLen - 1}, $SubstrStride),
+         |      i -> substr(text, i, $SubstrLen))) AS wnd
+         |  FROM d),
+         |w AS (SELECT DISTINCT doc_id, wnd FROM w0),
+         |keep AS (SELECT wnd FROM w GROUP BY wnd
+         |         HAVING count(*) BETWEEN 2 AND $SubstrMaxDf)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM w a JOIN w b ON a.wnd = b.wnd AND a.doc_id < b.doc_id
+         |JOIN keep k ON k.wnd = a.wnd
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_minhash" -> minhashOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_simhash_pairs" -> simhashPairsOracleSql,
