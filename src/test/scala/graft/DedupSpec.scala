@@ -155,4 +155,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       assert(r.getLong(0) < r.getLong(1))
     }
   }
+
+  test("substring pairs equal a brute-force driver-side replay") {
+    import graft.operators.DedupQueries.{SubstrLen, SubstrStride, SubstrMaxDf}
+    val docsArr = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // replay: stride windows -> distinct per doc -> df cap -> pairs
+    val byWindow = scala.collection.mutable.Map.empty[String, Set[Long]]
+    for ((id, text) <- docsArr if text.length >= SubstrLen) {
+      val wnds = (0 to text.length - SubstrLen by SubstrStride)
+        .map(i => text.substring(i, i + SubstrLen)).toSet
+      wnds.foreach(w => byWindow(w) = byWindow.getOrElse(w, Set.empty) + id)
+    }
+    val expect = byWindow.values
+      .filter(ds => ds.size >= 2 && ds.size <= SubstrMaxDf)
+      .flatMap(ds => ds.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, hits) => (p._1, p._2, hits.size.toLong) }
+      .toSet
+    val got = SparkEntry.queries("dedup_substring")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got.foreach { case (a, b, n) => assert(a < b && n >= 1) }
+    assert(got == expect)
+  }
 }
