@@ -148,6 +148,51 @@ object WindowQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** Peak CONCURRENCY per day (how many user sessions are active at
+    * once — the ops metric behind capacity planning), computed as a
+    * sweep-line over the [[winSessionize]] session intervals with a
+    * TWO-LEVEL DISTRIBUTED PREFIX SUM: a naive sweep needs one global
+    * running sum (a single-task window — the anti-scale shape), so
+    * instead endpoint deltas (+1 at start, −1 at end, half-open
+    * [start, end+1) intervals) sweep LOCALLY inside day bins, and each
+    * bin's carry-in offset comes from a running sum over the per-bin
+    * totals — a #bins-row frame, negligible at any corpus size. Ties
+    * at one (t, delta) are interchangeable rows (same delta), so the
+    * per-row sums are order-independent as a set and the daily max is
+    * exact. Output: (day_bin, peak) — bit-exact integers.
+    *
+    * The oracle replays the logically-identical single global window;
+    * the two-level decomposition is exactly associative so the values
+    * agree (the same argument as the integer training loops). */
+  def winConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val DayS = 86400L
+    val sessions = t(s, dir, "events")
+      .withColumn("brk",
+        when(col("ts_s") - lag("ts_s", 1).over(
+          Window.partitionBy("user_id").orderBy("ts_s", "event_id")) > SessionGapS, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_id", sum("brk").over(
+        Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_s").as("start_s"), (max("ts_s") + 1).as("end_s"))
+    val endpoints = sessions.select(col("start_s").as("t"), lit(1L).as("delta"))
+      .unionAll(sessions.select(col("end_s").as("t"), lit(-1L).as("delta")))
+      .withColumn("bin", expr(s"t div $DayS"))
+    val local = endpoints.withColumn("run",
+      sum("delta").over(Window.partitionBy("bin").orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = endpoints.groupBy("bin").agg(sum("delta").as("tot"))
+      .withColumn("off",
+        coalesce(sum("tot").over(Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bin", "off")
+    local.join(broadcast(offsets), "bin")
+      .groupBy(col("bin").as("day_bin"))
+      .agg(max(col("off") + col("run")).as("peak"))
+      .orderBy("day_bin")
+  }
+
   /** SCD2 history build: per user, collapse consecutive identical
     * event_types, then emit validity intervals [valid_from, valid_to)
     * with lead() — the slowly-changing-dimension shape every warehouse
@@ -186,6 +231,7 @@ object WindowQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_concurrency" -> winConcurrency,
     "win_first_last" -> winFirstLast,
     "win_sessionize" -> winSessionize,
     "pipeline_scd2" -> pipelineScd2,
@@ -198,6 +244,29 @@ object WindowQueries {
     "win_ntile" -> winNtile)
 
   val oracleSql: Map[String, String] = Map(
+    // single global window — logically identical to the engine's
+    // two-level prefix sum (associative integer sums)
+    "win_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |b AS (SELECT user_id, event_id, ts_s,
+        |    CASE WHEN ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |s AS (SELECT user_id, ts_s,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM b),
+        |sess AS (SELECT user_id, session_id,
+        |    min(ts_s) AS start_s, max(ts_s) + 1 AS end_s
+        |  FROM s GROUP BY 1, 2),
+        |ep AS (SELECT start_s AS t, 1 AS delta FROM sess
+        |       UNION ALL SELECT end_s, -1 FROM sess),
+        |c AS (SELECT t, t // 86400 AS day_bin,
+        |    sum(delta) OVER (ORDER BY t, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM ep)
+        |SELECT day_bin, CAST(max(conc) AS BIGINT) AS peak
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "win_first_last" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_totalprice) OVER w AS first_price,
