@@ -74,7 +74,30 @@ object GraphQueries {
     ranks.orderBy("node")
   }
 
+  /** Triangle LISTING over the substring-duplicate pair graph
+    * (DedupQueries.dedupSubstring) — the third classic iterative-graph
+    * primitive next to pagerank and components; on a dedup graph a
+    * triangle is a 3-doc near-duplicate clique, the strongest cluster
+    * signal. Standard distributed shape: edges ordered doc_a < doc_b,
+    * wedge join on the shared smallest vertex (p2.doc_a = p1.doc_a,
+    * p2.doc_b > p1.doc_b), then one closing equi-join — each triangle
+    * is produced EXACTLY once as (a < b < c), no post-dedup needed. At
+    * scale the refinement is degree-ordering vertices before the wedge
+    * join (bounds wedges by arboricity); the join shape is unchanged. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val p = DedupQueries.dedupSubstring(s, dir).select("doc_a", "doc_b")
+    val p1 = p.as("p1"); val p2 = p.as("p2"); val p3 = p.as("p3")
+    p1.join(p2, col("p2.doc_a") === col("p1.doc_a") &&
+        col("p2.doc_b") > col("p1.doc_b"))
+      .join(p3, col("p3.doc_a") === col("p1.doc_b") &&
+        col("p3.doc_b") === col("p2.doc_b"))
+      .select(col("p1.doc_a").as("doc_a"), col("p1.doc_b").as("doc_b"),
+        col("p2.doc_b").as("doc_c"))
+      .orderBy("doc_a", "doc_b", "doc_c")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_triangles" -> graphTriangles,
     "graph_pagerank" -> graphPagerank)
 
   /** The unrolled-CTE oracle is GENERATED from [[PrIters]] so the
@@ -106,6 +129,31 @@ object GraphQueries {
       s"\nSELECT node, pr FROM r$iters ORDER BY node"
   }
 
+  /** Replays dedup_substring's pair derivation (string windows ≙ the
+    * engine's xxhash64 keys) then the same ordered wedge+close joins. */
+  private def trianglesOracle: String = {
+    import DedupQueries.{SubstrLen, SubstrStride, SubstrMaxDf}
+    s"""WITH d AS (SELECT doc_id, text FROM documents
+       |           WHERE length(text) >= $SubstrLen),
+       |w0 AS (SELECT doc_id,
+       |    unnest(list_transform(
+       |      generate_series(1, length(text) - ${SubstrLen - 1}, $SubstrStride),
+       |      i -> substr(text, i, $SubstrLen))) AS wnd
+       |  FROM d),
+       |w AS (SELECT DISTINCT doc_id, wnd FROM w0),
+       |keep AS (SELECT wnd FROM w GROUP BY wnd
+       |         HAVING count(*) BETWEEN 2 AND $SubstrMaxDf),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM w a JOIN w b ON a.wnd = b.wnd AND a.doc_id < b.doc_id
+       |          JOIN keep k ON k.wnd = a.wnd)
+       |SELECT p1.doc_a AS doc_a, p1.doc_b AS doc_b, p2.doc_b AS doc_c
+       |FROM pairs p1
+       |JOIN pairs p2 ON p2.doc_a = p1.doc_a AND p2.doc_b > p1.doc_b
+       |JOIN pairs p3 ON p3.doc_a = p1.doc_b AND p3.doc_b = p2.doc_b
+       |ORDER BY doc_a, doc_b, doc_c""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "graph_triangles" -> trianglesOracle,
     "graph_pagerank" -> pagerankOracle(PrIters))
 }
