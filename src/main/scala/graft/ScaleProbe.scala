@@ -92,6 +92,9 @@ object ScaleProbe {
     println(f"""{"experiment":"bucketed_reuse","bucket_write_once":$writeSec%.3f,"plain_join":$plainSec%.3f,"bucketed_join":$bucketedSec%.3f}""")
     spark.sql("DROP TABLE IF EXISTS probe_orders")
     spark.sql("DROP TABLE IF EXISTS probe_lineitem")
+    // external tables: DROP removes only metadata — delete the data
+    // dir too so repeated probe runs don't accumulate in /tmp
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bdir))
 
     // Experiment 3: scan-split sizing — maxPartitionBytes controls how
     // many tasks read a file (row-group granularity). Too-large splits

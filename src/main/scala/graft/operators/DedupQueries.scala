@@ -579,7 +579,13 @@ object DedupQueries {
     * 8-byte keys per doc — one df aggregate, and a bucket-local
     * self-join bounded by df ≤ MaxDf (≤ 45 pairs per window). Text
     * never shuffles. */
-  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    substringPairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** [[dedupSubstring]] minus its presentation sort — the form consumers
+    * that re-join the pairs (GraphQueries.graphTriangles) compose over,
+    * so no global sort is buried under their joins. */
+  def substringPairs(s: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
     val wnd = t(s, dir, "documents")
       .filter(length(txt) >= SubstrLen)
@@ -596,7 +602,6 @@ object DedupQueries {
       .filter(col("doc_id") < col("doc_b"))
       .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .orderBy("doc_a", "doc_b")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

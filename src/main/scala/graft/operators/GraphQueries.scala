@@ -75,24 +75,64 @@ object GraphQueries {
   }
 
   /** Triangle LISTING over the substring-duplicate pair graph
-    * (DedupQueries.dedupSubstring) — the third classic iterative-graph
+    * (DedupQueries.substringPairs) — the third classic iterative-graph
     * primitive next to pagerank and components; on a dedup graph a
     * triangle is a 3-doc near-duplicate clique, the strongest cluster
-    * signal. Standard distributed shape: edges ordered doc_a < doc_b,
-    * wedge join on the shared smallest vertex (p2.doc_a = p1.doc_a,
-    * p2.doc_b > p1.doc_b), then one closing equi-join — each triangle
-    * is produced EXACTLY once as (a < b < c), no post-dedup needed. At
-    * scale the refinement is degree-ordering vertices before the wedge
-    * join (bounds wedges by arboricity); the join shape is unchanged. */
+    * signal.
+    *
+    * DEGREE-ORDERED wedge join (the standard skew defense, cf. the
+    * "compact-forward" / node-iterator++ algorithm): every undirected
+    * edge is oriented from its lower-(degree, id) endpoint to the
+    * higher one, and wedges form only at a vertex's OUT-edges. A hub
+    * of degree d then contributes wedges bounded by the graph's
+    * arboricity (out-degree ≤ O(√m) for every vertex), not d² — a
+    * naive wedge join on the raw `doc_a` key blows up quadratically
+    * on one join key for a boilerplate-heavy doc that pairs with
+    * thousands of others. Each triangle {x,y,z} with rank(x) <
+    * rank(y) < rank(z) is emitted exactly once, at x (its two
+    * out-edges x→y, x→z form the wedge; the closing edge is y→z by
+    * orientation); output is re-sorted to id order (a < b < c) so the
+    * result is identical to the naive formulation.
+    *
+    * The pair edges are materialized ONCE (localCheckpoint) — the
+    * substring-pair derivation is itself a multi-shuffle pipeline,
+    * and the three join branches would otherwise each re-derive it,
+    * reuse being plan-dependent. The oracle deliberately replays the
+    * NAIVE unoriented wedge join, so the hash check proves the
+    * orientation rewrite preserves the triangle set rather than both
+    * engines replaying the same plan. */
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
-    val p = DedupQueries.dedupSubstring(s, dir).select("doc_a", "doc_b")
-    val p1 = p.as("p1"); val p2 = p.as("p2"); val p3 = p.as("p3")
-    p1.join(p2, col("p2.doc_a") === col("p1.doc_a") &&
-        col("p2.doc_b") > col("p1.doc_b"))
-      .join(p3, col("p3.doc_a") === col("p1.doc_b") &&
-        col("p3.doc_b") === col("p2.doc_b"))
-      .select(col("p1.doc_a").as("doc_a"), col("p1.doc_b").as("doc_b"),
-        col("p2.doc_b").as("doc_c"))
+    val e = DedupQueries.substringPairs(s, dir).select("doc_a", "doc_b")
+      .localCheckpoint(true)
+    val deg = e.select(col("doc_a").as("v"))
+      .union(e.select(col("doc_b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // doc_a < doc_b always, so on equal degree the tie-break by id
+    // keeps the edge as-is
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("doc_a") < col("doc_b"))
+    val oriented = e
+      .join(deg.select(col("v").as("doc_a"), col("d").as("da")), "doc_a")
+      .join(deg.select(col("v").as("doc_b"), col("d").as("db")), "doc_b")
+      .select(
+        when(aLower, col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(aLower, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+        when(aLower, col("db")).otherwise(col("da")).as("dstd"))
+      .localCheckpoint(true)
+    val o1 = oriented.as("o1"); val o2 = oriented.as("o2")
+    val o3 = oriented.as("o3")
+    // wedge at the lowest-rank vertex: pick the two out-edges in rank
+    // order of their far endpoints so each wedge forms exactly once
+    val wedge = o1.join(o2, col("o2.src") === col("o1.src") &&
+      (col("o1.dstd") < col("o2.dstd") ||
+        (col("o1.dstd") === col("o2.dstd") && col("o1.dst") < col("o2.dst"))))
+    wedge.join(o3, col("o3.src") === col("o1.dst") &&
+        col("o3.dst") === col("o2.dst"))
+      .select(col("o1.src").as("x"), col("o1.dst").as("y"), col("o2.dst").as("z"))
+      .select(least(col("x"), col("y"), col("z")).as("doc_a"),
+        (col("x") + col("y") + col("z") - least(col("x"), col("y"), col("z"))
+          - greatest(col("x"), col("y"), col("z"))).as("doc_b"),
+        greatest(col("x"), col("y"), col("z")).as("doc_c"))
       .orderBy("doc_a", "doc_b", "doc_c")
   }
 

@@ -366,6 +366,14 @@ object InferenceQueries {
         .agg(sum(col("y") * col("col")).as("dw"), sum("y").as("db"),
           count(lit(1)).as("n_mis"))
         .collect()
+      // db/n_mis are per-POS aggregates read once from the head row,
+      // correct only because every pos group aggregates the same
+      // misclassified rows — i.e. every vector has exactly Dim
+      // elements. A ragged vector would silently corrupt bias and
+      // counts, so fail loudly instead (ADVICE r4).
+      require(upd.map(_.getLong(3)).distinct.length <= 1 &&
+        upd.map(_.getLong(2)).distinct.length <= 1,
+        s"ragged embedding: per-pos misclassified sets differ at epoch $it")
       val n = if (upd.isEmpty) 0L else upd.head.getLong(3)
       if (upd.nonEmpty) b += upd.head.getLong(2)
       upd.foreach(r => w(r.getInt(0)) += r.getLong(1))

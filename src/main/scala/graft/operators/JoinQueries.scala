@@ -258,7 +258,65 @@ object JoinQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Sets the runtime-Bloom-filter confs (thresholds test-sized down —
+    * at 100 TB the production defaults of 10 MB creation side / 10 GB
+    * application side fire on exactly this shape), runs `body`, and
+    * restores the previous conf state so no other query's plan is
+    * perturbed. Conf-scoped because runtime filter injection is an
+    * optimizer decision, not a DataFrame-level hint. */
+  def withBloomConfs[A](s: SparkSession)(body: => A): A = {
+    val conf = s.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(conf.get(k)).toOption)
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // keep a shuffle join: broadcast joins don't take runtime filters,
+      // and the 100 TB shape this models has a dim above the threshold
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      body
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
+  /** The join shape runtime Bloom pruning exists for: a selective dim
+    * filter (suppliers of one nation) joined to the full fact table.
+    * The optimizer builds a Bloom filter from the filtered dim and
+    * injects it into the LINEITEM scan, dropping ~96% of fact rows
+    * BEFORE the shuffle — at 100 TB the difference between shuffling
+    * the whole fact table and shuffling the ~4% that can join.
+    * Plan injection asserted in ScaleSpec on this exact dataflow. */
+  def bloomJoinShape(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice")
+    val dim = t(s, dir, "supplier")
+      .filter(col("s_nationkey") === 3)
+      .select("s_suppkey")
+    big.join(dim, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_lines"),
+        Fp.r4(sum("l_extendedprice")).as("revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** [[bloomJoinShape]] executed under [[withBloomConfs]]: the eager
+    * localCheckpoint forces execution while the runtime-filter confs
+    * are active, then the confs are restored — the declared query
+    * really runs the Bloom-pruned plan, and session state leaks to no
+    * other query. Pruning cannot change the result (a Bloom filter
+    * only drops rows the join would drop), which is exactly what the
+    * oracle hash-check proves. */
+  def joinBloomPruned(s: SparkSession, dir: String): DataFrame =
+    withBloomConfs(s) { bloomJoinShape(s, dir).localCheckpoint(true) }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bloom_pruned" -> joinBloomPruned,
     "join_merge_upsert" -> joinMergeUpsert,
     "join_existence" -> joinExistence,
     "join_bucketed" -> joinBucketed,
@@ -274,6 +332,14 @@ object JoinQueries {
     "join_range_binned" -> joinRangeBinned)
 
   val oracleSql: Map[String, String] = Map(
+    // the Bloom filter is pure pruning — the joined/aggregated result
+    // is the plain filtered join, which is what DuckDB replays
+    "join_bloom_pruned" ->
+      """SELECT s_suppkey, count(*) AS n_lines,
+        |  floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 3
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
     // same single IEEE multiply then r4 on both engines
     "join_merge_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus

@@ -136,7 +136,37 @@ object SortSetQueries {
       .orderBy("n_name", "rn")
   }
 
+  /** PartialTopK driven through its ADVERSARIAL-CARDINALITY flush
+    * path as a declared, oracle-checked query: per-ORDER top-2 line
+    * items with maxKeys forced down to 64, so every partition sees
+    * orders-per-partition ≫ 64 distinct keys and the operator flushes
+    * its batch downstream many times per partition (the memory guard
+    * that keeps it O(maxKeys·k) under any key cardinality). A flush
+    * only trades pruning ratio — each batch still emits a superset of
+    * every key's true top-k — so the re-rank must reproduce the
+    * unpruned window answer bit-for-bit, which is exactly what the
+    * oracle computes. Previously this path was only property-tested
+    * (PlansSpec); the driver now hash-checks it every round. */
+  def topkFlush(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.PartialTopK.ensureRegistered(s)
+    val l = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val pruned = graft.plans.PartialTopK.partialTopK(
+      l, Seq("l_orderkey"),
+      Seq("l_extendedprice" -> false, "l_linenumber" -> true), 2,
+      maxKeys = 64)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey")
+      .orderBy(desc("l_extendedprice"), asc("l_linenumber"))
+    pruned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+      .orderBy("l_orderkey", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topk_flush" -> topkFlush,
     "topk_join" -> topkJoin,
     "topk_per_key" -> topkPerKey,
     "set_union_byname" -> setUnionByName,
@@ -148,6 +178,15 @@ object SortSetQueries {
     "set_except" -> setExcept)
 
   val oracleSql: Map[String, String] = Map(
+    // unpruned formulation — the flush-path pruning must be invisible
+    "topk_flush" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |  FROM lineitem) x
+        |WHERE rn <= 2 ORDER BY l_orderkey, rn""".stripMargin,
     // unpruned window + join formulation — the partial operator must
     // be invisible in the result
     "topk_join" ->

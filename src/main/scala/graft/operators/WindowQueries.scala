@@ -163,7 +163,15 @@ object WindowQueries {
     *
     * The oracle replays the logically-identical single global window;
     * the two-level decomposition is exactly associative so the values
-    * agree (the same argument as the integer training loops). */
+    * agree (the same argument as the integer training loops).
+    *
+    * SEMANTICS (deliberate, oracle-mirrored): the per-day peak is the
+    * max of concurrency sampled AT ENDPOINT ROWS falling in that day —
+    * the day a level CHANGES. A day with no endpoints emits no row,
+    * and a level carried in from a prior day is reported on the day it
+    * was established, not re-reported daily. For a true daily-peak
+    * calendar, emit one (t = bin·86400, delta 0) probe row per active
+    * bin before the sweep; the concurrency math is unchanged. */
   def winConcurrency(s: SparkSession, dir: String): DataFrame = {
     val DayS = 86400L
     val sessions = t(s, dir, "events")
@@ -191,6 +199,60 @@ object WindowQueries {
       .groupBy(col("bin").as("day_bin"))
       .agg(max(col("off") + col("run")).as("peak"))
       .orderBy("day_bin")
+  }
+
+  /** Chunk width for [[winSessionizeSalted]] — 6 h of events per salt
+    * bucket, 12× the session gap so boundary merges stay rare. */
+  val SessionChunkS = 21600L
+
+  /** SKEW-HARDENED sessionize: [[winSessionize]] partitions by
+    * user_id alone, so one pathological user (a bot with 100 M events)
+    * serializes an entire task at 100 TB. Here the per-user stream is
+    * SALTED by coarse time chunk ([[SessionChunkS]]) — the same
+    * two-level decomposition win_concurrency uses for day bins:
+    *
+    *  1. sessionize LOCALLY inside each (user, chunk) window — the
+    *     hot user's events spread over #chunks parallel tasks;
+    *  2. collapse each local session to one summary row (start, end,
+    *     count) — events never cross the second shuffle;
+    *  3. merge ACROSS chunk boundaries over the per-user summary rows
+    *     (#local-sessions ≪ #events): a chunk's first session joins
+    *     the previous chunk's last when the boundary gap ≤ gap.
+    *
+    * Within a chunk, consecutive local sessions are separated by
+    * > gap by construction, so only boundary merges exist, and the
+    * boundary gap equals the event gap the unsalted form tests (a
+    * session's end IS its last event). Result is bit-identical to
+    * win_sessionize — the oracle replays the UNSALTED formulation, so
+    * the hash check proves the decomposition, not a shared plan. */
+  def winSessionizeSalted(s: SparkSession, dir: String): DataFrame = {
+    val byChunk = Window.partitionBy("user_id", "chunk")
+      .orderBy("ts_s", "event_id")
+    val local = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts_s"),
+        expr(s"ts_s div $SessionChunkS").as("chunk"))
+      .withColumn("brk",
+        when(col("ts_s") - lag("ts_s", 1).over(byChunk) > SessionGapS, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("lsid", sum("brk").over(
+        byChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "chunk", "lsid")
+      .agg(count(lit(1)).as("n"),
+        min("ts_s").as("start_s"), max("ts_s").as("end_s"))
+    // distinct local sessions of one user never share a start_s
+    // (chunks cover disjoint time ranges; in-chunk sessions are
+    // disjoint), so start_s totally orders the summary rows
+    val byUser = Window.partitionBy("user_id").orderBy("start_s")
+    local
+      .withColumn("gbrk",
+        when(col("start_s") - lag("end_s", 1).over(byUser) > SessionGapS, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_id", sum("gbrk").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(sum("n").as("n_events"), min("start_s").as("start_s"),
+        (max("end_s") - min("start_s")).as("dur_s"))
+      .orderBy("user_id", "session_id")
   }
 
   /** SCD2 history build: per user, collapse consecutive identical
@@ -234,6 +296,7 @@ object WindowQueries {
     "win_concurrency" -> winConcurrency,
     "win_first_last" -> winFirstLast,
     "win_sessionize" -> winSessionize,
+    "win_sessionize_salted" -> winSessionizeSalted,
     "pipeline_scd2" -> pipelineScd2,
     "pipeline_gapfill" -> pipelineGapfill,
     "win_percent" -> winPercent,
@@ -276,6 +339,22 @@ object WindowQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // deliberately the UNSALTED single-window formulation: the salted
+    // two-level decomposition must be invisible in the result
+    "win_sessionize_salted" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |b AS (SELECT user_id, event_id, ts_s,
+        |    CASE WHEN ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |s AS (SELECT user_id, ts_s,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_s) AS start_s, max(ts_s) - min(ts_s) AS dur_s
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "win_sessionize" ->
       """WITH e AS (SELECT user_id, event_id,
         |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),

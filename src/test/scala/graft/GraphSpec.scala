@@ -28,6 +28,43 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(a.sameElements(b))
   }
 
+  /** Crafted hub: doc 0 shares a distinct window with each of docs
+    * 1..40 (star, degree 42) plus docs 41/42 which also share a window
+    * with each other — the boilerplate-heavy-doc shape the r4 verdict
+    * flagged. Degree orientation must (a) still list exactly the one
+    * real triangle and (b) leave the hub with out-degree 0, so no
+    * O(d²) wedge fan-out can form at it. */
+  test("graph_triangles under a hub vertex: correct and degree-oriented") {
+    import spark.implicits._
+    val L = operators.DedupQueries.SubstrLen
+    def w(tag: Int): String = { val s0 = "w" + tag.toString; s0 + "x" * (L - s0.length) }
+    val star = (1 to 40).map(i => (i.toLong, w(i)))
+    val hub = (0L, ((1 to 40).map(w) ++ Seq(w(41), w(42))).mkString)
+    val a = (41L, w(41) + w(100)) // shares w41 with hub, w100 with b
+    val b = (42L, w(42) + w(100))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hub").toString
+    (star :+ hub :+ a :+ b).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val tris = operators.GraphQueries.graphTriangles(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tris == Set((0L, 41L, 42L)), s"wrong triangle set: $tris")
+    // replay the orientation: every edge points low-(deg,id) -> high,
+    // so the hub (max degree) takes no out-edges and per-vertex wedge
+    // work is bounded by arboricity, not hub-degree squared
+    val pairs = operators.DedupQueries.substringPairs(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == 43, "expected 42 star edges + 1 (41,42) edge")
+    val deg = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (v, hits) => v -> hits.length.toLong }
+    val outDeg = pairs
+      .map { case (x, y) =>
+        if (deg(x) < deg(y) || (deg(x) == deg(y) && x < y)) x else y }
+      .groupBy(v => v).map { case (v, hits) => v -> hits.length }
+    assert(outDeg.getOrElse(0L, 0) == 0, "hub must take no out-edges")
+    assert(outDeg.values.max <= 2, s"out-degree not arboricity-bounded: $outDeg")
+  }
+
   test("pipeline_gapfill emits a dense per-user calendar with no unfilled days") {
     val g = operators.WindowQueries.pipelineGapfill(spark, sf).cache()
     // dense calendar: row count per user == span length in days

@@ -70,33 +70,41 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     * (10 MB creation side / 10 GB application side) are test-sized
     * down; what's asserted is that the mechanism fires on our join
     * shape — config, not code, at scale. */
+  /** One synthetic user with 50k events spanning ~70 six-hour chunks:
+    * 50 true sessions (a >1800 s gap every 1000 events), each chained
+    * across many chunk boundaries — the pathological key that would
+    * serialize one task in the unsalted form. The salted two-level
+    * sessionize must reproduce the unsalted result bit-for-bit, here
+    * and on the real fixture. */
+  test("win_sessionize_salted equals unsalted sessionize incl. a hot user") {
+    import graft.operators.WindowQueries
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotuser").toString
+    spark.range(50000).select(
+        col("id").as("event_id"), lit(1L).as("user_id"),
+        ((lit(1704067200L) + col("id") * 30 +
+          expr("id div 1000") * 7200) * lit(1000000000L)).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val salted = WindowQueries.winSessionizeSalted(spark, dir).collect().toSeq
+    val plain = WindowQueries.winSessionize(spark, dir).collect().toSeq
+    assert(salted == plain)
+    assert(salted.length == 50, s"expected 50 sessions, got ${salted.length}")
+    val a = WindowQueries.winSessionizeSalted(spark, sf).collect().toSeq
+    val b = WindowQueries.winSessionize(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
   test("runtime bloom filter prunes the big side of a selective join") {
-    val conf = spark.conf
-    val saved = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-      "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled",
-      "spark.sql.autoBroadcastJoinThreshold")
-      .map(k => k -> util.Try(conf.get(k)).toOption).toMap
-    try {
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep a shuffle join
-      val big = graft.Tables.t(spark, "/root/testdata/sf0.01", "lineitem")
-        .select("l_orderkey", "l_suppkey", "l_extendedprice")
-      val dim = graft.Tables.t(spark, "/root/testdata/sf0.01", "supplier")
-        .filter(col("s_nationkey") === 3) // selective creation side
-        .select("s_suppkey")
-      val q = big.join(dim, col("l_suppkey") === col("s_suppkey"))
-        .agg(count(lit(1)).as("n"))
+    import graft.operators.JoinQueries
+    // the DECLARED query's dataflow under its own conf scope — the
+    // plan asserted here is the plan join_bloom_pruned executes
+    JoinQueries.withBloomConfs(spark) {
+      val q = JoinQueries.bloomJoinShape(spark, "/root/testdata/sf0.01")
       q.collect()
       val plan = q.queryExecution.executedPlan.toString
       assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
         s"runtime bloom filter did not inject; final plan:\n$plan")
-    } finally saved.foreach { case (k, v) =>
-      v.fold(conf.unset(k))(conf.set(k, _))
     }
+    // conf scoping restored session state: the flag is back to default
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
   }
 }
