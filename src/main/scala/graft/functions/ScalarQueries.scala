@@ -230,7 +230,31 @@ object ScalarQueries {
       .orderBy("o_orderkey")
   }
 
+  /** The engine's injected SQL surface exercised as a DECLARED query:
+    * [[GraftFunctions.registerSql]] puts the custom codegen'd
+    * expressions into the session's function registry (the same
+    * builders `spark.sql.extensions=graft.functions.GraftExtensions`
+    * injects at session build), then pure SQL calls `dot_i64` like a
+    * built-in. Quantization (floor(x·1024+0.5) — exact in double for
+    * any float32) makes the self-dot a BIGINT, so the oracle replays
+    * it with integer arithmetic, no FP-summation-order risk. Until
+    * now the SQL registration path was only ExtensionsSpec-tested;
+    * this hash-checks it through the driver gate every round. */
+  def scalarDotNative(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.registerSql(s)
+    t(s, dir, "embeddings").createOrReplaceTempView("graft_emb_sqlfn")
+    s.sql(
+      """SELECT vec_id,
+        |  dot_i64(transform(embedding,
+        |            x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT)),
+        |          transform(embedding,
+        |            x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D) AS BIGINT)))
+        |    AS qnorm
+        |FROM graft_emb_sqlfn ORDER BY vec_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_dot_native" -> scalarDotNative,
     "scalar_date_extra" -> scalarDateExtra,
     "scalar_string_extra" -> scalarStringExtra,
     "scalar_bitwise" -> scalarBitwise,
@@ -251,6 +275,14 @@ object ScalarQueries {
     .map { case (k, v) => s"WHEN $k THEN '$v'" }.mkString(" ")
 
   val oracleSql: Map[String, String] = Map(
+    // integer-quantized self-dot: exact BIGINT on both engines
+    "scalar_dot_native" ->
+      """SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS qnorm
+        |FROM (SELECT vec_id,
+        |        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024.0 + 0.5)
+        |          AS BIGINT) AS xq
+        |      FROM embeddings)
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "scalar_date_extra" ->
       """SELECT o_orderkey,
         |  CAST(quarter(CAST(o_orderdate AS DATE)) AS INTEGER) AS qtr,

@@ -238,6 +238,128 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  /** Chunk width for [[streamScd2]]'s time-ordered micro-batches. */
+  val Scd2ChunkS: Long = 86400L * 7
+
+  /** Streaming SCD2 MERGE — composes [[streamForeachBatch]]'s
+    * incremental-state mechanism with pipeline_scd2's history build:
+    * each micro-batch extends a keyed SCD2 history table instead of
+    * recomputing it, the warehouse-ingest shape for maintaining a
+    * slowly-changing dimension from a change stream.
+    *
+    * Input is the events table split into [[Scd2ChunkS]] time chunks,
+    * written sequentially as one file each and streamed with
+    * maxFilesPerTrigger=1, so micro-batches arrive in event-time order
+    * (FileStreamSource processes files in modification-time order) —
+    * the precondition every incremental SCD2 merge has. Per batch:
+    *
+    *  1. batch-local SCD2 rows (the same two-window change/lead pass
+    *     as pipeline_scd2, open tail has valid_to null);
+    *  2. full-outer join of the state's OPEN rows against each user's
+    *     FIRST batch change row: no batch events → open row survives;
+    *     same type → open interval EXTENDS (absorbs the first row's
+    *     span — the first batch event was not a global change); new
+    *     type → open row CLOSES at the batch's first change ts;
+    *  3. closed state rows and later batch rows pass through, and the
+    *     new state swaps in via eager localCheckpoint + overwrite
+    *     (the stream_foreachbatch pattern).
+    *
+    * The checkpoint makes re-runs process zero batches (idempotent),
+    * and the final history is BATCH-SPLIT-INVARIANT given time-ordered
+    * chunks, which is exactly what the oracle proves: it replays the
+    * one-shot batch SCD2 over all events (pipeline_scd2's SQL) and the
+    * incrementally-merged table must hash-match it. */
+  def streamScd2(s: SparkSession, dir: String): DataFrame = {
+    val tag = contentTag(s, dir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_scd2_$tag"
+    val src = t(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "ts_s")
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+      val chunks = src.select(expr(s"ts_s div $Scd2ChunkS").as("c"))
+        .distinct().orderBy("c").collect().map(_.getLong(0))
+      chunks.foreach { c =>
+        src.filter(expr(s"ts_s div $Scd2ChunkS") === c)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+        Thread.sleep(50) // distinct mod-times => deterministic file order
+      }
+    }
+    val statePath = s"$base/state"
+    val q = s.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val sess = batch.sparkSession
+        val byTime = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+        val bscd = batch
+          .withColumn("prev_type", lag("event_type", 1).over(byTime))
+          .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+          .withColumn("valid_to", lead("ts_s", 1).over(byTime))
+          .select(col("user_id"), col("event_id").as("first_event_id"),
+            col("event_type"), col("ts_s").as("valid_from"), col("valid_to"))
+        val merged =
+          if (!new java.io.File(s"$statePath/_SUCCESS").exists()) bscd
+          else {
+            val state = sess.read.parquet(statePath)
+            val sOpen = state.filter(col("valid_to").isNull)
+              .select(col("user_id"), col("first_event_id").as("s_fid"),
+                col("event_type").as("s_type"), col("valid_from").as("s_from"))
+            val sClosed = state.filter(col("valid_to").isNotNull)
+            val rn = row_number().over(
+              Window.partitionBy("user_id").orderBy("valid_from", "first_event_id"))
+            val flagged = bscd.withColumn("rn", rn)
+            val bFirst = flagged.filter(col("rn") === 1)
+              .select(col("user_id"), col("first_event_id").as("b_fid"),
+                col("event_type").as("b_type"), col("valid_from").as("b_from"),
+                col("valid_to").as("b_to"))
+            val bRest = flagged.filter(col("rn") > 1).drop("rn")
+            val j = sOpen.join(bFirst, Seq("user_id"), "full_outer")
+            val openNull = lit(null).cast("long")
+            // user silent this batch: open row survives untouched
+            val keepOpen = j.filter(col("b_fid").isNull)
+              .select(col("user_id"), col("s_fid").as("first_event_id"),
+                col("s_type").as("event_type"), col("s_from").as("valid_from"),
+                openNull.as("valid_to"))
+            // user new this batch: its first change row stands as-is
+            val newUser = j.filter(col("s_fid").isNull)
+              .select(col("user_id"), col("b_fid").as("first_event_id"),
+                col("b_type").as("event_type"), col("b_from").as("valid_from"),
+                col("b_to").as("valid_to"))
+            // same type across the boundary: NOT a global change —
+            // the open interval absorbs the first batch span
+            val extended = j.filter(col("s_fid").isNotNull && col("b_fid").isNotNull
+                && col("s_type") === col("b_type"))
+              .select(col("user_id"), col("s_fid").as("first_event_id"),
+                col("s_type").as("event_type"), col("s_from").as("valid_from"),
+                col("b_to").as("valid_to"))
+            // type changed: close the open row at the batch's first
+            // change ts; the batch row stands
+            val changed = j.filter(col("s_fid").isNotNull && col("b_fid").isNotNull
+                && col("s_type") =!= col("b_type"))
+            val closedAtBatch = changed
+              .select(col("user_id"), col("s_fid").as("first_event_id"),
+                col("s_type").as("event_type"), col("s_from").as("valid_from"),
+                col("b_from").as("valid_to"))
+            val changedNew = changed
+              .select(col("user_id"), col("b_fid").as("first_event_id"),
+                col("b_type").as("event_type"), col("b_from").as("valid_from"),
+                col("b_to").as("valid_to"))
+            Seq(sClosed, keepOpen, newUser, extended, closedAtBatch,
+              changedNew, bRest).reduce(_ unionByName _)
+          }
+        val out = merged.localCheckpoint(true)
+        out.write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(statePath)
+      .select("user_id", "first_event_id", "event_type", "valid_from", "valid_to")
+      .orderBy("user_id", "valid_from", "first_event_id")
+  }
+
   /** Static dimension for stream_enrich: event_type → (weight,
     * category). Broadcast-joined against the stream — the standard
     * stream-static enrichment, STATELESS on the stream side (no
@@ -265,6 +387,7 @@ object StreamQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_scd2" -> streamScd2,
     "stream_foreachbatch" -> streamForeachBatch,
     "stream_enrich" -> streamEnrich,
     "stream_file_sink" -> streamFileSink,
@@ -277,6 +400,22 @@ object StreamQueries {
     "filter_null" -> filterNull)
 
   val oracleSql: Map[String, String] = Map(
+    // the incrementally-merged SCD2 state must equal the ONE-SHOT
+    // batch history over all events — pipeline_scd2's formulation
+    "stream_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |ch AS (SELECT * FROM (
+        |    SELECT user_id, event_id, event_type, ts_s,
+        |      lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts_s, event_id) AS prev_type
+        |    FROM e)
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_id AS first_event_id, event_type,
+        |  ts_s AS valid_from,
+        |  lead(ts_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts_s, event_id) AS valid_to
+        |FROM ch ORDER BY user_id, valid_from, first_event_id""".stripMargin,
     // the foreachBatch upsert's final state equals the plain batch
     // per-user aggregate (merge-associativity of count/sum/max)
     "stream_foreachbatch" ->

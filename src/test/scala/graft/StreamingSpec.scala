@@ -121,6 +121,21 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(seen.asScala.toSeq.sorted == sample.map(_.event_id).sorted)
   }
 
+  test("incremental stream_scd2 equals the one-shot batch SCD2 and is idempotent") {
+    val inc = StreamQueries.streamScd2(spark, sf).collect().toSeq
+    val batch = operators.WindowQueries.pipelineScd2(spark, sf).collect().toSeq
+    assert(inc == batch, "incrementally merged history diverged from batch SCD2")
+    // the merge genuinely ran across micro-batches (one per time chunk)
+    val tagDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_stream_scd2_"))
+    assert(tagDirs.exists(d =>
+        Option(new java.io.File(d, "chk/commits").list()).exists(_.length >= 2)),
+      "expected at least 2 committed micro-batches")
+    // re-run with the same checkpoint processes nothing and is stable
+    val again = StreamQueries.streamScd2(spark, sf).collect().toSeq
+    assert(again == inc)
+  }
+
   test("streaming dropDuplicates dedups a doubled stream exactly") {
     val streamed = runStream(sample ++ sample, StreamQueries.dedupAgg, "t_dedup")
     val n = streamed.agg(sum("n")).collect()(0).getLong(0)
