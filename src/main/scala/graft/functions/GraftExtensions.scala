@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: plans graft.plans.LogicalPartialTopK
     // into its map-side pruning physical operator
     ext.injectPlannerStrategy(_ => graft.plans.PartialTopKStrategy)
+    // optimizer extension: demotes rn<=k window filters to the prune
+    // in the mixed rank+running-agg shape native InferWindowGroupLimit
+    // declines (see TopKDemotion scaladoc for the safety argument)
+    ext.injectOptimizerRule(_ => graft.plans.TopKDemotion)
   }
 }
 

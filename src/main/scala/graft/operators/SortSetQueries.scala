@@ -165,7 +165,49 @@ object SortSetQueries {
       .orderBy("l_orderkey", "rn")
   }
 
+  /** The [[graft.plans.TopKDemotion]] optimizer rule exercised as a
+    * declared query: the USER writes the naive rn<=k leaderboard —
+    * top-3 orders per customer with a running total AND the price gap
+    * to the next-better order (lag). The lag's `-1..-1` frame fails
+    * Spark 4.1's native InferWindowGroupLimit `isExpandingWindow`
+    * check, so Spark plans NO group limit and every order row would
+    * cross the exchange. The injected rule demotes the filter to a
+    * map-side PartialTopK prune; both the running sum and the lag
+    * stay correct because every frame here is contained in the row's
+    * prefix, which the prune provably preserves for surviving rows.
+    * Money is integer cents so the oracle (computing the UNREWRITTEN
+    * formulation) is exact — no FP summation-order risk. PlansSpec
+    * asserts PartialTopKExec lands in the executed plan with no
+    * native WindowGroupLimitExec, and row-for-row equality against
+    * the unrewritten plan. */
+  def topkRewrite(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.PartialTopK.ensureRegistered(s)
+    graft.plans.TopKDemotion.ensureRegistered(s)
+    val o = t(s, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val wf = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    // all three window columns in ONE projection: the analyzer groups
+    // same-(partition,order) window expressions into a single Window
+    // node only within one select — chained withColumns would stack
+    // Window nodes with projections between, hiding the shape from
+    // the rewrite
+    o.select(col("*"), row_number().over(w).as("rn"),
+        sum(cents).over(wf).as("run_cents"),
+        (lag(cents, 1).over(w) - cents).as("gap_cents"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice",
+        "rn", "run_cents", "gap_cents")
+      .orderBy("o_custkey", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topk_rewrite" -> topkRewrite,
     "topk_flush" -> topkFlush,
     "topk_join" -> topkJoin,
     "topk_per_key" -> topkPerKey,
@@ -178,6 +220,25 @@ object SortSetQueries {
     "set_except" -> setExcept)
 
   val oracleSql: Map[String, String] = Map(
+    // the naive (unrewritten) formulation — the demotion rule's prune
+    // must be invisible in the result, running sum included
+    "topk_rewrite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(rn AS INTEGER) AS rn, run_cents, gap_cents FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |      PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS run_cents,
+        |    lag(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |      PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey)
+        |      - CAST(round(o_totalprice * 100) AS BIGINT) AS gap_cents
+        |  FROM orders) x
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     // unpruned formulation — the flush-path pruning must be invisible
     "topk_flush" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice,

@@ -23,10 +23,13 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * unpruned formulation).
   *
   * Relationship to Spark's native `InferWindowGroupLimit` (3.5+):
-  * for the `row_number().over(w) <= k` FILTER pattern, Spark already
-  * inserts a Partial `WindowGroupLimitExec` below the exchange, so no
-  * custom rewrite rule is needed there (and none is provided — it
-  * would be redundant). What this operator adds: (a) it is a
+  * for the pure `row_number().over(w) <= k` FILTER pattern, Spark
+  * already inserts a Partial `WindowGroupLimitExec` below the
+  * exchange, so no custom rewrite duplicates that case. Where the
+  * native rule DECLINES — a running aggregate sharing the Window node
+  * with the ranking function — [[TopKDemotion]] rewrites the filter
+  * to this prune (see its scaladoc for the decline analysis and
+  * safety argument). What this operator adds: (a) it is a
   * standalone API usable on ANY DataFrame — e.g. pruning the build
   * side of a join or a pipeline stage with no window filter for the
   * optimizer to infer from; (b) `WindowGroupLimitExec` requires a

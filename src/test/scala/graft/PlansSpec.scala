@@ -109,4 +109,79 @@ class PlansSpec extends AnyFunSuite with SparkFixture {
       orders, Seq("o_custkey"), Seq("o_totalprice" -> false), 1)
     assert(df.count() > 0)
   }
+
+  test("TopKDemotion rewrites the rank+lag shape native declines") {
+    val df = SparkEntry.queries("topk_rewrite")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopK"), plan)
+    // the native rule really did decline this shape
+    assert(!plan.contains("WindowGroupLimit"), plan)
+    // the rewrite is invisible: equals the UNFILTERED window (which
+    // the rule cannot match — no Filter-over-Window) filtered
+    // driver-side. The session has the rule injected via extensions,
+    // so "compile without the rule" isn't constructible here; this
+    // reference is rule-proof by shape instead.
+    val o = orders
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val wf = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val all = o.select(col("*"), row_number().over(w).as("rn"),
+        sum(cents).over(wf).as("run_cents"),
+        (lag(cents, 1).over(w) - cents).as("gap_cents"))
+      .select("o_custkey", "o_orderkey", "o_totalprice",
+        "rn", "run_cents", "gap_cents")
+      .orderBy("o_custkey", "rn")
+    assert(!all.queryExecution.executedPlan.toString.contains("PartialTopK"))
+    val ref = all.collect().filter(_.getInt(3) <= 3)
+    assert(df.collect().sameElements(ref))
+  }
+
+  test("TopKDemotion defers to the native rule on the pure rank shape") {
+    graft.plans.TopKDemotion.ensureRegistered(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val df = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // native InferWindowGroupLimit takes this; the demotion must not stack
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("PartialTopK"), plan)
+  }
+
+  test("TopKDemotion defers on the all-expanding rank+running-agg shape (4.1-native)") {
+    graft.plans.TopKDemotion.ensureRegistered(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val wf = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val df = orders.select(col("*"), row_number().over(w).as("rn"),
+        sum(round(col("o_totalprice") * 100).cast("long")).over(wf).as("run"))
+      .filter(col("rn") <= 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // Spark 4.1's isExpandingWindow admits the running agg — native owns it
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("PartialTopK"), plan)
+  }
+
+  test("TopKDemotion declines rank() under ties (heap prune would drop peers)") {
+    graft.plans.TopKDemotion.ensureRegistered(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(desc("o_totalprice"))
+    val wf = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val df = orders.withColumn("rk", rank().over(w))
+      .withColumn("run", sum(round(col("o_totalprice") * 100).cast("long")).over(wf))
+      .filter(col("rk") <= 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("PartialTopK"), plan)
+  }
 }
