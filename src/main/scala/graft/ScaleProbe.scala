@@ -96,7 +96,91 @@ object ScaleProbe {
     // dir too so repeated probe runs don't accumulate in /tmp
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bdir))
 
-    // Experiment 3: scan-split sizing — maxPartitionBytes controls how
+    // Experiment 3: skew head-to-head — the same skewed sort-merge
+    // join (95% of fact rows on ONE key, dim too small to matter but
+    // broadcast disabled) run three ways: unmitigated (the straggler
+    // baseline), AQE skew-split (runtime partition split, zero code
+    // change), and manual 16-way salting (dim exploded ×16, fact
+    // salted by a data-dependent hash). At 100 TB the hot key is the
+    // difference between a task that finishes and one that runs for
+    // hours; this measures how much AQE recovers for free and what
+    // salting still buys. Thresholds are test-sized (as in ScaleSpec)
+    // so the ~MB hot partition qualifies as "skewed" at sf0.1.
+    // ×8 amplification so the hot partition is big enough that one
+    // straggler task dominates 8 cores at sf0.1 (the shape a 100 TB
+    // hot key produces on a 1000-executor cluster). Materialized ONCE
+    // to parquet so every cell pays the same cheap parallel scan and
+    // the cells measure the JOIN (shuffle + reduce-side sort), not the
+    // shared explode. Written as 64 files deliberately: AQE's skew
+    // split can only cut a reduce partition at MAP-TASK boundaries,
+    // so a hot key fed by 3 mappers is unsplittable no matter the
+    // thresholds (measured here — the split silently declined until
+    // the map side had enough tasks). At 100 TB map counts are large
+    // so this is free; in a funnel whose upstream stage coalesced to
+    // few tasks, AQE cannot rescue the next join's hot key.
+    val skdir = s"/tmp/graft_probe_skew_${sfDir.replaceAll("[^0-9.]", "")}"
+    Tables.t(spark, sfDir, "lineitem")
+      .withColumn("rep", explode(array((0 until 8).map(i => lit(i)): _*)))
+      .select(when(col("l_orderkey") % 20 === 0, col("l_orderkey") % 99 + 1)
+          .otherwise(0L).as("k"),
+        concat(col("l_partkey").cast("string"), lit("p" * 64),
+          col("rep").cast("string"), col("l_suppkey").cast("string")).as("pad"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(skdir)
+    val skewFact = spark.read.parquet(skdir)
+    val skewDim = spark.range(0, 100)
+      .select(col("id").as("k"),
+        concat(lit("r"), col("id").cast("string")).as("rpad"))
+    // the pad must survive into the aggregate or the hot partition
+    // compresses to identical longs below any skew threshold
+    def skewAgg(j: DataFrame): DataFrame =
+      j.agg(count(lit(1)).as("n"), sum(length(col("pad"))).as("pad_bytes"))
+    def skewPlain: DataFrame = skewAgg(skewFact.join(skewDim, "k"))
+    def skewSalted: DataFrame = {
+      val nSalt = 16
+      val f = skewFact.withColumn("salt",
+        pmod(xxhash64(col("pad")), lit(nSalt.toLong)))
+      val d = skewDim.withColumn("salt",
+        explode(array((0 until nSalt).map(i => lit(i.toLong)): _*)))
+      skewAgg(f.join(d, Seq("k", "salt")))
+    }
+    val skewConfs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4MB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    spark.conf.set("spark.sql.shuffle.partitions", 32)
+    // small scan splits so the shared map side parallelizes and the
+    // REDUCE-side straggler is what the cells measure
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4MB")
+    var skewFired = false
+    val skewCells = Seq(
+      ("straggler", false, () => skewPlain),
+      ("aqe_skew_split", true, () => skewPlain),
+      ("manual_salt16", false, () => skewSalted)).map {
+      case (mode, aqe, mk) =>
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        if (aqe) skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+        val secs = (1 to 3).map { _ =>
+          val df = mk()
+          val t0 = System.nanoTime()
+          df.collect() // 1-row aggregate; executes THIS df's plan
+          val s = (System.nanoTime() - t0) / 1e9
+          if (aqe) skewFired |=
+            df.queryExecution.executedPlan.toString.contains("skew=true")
+          s
+        }.min
+        if (aqe) skewConfs.foreach { case (k, _) => spark.conf.unset(k) }
+        f""""$mode":$secs%.3f"""
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", true)
+    spark.conf.set("spark.sql.shuffle.partitions", 8)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "128MB")
+    println(s"""{"experiment":"skew_join","hot_key_share":0.95,"aqe_split_fired":$skewFired,${skewCells.mkString(",")}}""")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(skdir))
+
+    // Experiment 4: scan-split sizing — maxPartitionBytes controls how
     // many tasks read a file (row-group granularity). Too-large splits
     // serialize the scan on a few cores; the aggregate is scan-bound.
     for (mb <- Seq(1, 8, 128)) {

@@ -148,6 +148,22 @@ object WindowQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** Half-open session intervals [start_s, end_s) per (user, session)
+    * under the [[SessionGapS]] gap rule — the sweep input shared by
+    * [[winConcurrency]] and its incremental streaming twin
+    * (`graft.streaming.StreamQueries.streamConcurrency`). */
+  def concurrencySessions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("brk",
+        when(col("ts_s") - lag("ts_s", 1).over(
+          Window.partitionBy("user_id").orderBy("ts_s", "event_id")) > SessionGapS, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_id", sum("brk").over(
+        Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_s").as("start_s"), (max("ts_s") + 1).as("end_s"))
+
   /** Peak CONCURRENCY per day (how many user sessions are active at
     * once — the ops metric behind capacity planning), computed as a
     * sweep-line over the [[winSessionize]] session intervals with a
@@ -174,16 +190,7 @@ object WindowQueries {
     * bin before the sweep; the concurrency math is unchanged. */
   def winConcurrency(s: SparkSession, dir: String): DataFrame = {
     val DayS = 86400L
-    val sessions = t(s, dir, "events")
-      .withColumn("brk",
-        when(col("ts_s") - lag("ts_s", 1).over(
-          Window.partitionBy("user_id").orderBy("ts_s", "event_id")) > SessionGapS, 1L)
-          .otherwise(lit(0L)))
-      .withColumn("session_id", sum("brk").over(
-        Window.partitionBy("user_id").orderBy("ts_s", "event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("user_id", "session_id")
-      .agg(min("ts_s").as("start_s"), (max("ts_s") + 1).as("end_s"))
+    val sessions = concurrencySessions(s, dir)
     val endpoints = sessions.select(col("start_s").as("t"), lit(1L).as("delta"))
       .unionAll(sessions.select(col("end_s").as("t"), lit(-1L).as("delta")))
       .withColumn("bin", expr(s"t div $DayS"))

@@ -360,6 +360,94 @@ object StreamQueries {
       .orderBy("user_id", "valid_from", "first_event_id")
   }
 
+  /** Chunk width for [[streamConcurrency]]'s micro-batches (by session
+    * start time; ordering is irrelevant here, unlike scd2). */
+  val ConcChunkS: Long = 86400L * 7
+
+  /** Incremental CONCURRENCY state — the streaming twin of
+    * win_concurrency. A real pipeline sees session intervals arrive as
+    * they close; the peak-concurrency state that must persist between
+    * batches is NOT the sessions (unbounded) but the per-(day, t, sign)
+    * ENDPOINT COUNTS — one row per distinct endpoint second and sign,
+    * bounded by the time range, not the event count. Each micro-batch:
+    *
+    *  1. explodes its sessions to (t, ±1) endpoints and pre-aggregates
+    *     to (bin, t, delta, cnt) — only distinct-endpoint rows leave
+    *     the batch;
+    *  2. MERGEs into the keyed parquet state by union + re-sum (counts
+    *     are merge-associative AND commutative, so unlike
+    *     [[streamScd2]] no file-order precondition exists — batches
+    *     may arrive in any order);
+    *  3. swaps state via eager localCheckpoint + overwrite (the
+    *     [[streamForeachBatch]] pattern; checkpoint ⇒ idempotent
+    *     re-runs).
+    *
+    * The final sweep runs win_concurrency's two-level prefix sum over
+    * the COMPACT state. Merging endpoints at one (t, delta) into a
+    * count changes which intermediate running sums exist as rows, so
+    * the per-group max the oracle samples is reconstructed exactly:
+    * a merged −1 row entered at level `prev` samples prev−1 …
+    * prev−cnt ⇒ group max = run − net − 1 (net = delta·cnt, run =
+    * post-group sum); a merged +1 row samples prev+1 … run ⇒ group
+    * max = run. With cnt = 1 both reduce to `run`, the unmerged
+    * per-row value. The oracle is the SAME single-global-window SQL as
+    * win_concurrency — the hash check proves the incremental merge +
+    * compaction is invisible. */
+  def streamConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val DayS = 86400L
+    val tag = contentTag(s, dir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_conc_$tag"
+    val sessions = graft.operators.WindowQueries.concurrencySessions(s, dir)
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+      val chunks = sessions.select(expr(s"start_s div $ConcChunkS").as("c"))
+        .distinct().orderBy("c").collect().map(_.getLong(0))
+      chunks.foreach { c =>
+        sessions.filter(expr(s"start_s div $ConcChunkS") === c)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      }
+    }
+    val statePath = s"$base/state"
+    val q = s.readStream.schema(sessions.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val sess = batch.sparkSession
+        val delta = batch.select(col("start_s").as("t"), lit(1L).as("delta"))
+          .unionAll(batch.select(col("end_s").as("t"), lit(-1L).as("delta")))
+          .withColumn("bin", expr(s"t div $DayS"))
+          .groupBy("bin", "t", "delta").agg(count(lit(1)).as("cnt"))
+        val merged =
+          if (new java.io.File(s"$statePath/_SUCCESS").exists())
+            sess.read.parquet(statePath).unionByName(delta)
+              .groupBy("bin", "t", "delta").agg(sum("cnt").as("cnt"))
+          else delta
+        val out = merged.localCheckpoint(true)
+        out.write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val st = s.read.parquet(statePath)
+      .withColumn("net", col("delta") * col("cnt"))
+    val local = st.withColumn("run",
+      sum("net").over(Window.partitionBy("bin").orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("maxc",
+        when(col("delta") < 0, col("run") - col("net") - 1).otherwise(col("run")))
+    val offsets = st.groupBy("bin").agg(sum("net").as("tot"))
+      .withColumn("off",
+        coalesce(sum("tot").over(Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bin", "off")
+    local.join(broadcast(offsets), "bin")
+      .groupBy(col("bin").as("day_bin"))
+      .agg(max(col("off") + col("maxc")).as("peak"))
+      .orderBy("day_bin")
+  }
+
   /** Static dimension for stream_enrich: event_type → (weight,
     * category). Broadcast-joined against the stream — the standard
     * stream-static enrichment, STATELESS on the stream side (no
@@ -387,6 +475,7 @@ object StreamQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_concurrency" -> streamConcurrency,
     "stream_scd2" -> streamScd2,
     "stream_foreachbatch" -> streamForeachBatch,
     "stream_enrich" -> streamEnrich,
@@ -400,6 +489,30 @@ object StreamQueries {
     "filter_null" -> filterNull)
 
   val oracleSql: Map[String, String] = Map(
+    // the incrementally-merged endpoint state must reproduce the
+    // ONE-SHOT single-global-window sweep — win_concurrency's SQL
+    // verbatim; the hash proves batch-split + compaction invariance
+    "stream_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |b AS (SELECT user_id, event_id, ts_s,
+        |    CASE WHEN ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |s AS (SELECT user_id, ts_s,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM b),
+        |sess AS (SELECT user_id, session_id,
+        |    min(ts_s) AS start_s, max(ts_s) + 1 AS end_s
+        |  FROM s GROUP BY 1, 2),
+        |ep AS (SELECT start_s AS t, 1 AS delta FROM sess
+        |       UNION ALL SELECT end_s, -1 FROM sess),
+        |c AS (SELECT t, t // 86400 AS day_bin,
+        |    sum(delta) OVER (ORDER BY t, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM ep)
+        |SELECT day_bin, CAST(max(conc) AS BIGINT) AS peak
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // the incrementally-merged SCD2 state must equal the ONE-SHOT
     // batch history over all events — pipeline_scd2's formulation
     "stream_scd2" ->

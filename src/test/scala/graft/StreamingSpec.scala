@@ -136,6 +136,21 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(again == inc)
   }
 
+  test("incremental stream_concurrency equals batch win_concurrency and is idempotent") {
+    val inc = StreamQueries.streamConcurrency(spark, sf).collect().toSeq
+    val batch = operators.WindowQueries.winConcurrency(spark, sf).collect().toSeq
+    assert(inc == batch, "incrementally merged endpoint state diverged from batch sweep")
+    // the merge genuinely ran across micro-batches (one per chunk file)
+    val tagDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_stream_conc_"))
+    assert(tagDirs.exists(d =>
+        Option(new java.io.File(d, "chk/commits").list()).exists(_.length >= 2)),
+      "expected at least 2 committed micro-batches")
+    // re-run with the same checkpoint processes nothing and is stable
+    val again = StreamQueries.streamConcurrency(spark, sf).collect().toSeq
+    assert(again == inc)
+  }
+
   test("streaming dropDuplicates dedups a doubled stream exactly") {
     val streamed = runStream(sample ++ sample, StreamQueries.dedupAgg, "t_dedup")
     val n = streamed.agg(sum("n")).collect()(0).getLong(0)
