@@ -279,6 +279,66 @@ object TextQueries {
       .orderBy("lang", "bin")
   }
 
+  /** Tokens per packed training sequence for [[pipelinePackSequences]].
+    * 512 keeps sf0.001 output multi-row; the math is L-agnostic. */
+  val PackSeqLen = 512L
+
+  /** Bucket width (in doc_id units) for the two-level prefix sum in
+    * [[pipelinePackSequences]] — any monotone doc_id → bucket map
+    * works; div keeps buckets contiguous so the carry frame is tiny. */
+  val PackBucketW = 4096L
+
+  /** Exact concat-and-chunk sequence packing — the step that turns a
+    * tokenized corpus into fixed 512-token pretraining sequences, with
+    * documents SPLIT across sequence boundaries (unlike
+    * [[pipelinePackBins]], which assigns whole docs to the bin of
+    * their start offset). Per sequence: how many docs contribute, the
+    * exact token count (= 512 everywhere but the tail), and the
+    * first/last contributing doc.
+    *
+    * Scale design — the global token offset is the crux. A single
+    * `Window.orderBy(doc_id)` running sum would move the corpus to one
+    * task, so offsets come from a TWO-LEVEL prefix sum (the
+    * win_concurrency decomposition): per-bucket local running sums
+    * (bucket = doc_id div [[PackBucketW]], a partitioned window), plus
+    * a carry computed on the #buckets-row summary frame and broadcast
+    * back. The boundary explode then emits one row per (doc, spanned
+    * sequence) — fan-out 1 + tokens/L per doc, bounded by corpus
+    * token count / L overall, never rows². All-integer arithmetic, so
+    * the DuckDB oracle (one global window over the same doc order)
+    * replays it exactly — the hash proves the decomposition is
+    * invisible. */
+  def pipelinePackSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = PackSeqLen
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("toks"))
+      .withColumn("bucket", expr(s"doc_id div $PackBucketW"))
+    val local = docs.withColumn("loc",
+      coalesce(sum("toks").over(Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // carry: exclusive prefix over per-bucket totals — #buckets rows,
+    // the only unpartitioned window, never sees document rows
+    val carry = docs.groupBy("bucket").agg(sum("toks").as("tot"))
+      .withColumn("off0",
+        coalesce(sum("tot").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "off0")
+    local.join(broadcast(carry), "bucket")
+      .withColumn("off", col("off0") + col("loc"))
+      .withColumn("seq_id",
+        explode(sequence(expr(s"off div $L"), expr(s"(off + toks - 1) div $L"))))
+      .withColumn("seq_toks",
+        least(col("off") + col("toks"), (col("seq_id") + 1) * L)
+          - greatest(col("off"), col("seq_id") * L))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("seq_toks").as("n_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("seq_id")
+  }
+
   /** posexplode_outer — the generator (UDTF) variant that KEEPS rows
     * whose array is empty, emitting (null, null): long words per doc,
     * with empty-result docs preserved. The lateral explode is
@@ -483,6 +543,7 @@ object TextQueries {
     "text_bigrams" -> textBigrams,
     "udtf_posexplode_outer" -> udtfPosexplodeOuter,
     "pipeline_pack_bins" -> pipelinePackBins,
+    "pipeline_pack_sequences" -> pipelinePackSequences,
     "text_bm25" -> textBm25,
     "text_normalize" -> textNormalize,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
@@ -648,6 +709,26 @@ object TextQueries {
         |  CAST(sum(tokens) AS BIGINT) AS sum_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // ONE global window here where Spark uses the two-level prefix sum —
+    // the hash match proves the bucket decomposition computes the same
+    // offsets; all-integer, generate_series is inclusive like sequence()
+    "pipeline_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents),
+         |o AS (SELECT doc_id, toks,
+         |    CAST(coalesce(sum(toks) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS off FROM d),
+         |x AS (SELECT doc_id, toks, off,
+         |    unnest(generate_series(off // $PackSeqLen,
+         |                           (off + toks - 1) // $PackSeqLen)) AS seq_id
+         |  FROM o)
+         |SELECT seq_id, count(*) AS n_docs,
+         |  CAST(sum(least(off + toks, (seq_id + 1) * $PackSeqLen)
+         |         - greatest(off, seq_id * $PackSeqLen)) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     // same literal constants and op order as the Spark expression tree:
     // every FP step is one IEEE op, so only ln()'s last ulp could ever
     // differ (same exposure as text_tfidf, green through sf0.1)

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.DedupQueries
+import org.apache.spark.sql.functions.{col, size, split, sum}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
@@ -133,6 +134,45 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((33L, 1L, 2L)),
       s"expected only the rare-gram overlap to survive the cap, got $out")
+  }
+
+  test("pipeline_pack_sequences: exact token conservation and boundary splits") {
+    val L = graft.operators.TextQueries.PackSeqLen
+    val rows = graft.operators.TextQueries.pipelinePackSequences(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // sequences are contiguous from 0 and every one but the tail holds
+    // exactly L tokens — the packing leaves no holes and no overflow
+    assert(rows.map(_._1) == (0L until rows.length.toLong))
+    rows.init.foreach { case (id, _, nTok, _, _) =>
+      assert(nTok == L, s"seq $id has $nTok tokens, want $L") }
+    assert(rows.last._3 >= 1 && rows.last._3 <= L)
+    // token conservation: packed tokens == corpus tokens
+    val total = graft.Tables.t(spark, sf, "documents")
+      .select(sum(size(split(col("text"), " ")).cast("long"))).as[Long].head()
+    assert(rows.map(_._3).sum == total)
+    // adjacent sequences share their boundary doc unless the cut fell
+    // exactly between docs — i.e. docs genuinely split across bounds
+    val splits = rows.sliding(2).count {
+      case Seq(a, b) => a._5 == b._4
+      case _         => false
+    }
+    assert(splits > 0, "no document ever spanned a sequence boundary")
+    // brute-force replay: sequential offsets over the collected corpus
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    var off = 0L
+    val expect = docs.flatMap { case (id, n) =>
+      val spans = (off / L to (off + n - 1) / L).map { s =>
+        (s, math.min(off + n, (s + 1) * L) - math.max(off, s * L), id)
+      }
+      off += n
+      spans
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, xs) =>
+      (s, xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).min, xs.map(_._3).max)
+    }
+    assert(rows == expect)
   }
 
   test("text_pii_scrub match counts equal exactly the injected PII") {
