@@ -206,7 +206,74 @@ object ScanQueries {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Bits per dimension for [[morton10]] / [[sinkZorder]]: 10 bits ⇒
+    * keys are first folded into [0, 1024). */
+  val ZBits = 10
+
+  /** Morton (Z-order) interleave of two non-negative longs in
+    * [0, 2^[[ZBits]]): bit i of x lands at position 2i, of y at 2i+1.
+    * Pure shift/mask Column expression — stays in whole-stage codegen.
+    * Sorting by the interleaved code clusters rows into 2-D tiles, so
+    * BOTH columns get tight per-row-group min/max stats; a linear sort
+    * gives one column tight stats and leaves the other full-range (the
+    * data-layout lever for multi-dimension range scans at 100 TB —
+    * ScaleSpec counts the prunable row groups from the parquet footers
+    * themselves). */
+  def morton10(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** The same interleave as DuckDB SQL, generated arithmetically
+    * ((v // 2^i) % 2 · 2^p) so the oracle replays the exact bit math
+    * without dialect-specific bit operators. */
+  private def mortonSql(x: String, y: String): String =
+    (0 until ZBits).flatMap { i =>
+      Seq(s"($x // ${1L << i}) % 2 * ${1L << (2 * i)}",
+        s"($y // ${1L << i}) % 2 * ${1L << (2 * i + 1)}")
+    }.mkString(" + ")
+
+  /** Z-order-clustered sink + 2-D range read-back: lineitem keys are
+    * spread onto a 1024×1024 grid (the repo's arithmetic key-hash
+    * family, so small-SF key ranges still cover the grid and DuckDB
+    * replays it), range-partitioned AND sorted within
+    * partitions by [[morton10]] code, written once per (tmpdir, sf),
+    * then read back under a rectangle predicate (an unaligned 192×192 tile) and
+    * aggregated per z-cell. The result is layout-invisible — the
+    * oracle computes the same cells straight from parquet with the
+    * unrolled interleave — but the layout is the point: the write
+    * pattern gives every row group a tight bounding box in BOTH
+    * dimensions, so the rectangle predicate (pushed to the scan) skips
+    * all groups whose box misses the tile. ScaleSpec proves the
+    * pruning claim from footer statistics; this query hash-checks the
+    * interleave + clustering math end-to-end. */
+  def sinkZorder(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_lineitem_$tag"
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          expr("(l_partkey * 40503 + 17) % 65521 % 1024").as("zx"),
+          expr("(l_suppkey * 40503 + 23) % 65521 % 1024").as("zy"))
+        .withColumn("z", morton10(col("zx"), col("zy")))
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+      .filter(col("zx").between(200L, 391L) && col("zy").between(480L, 671L))
+      .groupBy(expr("z div 4096").as("z_cell"))
+      .agg(count(lit(1)).as("n"),
+        sum("l_orderkey").as("sum_okey"),
+        min("z").as("z_min"),
+        max("z").as("z_max"))
+      .orderBy("z_cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_zorder" -> sinkZorder,
     "sink_json_roundtrip" -> sinkJsonRoundtrip,
     "sink_orc_roundtrip" -> sinkOrcRoundtrip,
     "sink_partitioned" -> sinkPartitioned,
@@ -220,6 +287,19 @@ object ScanQueries {
     "source_inline" -> sourceInline)
 
   val oracleSql: Map[String, String] = Map(
+    // interleave replayed with generated arithmetic (no bit operators);
+    // the clustering write path must be invisible to the result
+    "sink_zorder" ->
+      s"""WITH g AS (SELECT l_orderkey,
+         |    (l_partkey * 40503 + 17) % 65521 % 1024 AS zx,
+         |    (l_suppkey * 40503 + 23) % 65521 % 1024 AS zy
+         |  FROM lineitem),
+         |z AS (SELECT l_orderkey, zx, zy, ${mortonSql("zx", "zy")} AS z
+         |  FROM g WHERE zx BETWEEN 200 AND 391 AND zy BETWEEN 480 AND 671)
+         |SELECT z // 4096 AS z_cell, count(*) AS n,
+         |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+         |  min(z) AS z_min, max(z) AS z_max
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "sink_json_roundtrip" ->
       """SELECT lang, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -107,4 +107,67 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     // conf scoping restored session state: the flag is back to default
     assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
   }
+
+  test("z-order layout makes both dimensions prunable per row group; linear sort only one") {
+    // The claim behind sink_zorder, proven from the parquet footers the
+    // reader actually prunes with: under a 2-D rectangle predicate, a
+    // z-ordered file's row groups have tight (zx, zy) bounding boxes so
+    // most groups MISS the tile; a zx-sorted file bounds only zx, every
+    // group spans the full zy range, and pruning degrades to 1-D.
+    import scala.jdk.CollectionConverters._
+    // 1M rows over ~260 64 KB row groups: each z-order group then covers
+    // a ~63×63 tile of the 1024×1024 key space, well under the 192×192
+    // predicate tile — coarser groups drown the geometry in boundary
+    // effects (at 33 groups a group's reach ≈ the tile itself and both
+    // layouts hit equally; measured before sizing this up)
+    val n = 1 << 20
+    val base = spark.range(n).select(
+      pmod(xxhash64(col("id")), lit(1024L)).as("zx"),
+      pmod(xxhash64(col("id"), lit(1L)), lit(1024L)).as("zy"))
+    val z = graft.operators.ScanQueries.morton10(col("zx"), col("zy"))
+    val tmp = System.getProperty("java.io.tmpdir")
+    val dirs = Map(
+      "linear" -> base.orderBy("zx"),
+      "zorder" -> base.orderBy(z)).map { case (name, df) =>
+      val dir = s"$tmp/graft_zorder_layout_$name"
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (64 * 1024).toString).parquet(dir)
+      name -> dir
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    def boxes(dir: String): Seq[(Long, Long, Long, Long)] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+        .flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f.toURI), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+            def mm(c: String): (Long, Long) = {
+              val st = b.getColumns.asScala
+                .find(_.getPath.toDotString == c).get.getStatistics
+              (st.genericGetMin.asInstanceOf[Long], st.genericGetMax.asInstanceOf[Long])
+            }
+            val ((x0, x1), (y0, y1)) = (mm("zx"), mm("zy"))
+            (x0, x1, y0, y1)
+          } finally r.close()
+        }
+    // sink_zorder's tile; a group survives pruning iff its box intersects
+    def hits(bs: Seq[(Long, Long, Long, Long)]): Int = bs.count {
+      case (x0, x1, y0, y1) => x0 <= 391 && x1 >= 200 && y0 <= 671 && y1 >= 480
+    }
+    val (lin, zo) = (boxes(dirs("linear")), boxes(dirs("zorder")))
+    assert(lin.size >= 16 && zo.size >= 16,
+      s"need many row groups to measure pruning (got ${lin.size}/${zo.size})")
+    // linear layout: zy is full-range in (almost) every group — the 2nd
+    // dimension contributes nothing to pruning
+    assert(lin.count { case (_, _, y0, y1) => y0 <= 480 && y1 >= 671 } >
+      lin.size * 9 / 10)
+    val (linHits, zoHits) = (hits(lin), hits(zo))
+    info(s"row groups surviving 2-D pruning: z-order $zoHits/${zo.size}, linear $linHits/${lin.size}")
+    assert(zoHits > 0, "tile must be non-empty under z-order too")
+    assert(zoHits * 2 <= linHits,
+      s"z-order should prune ≥2× more row groups: z=$zoHits/${zo.size} linear=$linHits/${lin.size}")
+    dirs.values.foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
 }
