@@ -30,7 +30,9 @@ object Bench {
     // partitioned sinks) materialize them HERE, untimed, so the timed
     // runs below measure their reads, not a one-off write
     Seq("join_bucketed", "sink_partitioned", "sink_ts_roundtrip",
-        "stream_file_sink", "stream_foreachbatch").foreach(n =>
+        "stream_file_sink", "stream_foreachbatch", "stream_scd2",
+        "stream_concurrency", "sink_zorder", "sink_json_roundtrip",
+        "sink_orc_roundtrip").foreach(n =>
       selected.get(n).foreach(fn =>
         // NonFatal only: an OOM/linkage error here must crash loudly, and
         // a broken one-time sink write must be visible, not silent

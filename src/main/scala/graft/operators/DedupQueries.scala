@@ -75,7 +75,15 @@ object DedupQueries {
     * shuffle in the whole query is the tiny (band, key) bucket groupBy.
     * An explode + groupBy(doc) with 16 min-aggs would shuffle
     * |doc|×|shingles| rows instead. */
-  def minhashPairs(documents: DataFrame): DataFrame = {
+  def minhashPairs(documents: DataFrame): DataFrame =
+    minhashPairsFromBands(minhashBands(documents))
+
+  /** Shingle → signature → (doc_id, band, key) LSH band rows for any
+    * (doc_id, text) frame — the per-row NARROW half of [[minhashPairs]],
+    * exposed so the incremental streaming variant
+    * (`graft.streaming.StreamQueries.streamMinhash`) can band each
+    * micro-batch with bit-identical constants. */
+  def minhashBands(documents: DataFrame): DataFrame = {
     val ws = col("ws")
     val sh = transform(sequence(lit(1), size(ws) - 2),
       i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
@@ -96,14 +104,20 @@ object DedupQueries {
         concat_ws("_", (0 until rowsPerBand).map(r =>
           col(s"m${b * rowsPerBand + r}")): _*).as("key"))
     }
-    val bands = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.key").as("key"))
-    // Single pass: group docs per (band, key) bucket and emit pairs from
-    // inside each bucket — a band self-join would recompute the whole
-    // shingle→minhash pipeline for both sides AND shuffle it twice.
-    // Bucket size is bounded by design (a huge bucket means exact dups);
-    // skewed buckets are AQE-splittable since the explode is downstream.
+  }
+
+  /** Candidate pairs from LSH band rows — the bucket-grouping half of
+    * [[minhashPairs]].
+    *
+    * Single pass: group docs per (band, key) bucket and emit pairs from
+    * inside each bucket — a band self-join would recompute the whole
+    * shingle→minhash pipeline for both sides AND shuffle it twice.
+    * Bucket size is bounded by design (a huge bucket means exact dups);
+    * skewed buckets are AQE-splittable since the explode is downstream. */
+  def minhashPairsFromBands(bands: DataFrame): DataFrame = {
     bands
       .groupBy("band", "key")
       .agg(array_sort(collect_list("doc_id")).as("ids"))
@@ -496,7 +510,7 @@ object DedupQueries {
     * constants the Spark plan uses, so the permutation family can never
     * drift between engines. ('0x'||hex)::BIGINT reads md5's leading 8
     * hex digits exactly like Spark's conv(...,16,10). */
-  private def minhashOracleSql: String = {
+  private[graft] def minhashOracleSql: String = {
     val rowsPerBand = MinhashPerms / MinhashBands
     val mins = (0 until MinhashPerms).map(p =>
       s"min((${permA(p)}*h + ${permB(p)}) % $MinhashPrime) AS m$p")

@@ -448,6 +448,80 @@ object StreamQueries {
       .orderBy("day_bin")
   }
 
+  /** Micro-batch count for [[streamMinhash]] (docs chunked by id). */
+  val MinhashChunks = 3
+
+  /** Incremental MinHash-LSH near-dedup — the streaming twin of
+    * dedup_minhash. A corpus is never deduped once: new crawl
+    * shards arrive forever, and re-banding the whole corpus per shard
+    * is the O(n²-over-time) trap. State here is exactly what scales:
+    *
+    *  - `sigs/`: the (doc_id, band, key) LSH band rows seen so far —
+    *    APPEND-ONLY (no O(state) rewrite per batch; at cluster scale
+    *    this is a table bucketed by (band, key));
+    *  - `pairs/`: the accumulated candidate-pair set — bounded by the
+    *    true near-dup count, merged by union+distinct (commutative, so
+    *    batch order is irrelevant).
+    *
+    * Each micro-batch bands ONLY its own documents (the narrow
+    * projection from [[graft.operators.DedupQueries.minhashBands]],
+    * bit-identical constants), equi-joins them against known ∪ own
+    * bands on (band, key) — new-vs-old and new-vs-new candidates in
+    * one join whose left side is batch-sized — then merges pairs and
+    * appends its bands. A doc pair is emitted when its second member
+    * arrives, never re-derived. Final pair set must equal the one-shot
+    * batch LSH exactly: the oracle is dedup_minhash's generated SQL
+    * verbatim. */
+  def streamMinhash(s: SparkSession, dir: String): DataFrame = {
+    val tag = contentTag(s, dir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_minhash_$tag"
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+      val maxDoc = docs.agg(max("doc_id")).head().getLong(0)
+      val w = maxDoc / MinhashChunks + 1
+      (0 until MinhashChunks).foreach { c =>
+        docs.filter(expr(s"doc_id div $w") === c)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      }
+    }
+    val (sigPath, pairPath) = (s"$base/sigs", s"$base/pairs")
+    val q = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val sess = batch.sparkSession
+        // banded once, reused by the join AND the state append
+        val bands = graft.operators.DedupQueries.minhashBands(batch)
+          .localCheckpoint(true)
+        val all =
+          if (new java.io.File(s"$sigPath/_SUCCESS").exists())
+            sess.read.parquet(sigPath).unionByName(bands)
+          else bands
+        val fresh = bands.select(col("band"), col("key"), col("doc_id").as("d1"))
+          .join(all.select(col("band"), col("key"), col("doc_id").as("d2")),
+            Seq("band", "key"))
+          .filter(col("d1") =!= col("d2"))
+          .select(least(col("d1"), col("d2")).as("doc_a"),
+            greatest(col("d1"), col("d2")).as("doc_b"))
+          .distinct()
+        val merged =
+          if (new java.io.File(s"$pairPath/_SUCCESS").exists())
+            sess.read.parquet(pairPath).unionByName(fresh).distinct()
+          else fresh
+        // eager checkpoint BEFORE the overwrite — the merge reads the
+        // same files the write replaces (the streamForeachBatch pattern)
+        merged.localCheckpoint(true).write.mode("overwrite").parquet(pairPath)
+        bands.write.mode("append").parquet(sigPath)
+        ()
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(pairPath).orderBy("doc_a", "doc_b")
+  }
+
   /** Static dimension for stream_enrich: event_type → (weight,
     * category). Broadcast-joined against the stream — the standard
     * stream-static enrichment, STATELESS on the stream side (no
@@ -476,6 +550,7 @@ object StreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_concurrency" -> streamConcurrency,
+    "stream_minhash" -> streamMinhash,
     "stream_scd2" -> streamScd2,
     "stream_foreachbatch" -> streamForeachBatch,
     "stream_enrich" -> streamEnrich,
@@ -489,6 +564,9 @@ object StreamQueries {
     "filter_null" -> filterNull)
 
   val oracleSql: Map[String, String] = Map(
+    // the incrementally-accumulated pair state must equal the one-shot
+    // batch LSH — dedup_minhash's generated oracle verbatim
+    "stream_minhash" -> graft.operators.DedupQueries.minhashOracleSql,
     // the incrementally-merged endpoint state must reproduce the
     // ONE-SHOT single-global-window sweep — win_concurrency's SQL
     // verbatim; the hash proves batch-split + compaction invariance

@@ -151,6 +151,22 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(again == inc)
   }
 
+  test("incremental stream_minhash equals one-shot dedup_minhash and is idempotent") {
+    val inc = StreamQueries.streamMinhash(spark, sf).collect().toSeq
+    val batch = operators.DedupQueries.dedupMinhash(spark, sf).collect().toSeq
+    assert(inc == batch, "accumulated pair state diverged from one-shot LSH")
+    assert(inc.nonEmpty, "fixture corpus should contain near-duplicates")
+    // the accumulation genuinely ran across micro-batches
+    val tagDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_stream_minhash_"))
+    assert(tagDirs.exists(d =>
+        Option(new java.io.File(d, "chk/commits").list()).exists(_.length >= 2)),
+      "expected at least 2 committed micro-batches")
+    // re-run with the same checkpoint processes nothing and is stable
+    val again = StreamQueries.streamMinhash(spark, sf).collect().toSeq
+    assert(again == inc)
+  }
+
   test("streaming dropDuplicates dedups a doubled stream exactly") {
     val streamed = runStream(sample ++ sample, StreamQueries.dedupAgg, "t_dedup")
     val n = streamed.agg(sum("n")).collect()(0).getLong(0)
