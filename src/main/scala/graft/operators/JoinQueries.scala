@@ -146,6 +146,47 @@ object JoinQueries {
       .orderBy("ival_id")
   }
 
+  /** Interval × interval OVERLAP join — the general form of
+    * [[joinRangeBinned]]'s point-in-interval shape (genomics interval
+    * intersection, outage-vs-session attribution). Overlap
+    * (`a.start < b.end && b.start < a.end`, half-open) has no equi
+    * key, so the naive plan is a nested loop over |sessions|×|windows|.
+    * Binning restores an equi-join: BOTH interval sets explode into
+    * the 6-hour bins they touch, the join keys on bin, the exact
+    * predicate filters, and — the step the point-in-interval case
+    * doesn't need — a pair that co-occupies several bins is collapsed
+    * by a pair-level `distinct()` BEFORE aggregation, or every shared
+    * bin would double-count. Fan-out is (length/bin + 1) per interval,
+    * so the shuffle scales with total interval-bins, never pairs².
+    * Sessions are the REAL derived intervals from
+    * [[WindowQueries.concurrencySessions]]; per maintenance window the
+    * query reports distinct overlapping sessions and total overlap
+    * seconds (all-integer ⇒ exact oracle). */
+  def joinIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ivals = (0 until 40).map { i =>
+      val st = RangeBase + i * 61777L
+      (i, st, st + 20000L)
+    }.toDF("ival_id", "ival_start", "ival_end")
+    val ivalsB = ivals.withColumn("bin",
+      explode(sequence(expr(s"ival_start div $RangeBinS"),
+        expr(s"(ival_end - 1) div $RangeBinS"))))
+    val sessB = WindowQueries.concurrencySessions(s, dir)
+      .withColumn("bin",
+        explode(sequence(expr(s"start_s div $RangeBinS"),
+          expr(s"(end_s - 1) div $RangeBinS"))))
+    sessB.join(broadcast(ivalsB), "bin")
+      .filter(col("start_s") < col("ival_end") && col("ival_start") < col("end_s"))
+      .select("user_id", "session_id", "ival_id",
+        "start_s", "end_s", "ival_start", "ival_end")
+      .distinct()
+      .groupBy("ival_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(least(col("end_s"), col("ival_end"))
+          - greatest(col("start_s"), col("ival_start"))).as("overlap_s"))
+      .orderBy("ival_id")
+  }
+
   /** As-of join: for each purchase event, the latest order of the same
     * customer at-or-before the event time. Spark has no native as-of
     * join; expressed as inequality join + per-event row_number, which
@@ -329,7 +370,8 @@ object JoinQueries {
     "join_outer" -> joinOuter,
     "join_theta" -> joinTheta,
     "join_asof" -> joinAsof,
-    "join_range_binned" -> joinRangeBinned)
+    "join_range_binned" -> joinRangeBinned,
+    "join_interval_overlap" -> joinIntervalOverlap)
 
   val oracleSql: Map[String, String] = Map(
     // the Bloom filter is pure pruning — the joined/aggregated result
@@ -365,9 +407,32 @@ object JoinQueries {
         |   OR c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_totalprice > 450000)
         |ORDER BY c_custkey""".stripMargin,
-    // plain range join — DuckDB's IEJoin handles the inequality pair
-    // directly; the binning on the Spark side is a pruning strategy
-    // that cannot change the result (exact containment re-filtered)
+    // plain inequality joins on the oracle side — DuckDB's IEJoin takes
+    // the overlap predicate directly; Spark's binning + pair distinct is
+    // a pruning strategy that cannot change the result
+    "join_interval_overlap" ->
+      """WITH i AS (SELECT CAST(i AS INTEGER) AS ival_id,
+        |    1704067200 + i*61777 AS ival_start,
+        |    1704067200 + i*61777 + 20000 AS ival_end
+        |  FROM range(40) t(i)),
+        |e AS (SELECT user_id, event_id,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |b AS (SELECT user_id, event_id, ts_s,
+        |    CASE WHEN ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |s AS (SELECT user_id, ts_s,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM b),
+        |sess AS (SELECT user_id, session_id,
+        |    min(ts_s) AS start_s, max(ts_s) + 1 AS end_s
+        |  FROM s GROUP BY 1, 2)
+        |SELECT ival_id, count(*) AS n_sessions,
+        |  CAST(sum(least(sess.end_s, i.ival_end)
+        |         - greatest(sess.start_s, i.ival_start)) AS BIGINT) AS overlap_s
+        |FROM sess JOIN i
+        |  ON sess.start_s < i.ival_end AND i.ival_start < sess.end_s
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_range_binned" ->
       """WITH i AS (SELECT CAST(i AS INTEGER) AS ival_id,
         |    1704067200 + i*61777 AS start_s,
