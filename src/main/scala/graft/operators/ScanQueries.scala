@@ -206,6 +206,43 @@ object ScanQueries {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Malformed-record-tolerant source — at 100 TB some shard of any
+    * text-format feed IS dirty, and a full-job abort on row one of a
+    * billion is not an option. A CSV copy of orders is written with
+    * DETERMINISTIC corruption (every o_orderkey % 7 == 3 line loses a
+    * field and carries a non-numeric token), then read back PERMISSIVE
+    * with a corrupt-record column: well-formed rows aggregate per
+    * priority, corrupt rows survive as a quarantined '_corrupt' bucket
+    * whose count must equal exactly the injected set — proven by the
+    * oracle replaying the same modular rule over the clean parquet.
+    * (FAILFAST is the other documented mode; DROPMALFORMED silently
+    * loses data and is exactly what this query exists to avoid.) */
+  def sourceBadrecords(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_badrecords_$tag"
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      t(s, dir, "orders")
+        .select(
+          when(col("o_orderkey") % 7 === 3,
+            concat(col("o_orderkey").cast("string"), lit(",XX-"),
+              col("o_orderpriority")))
+            .otherwise(concat_ws(",", col("o_orderkey"), col("o_totalprice"),
+              col("o_orderpriority")))
+            .as("value"))
+        .write.mode("overwrite").text(out)
+    }
+    s.read
+      .schema("o_orderkey LONG, o_totalprice DOUBLE, o_orderpriority STRING, _bad STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(out)
+      .groupBy(coalesce(col("o_orderpriority"), lit("_corrupt")).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        count(col("_bad")).as("n_bad"),
+        Fp.r4(sum("o_totalprice")).as("sum_price"))
+      .orderBy("bucket")
+  }
+
   /** Bits per dimension for [[morton10]] / [[sinkZorder]]: 10 bits ⇒
     * keys are first folded into [0, 1024). */
   val ZBits = 10
@@ -273,6 +310,7 @@ object ScanQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_badrecords" -> sourceBadrecords,
     "sink_zorder" -> sinkZorder,
     "sink_json_roundtrip" -> sinkJsonRoundtrip,
     "sink_orc_roundtrip" -> sinkOrcRoundtrip,
@@ -287,6 +325,19 @@ object ScanQueries {
     "source_inline" -> sourceInline)
 
   val oracleSql: Map[String, String] = Map(
+    // corrupt rows are exactly the injected modular set; the oracle
+    // replays the rule over the CLEAN parquet — counts and the
+    // quarantine bucket must agree, and sum over the CSV-round-tripped
+    // doubles must equal sum over the originals (shortest-round-trip
+    // repr parses back bit-exactly)
+    "source_badrecords" ->
+      """SELECT CASE WHEN o_orderkey % 7 = 3 THEN '_corrupt'
+        |       ELSE o_orderpriority END AS bucket,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE o_orderkey % 7 = 3) AS n_bad,
+        |  floor((sum(o_totalprice) FILTER (WHERE o_orderkey % 7 != 3))
+        |    * 10000.0 + 0.5) / 10000.0 AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // interleave replayed with generated arithmetic (no bit operators);
     // the clustering write path must be invisible to the result
     "sink_zorder" ->

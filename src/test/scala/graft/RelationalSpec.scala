@@ -62,6 +62,28 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("join_interval_overlap binning keeps the overlap join hash-keyed (no BNLJ)") {
+    val p = plan("join_interval_overlap")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("source_badrecords quarantines exactly the injected corrupt rows") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("source_badrecords")(spark, sf).collect()
+    val byBucket = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expectBad = graft.Tables.t(spark, sf, "orders")
+      .filter(col("o_orderkey") % 7 === 3).count()
+    assert(byBucket("_corrupt") == ((expectBad, expectBad)),
+      s"corrupt bucket ${byBucket("_corrupt")} != injected $expectBad")
+    // no corruption leaked into a well-formed bucket and nothing was lost
+    byBucket.filterKeys(_ != "_corrupt").foreach { case (b, (_, bad)) =>
+      assert(bad == 0L, s"bucket $b contains corrupt rows") }
+    val total = graft.Tables.t(spark, sf, "orders").count()
+    assert(rows.map(_.getLong(1)).sum == total, "rows lost or duplicated")
+  }
+
   test("join_bucketed sort-merge-joins without shuffling either side") {
     // disable broadcast so the bucketed SMJ path (not a trivial BHJ) is
     // what gets planned — at real scale neither side would broadcast
