@@ -31,7 +31,8 @@ object SparkEntry {
       operators.TextQueries.queries ++
       operators.MultimodalQueries.queries ++
       operators.SampleQueries.queries ++
-      operators.GraphQueries.queries
+      operators.GraphQueries.queries ++
+      operators.RecursiveQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
       operators.TextQueries.oracleSql ++
       operators.MultimodalQueries.oracleSql ++
       operators.SampleQueries.oracleSql ++
-      operators.GraphQueries.oracleSql
+      operators.GraphQueries.oracleSql ++
+      operators.RecursiveQueries.oracleSql
 }

@@ -84,6 +84,22 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getLong(1)).sum == total, "rows lost or duplicated")
   }
 
+  test("sql_recursive_chain executes through the recursive union-loop operator") {
+    val df = SparkEntry.queries("sql_recursive_chain")(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString + "\n" +
+      df.queryExecution.executedPlan.toString
+    assert(p.contains("UnionLoop") || p.contains("CTERelation") ||
+      p.toLowerCase.contains("recursive"), s"no recursive operator in plan:\n$p")
+    // the walk agrees with the windowed sessionize replay at row level
+    import org.apache.spark.sql.functions._
+    val viaWindow = graft.operators.WindowQueries.concurrencySessions(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n_chains")) // 1 row/session in
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == viaWindow(r.getLong(0)),
+        s"chain count mismatch for user ${r.getLong(0)}") }
+  }
+
   test("join_bucketed sort-merge-joins without shuffling either side") {
     // disable broadcast so the bucketed SMJ path (not a trivial BHJ) is
     // what gets planned — at real scale neither side would broadcast
