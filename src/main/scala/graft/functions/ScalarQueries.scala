@@ -102,6 +102,33 @@ object ScalarQueries {
         get_json_object(col("props"), "$.k").cast("int").as("k_int"))
       .orderBy("event_id")
 
+  /** VARIANT — Spark 4's semi-structured type (the open-format answer
+    * to schema-on-read JSON columns at scale: parse once into a typed
+    * binary encoding, then path-extract without re-tokenizing text per
+    * access). A nested JSON document is built per event, parsed with
+    * `parse_json`, and fields come back through typed `variant_get`
+    * paths — object step, array index, and a missing path (NULL, the
+    * schema-drift case). The DuckDB oracle replays the same paths with
+    * its JSON extractors over the raw text, so the variant encode →
+    * extract round-trip is hash-checked against direct JSON access.
+    * Everything is a per-row projection — zero shuffles before the
+    * final sort. */
+  def scalarVariant(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_id") < 2000)
+      .withColumn("j",
+        concat(lit("{\"id\":"), col("event_id"),
+          lit(",\"tags\":[\""), col("event_type"),
+          lit("\"],\"props\":"), col("props"), lit("}")))
+      .withColumn("v", parse_json(col("j")))
+      .select(
+        col("event_id"),
+        variant_get(col("v"), "$.props.k", "int").as("k_int"),
+        variant_get(col("v"), "$.tags[0]", "string").as("tag0"),
+        variant_get(col("v"), "$.id", "bigint").as("id_rt"),
+        variant_get(col("v"), "$.absent", "string").as("missing"))
+      .orderBy("event_id")
+
   /** Map literal + element_at lookup — the reference's label→name dict
     * (R24, ipynb:367-379) as a pure expression. */
   def scalarMap(s: SparkSession, dir: String): DataFrame = {
@@ -269,6 +296,7 @@ object ScalarQueries {
     "scalar_array" -> scalarArray,
     "scalar_array_ops" -> scalarArrayOps,
     "scalar_json" -> scalarJson,
+    "scalar_variant" -> scalarVariant,
     "scalar_map" -> scalarMap)
 
   private val mapCase: String = graft.operators.ScanQueries.labelNames
@@ -393,6 +421,19 @@ object ScalarQueries {
         |  coalesce(array_to_string(list_sort(list_distinct(
         |    list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS x
         |FROM s ORDER BY doc_id""".stripMargin,
+    // same paths through DuckDB's JSON extractors over the raw text —
+    // the variant encode/extract round-trip must be invisible
+    "scalar_variant" ->
+      """WITH j AS (SELECT event_id,
+        |    '{"id":' || event_id || ',"tags":["' || event_type ||
+        |    '"],"props":' || props || '}' AS j
+        |  FROM events WHERE event_id < 2000)
+        |SELECT event_id,
+        |  CAST(json_extract_string(j, '$.props.k') AS INTEGER) AS k_int,
+        |  json_extract_string(j, '$.tags[0]') AS tag0,
+        |  CAST(json_extract_string(j, '$.id') AS BIGINT) AS id_rt,
+        |  json_extract_string(j, '$.absent') AS missing
+        |FROM j ORDER BY event_id""".stripMargin,
     "scalar_json" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
