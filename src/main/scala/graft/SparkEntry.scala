@@ -32,7 +32,8 @@ object SparkEntry {
       operators.MultimodalQueries.queries ++
       operators.SampleQueries.queries ++
       operators.GraphQueries.queries ++
-      operators.RecursiveQueries.queries
+      operators.RecursiveQueries.queries ++
+      operators.SubqueryQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +52,6 @@ object SparkEntry {
       operators.MultimodalQueries.oracleSql ++
       operators.SampleQueries.oracleSql ++
       operators.GraphQueries.oracleSql ++
-      operators.RecursiveQueries.oracleSql
+      operators.RecursiveQueries.oracleSql ++
+      operators.SubqueryQueries.oracleSql
 }

@@ -100,6 +100,22 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
         s"chain count mismatch for user ${r.getLong(0)}") }
   }
 
+  test("correlated subqueries decorrelate: no per-row subquery survives optimization") {
+    val agg = SparkEntry.queries("sql_correlated_agg")(spark, sf)
+    val aggPlan = agg.queryExecution.optimizedPlan.toString
+    // RewriteCorrelatedScalarSubquery must have turned the per-row
+    // count(*) into an aggregate joined back on the correlation key
+    assert(!aggPlan.contains("scalar-subquery"), aggPlan)
+    assert(aggPlan.contains("Join"), aggPlan)
+    val lat = SparkEntry.queries("sql_lateral_topk")(spark, sf)
+    val latPlan = lat.queryExecution.optimizedPlan.toString + "\n" +
+      lat.queryExecution.executedPlan.toString
+    // the correlated ORDER BY + LIMIT becomes a per-key window/limit
+    // join shape — never a cartesian or per-row loop
+    assert(!latPlan.contains("CartesianProduct"), latPlan)
+    assert(!latPlan.contains("lateral-subquery"), latPlan)
+  }
+
   test("join_bucketed sort-merge-joins without shuffling either side") {
     // disable broadcast so the bucketed SMJ path (not a trivial BHJ) is
     // what gets planned — at real scale neither side would broadcast
