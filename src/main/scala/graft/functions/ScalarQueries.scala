@@ -129,6 +129,25 @@ object ScalarQueries {
         variant_get(col("v"), "$.absent", "string").as("missing"))
       .orderBy("event_id")
 
+  /** ANSI-safe arithmetic — Spark 4 runs with ansi.enabled=true, where
+    * a divide-by-zero or bigint overflow ABORTS the job; the `try_*`
+    * family is the production answer: the failing row degrades to NULL
+    * instead of killing a 100 TB pass (the row-level cousin of
+    * source_badrecords' file-level quarantine). Divisor hits zero on a
+    * deterministic subset (l_linenumber == 3) and the multiply
+    * overflows for every l_orderkey ≥ 2 — both NULL sets are replayed
+    * exactly by the oracle with guarded CASE arithmetic. */
+  def scalarTryArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 1000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        Fp.r4(try_divide(col("l_extendedprice"),
+          (col("l_linenumber") - 3).cast("double"))).as("div_or_null"),
+        try_multiply(col("l_orderkey"), lit(Long.MaxValue)).as("mul_or_null"),
+        try_add(col("l_orderkey"), lit(1L)).as("add_ok"))
+      .orderBy("l_orderkey", "l_linenumber", "div_or_null")
+
   /** Map literal + element_at lookup — the reference's label→name dict
     * (R24, ipynb:367-379) as a pure expression. */
   def scalarMap(s: SparkSession, dir: String): DataFrame = {
@@ -297,6 +316,7 @@ object ScalarQueries {
     "scalar_array_ops" -> scalarArrayOps,
     "scalar_json" -> scalarJson,
     "scalar_variant" -> scalarVariant,
+    "scalar_try_arith" -> scalarTryArith,
     "scalar_map" -> scalarMap)
 
   private val mapCase: String = graft.operators.ScanQueries.labelNames
@@ -421,6 +441,18 @@ object ScalarQueries {
         |  coalesce(array_to_string(list_sort(list_distinct(
         |    list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS x
         |FROM s ORDER BY doc_id""".stripMargin,
+    // NULL sets replayed with guarded CASE arithmetic: zero divisor ⇒
+    // NULL, any l_orderkey ≥ 2 overflows ×int64-max ⇒ NULL
+    "scalar_try_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_linenumber = 3 THEN NULL
+        |       ELSE floor((l_extendedprice / (l_linenumber - 3))
+        |              * 10000.0 + 0.5) / 10000.0 END AS div_or_null,
+        |  CASE WHEN l_orderkey >= 2 THEN NULL
+        |       ELSE l_orderkey * 9223372036854775807 END AS mul_or_null,
+        |  l_orderkey + 1 AS add_ok
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber, div_or_null""".stripMargin,
     // same paths through DuckDB's JSON extractors over the raw text —
     // the variant encode/extract round-trip must be invisible
     "scalar_variant" ->

@@ -187,6 +187,27 @@ object JoinQueries {
       .orderBy("ival_id")
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): plain
+    * equi-joins silently DROP rows whose key is NULL on either side —
+    * the classic data-loss bug when a "key" is really an optional
+    * attribute. Both sides pre-aggregate per nullable key (null when
+    * key mod 10 == 7, a deterministic subset), then join null-safely:
+    * the NULL groups MATCH each other and survive as a row. Still a
+    * hash-joinable condition (null-safe equality has a well-defined
+    * hash), so the plan stays a broadcast/shuffle hash join, not a
+    * nested loop — asserted via the global PlanSweepSpec. */
+  def joinNullsafe(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .groupBy(nullif(col("o_orderkey") % 10, lit(7L)).as("k"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l = t(s, dir, "lineitem")
+      .groupBy(nullif(col("l_orderkey") % 10, lit(7L)).as("k"))
+      .agg(count(lit(1)).as("n_lines"))
+    o.join(l, o("k") <=> l("k"))
+      .select(o("k").as("k"), col("n_orders"), col("n_lines"))
+      .orderBy(asc_nulls_first("k"))
+  }
+
   /** As-of join: for each purchase event, the latest order of the same
     * customer at-or-before the event time. Spark has no native as-of
     * join; expressed as inequality join + per-event row_number, which
@@ -371,7 +392,8 @@ object JoinQueries {
     "join_theta" -> joinTheta,
     "join_asof" -> joinAsof,
     "join_range_binned" -> joinRangeBinned,
-    "join_interval_overlap" -> joinIntervalOverlap)
+    "join_interval_overlap" -> joinIntervalOverlap,
+    "join_nullsafe" -> joinNullsafe)
 
   val oracleSql: Map[String, String] = Map(
     // the Bloom filter is pure pruning — the joined/aggregated result
@@ -407,6 +429,16 @@ object JoinQueries {
         |   OR c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_totalprice > 450000)
         |ORDER BY c_custkey""".stripMargin,
+    // IS NOT DISTINCT FROM is the portable spelling of <=>; NULL
+    // groups must match and survive
+    "join_nullsafe" ->
+      """WITH o AS (SELECT nullif(o_orderkey % 10, 7) AS k,
+        |    count(*) AS n_orders FROM orders GROUP BY 1),
+        |l AS (SELECT nullif(l_orderkey % 10, 7) AS k,
+        |    count(*) AS n_lines FROM lineitem GROUP BY 1)
+        |SELECT o.k, n_orders, n_lines
+        |FROM o JOIN l ON o.k IS NOT DISTINCT FROM l.k
+        |ORDER BY o.k NULLS FIRST""".stripMargin,
     // plain inequality joins on the oracle side — DuckDB's IEJoin takes
     // the overlap predicate directly; Spark's binning + pair distinct is
     // a pruning strategy that cannot change the result
