@@ -339,6 +339,43 @@ object TextQueries {
       .orderBy("seq_id")
   }
 
+  /** Dataset card — the summary a curation pipeline PUBLISHES with the
+    * corpus (docs/tokens/chars totals, per-language and per-source
+    * composition, exact-duplicate count), emitted long-format as
+    * (metric, key, value) rows so one schema carries every statistic.
+    * Each branch is its own bounded aggregate (1, #langs, #sources
+    * rows); the only non-trivial shuffle is the exact distinct over
+    * content digests, the same single-digest-shuffle shape as
+    * dedup_exact. All-integer ⇒ exact oracle. */
+  def pipelineDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(words(col("text"))).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"),
+        sha2(col("text"), 256).as("sha"))
+    val total = d
+      .agg(count(lit(1)).as("docs"), sum("toks").as("tokens"),
+        sum("chars").as("nchars"), countDistinct("sha").as("uniq"))
+      .select(explode(array(
+        struct(lit("docs_total").as("metric"), lit("").as("key"),
+          col("docs").as("value")),
+        struct(lit("tokens_total").as("metric"), lit("").as("key"),
+          col("tokens").as("value")),
+        struct(lit("chars_total").as("metric"), lit("").as("key"),
+          col("nchars").as("value")),
+        struct(lit("dup_docs").as("metric"), lit("").as("key"),
+          (col("docs") - col("uniq")).as("value")))).as("m"))
+      .select("m.*")
+    val byLang = d.groupBy(col("lang").as("key"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("docs_lang").as("metric"), col("key"), col("value"))
+    val bySource = d.groupBy(col("source").as("key"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("docs_source").as("metric"), col("key"), col("value"))
+    total.unionByName(byLang).unionByName(bySource)
+      .orderBy("metric", "key")
+  }
+
   /** posexplode_outer — the generator (UDTF) variant that KEEPS rows
     * whose array is empty, emitting (null, null): long words per doc,
     * with empty-result docs preserved. The lateral explode is
@@ -544,6 +581,7 @@ object TextQueries {
     "udtf_posexplode_outer" -> udtfPosexplodeOuter,
     "pipeline_pack_bins" -> pipelinePackBins,
     "pipeline_pack_sequences" -> pipelinePackSequences,
+    "pipeline_dataset_card" -> pipelineDatasetCard,
     "text_bm25" -> textBm25,
     "text_normalize" -> textNormalize,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
@@ -709,6 +747,24 @@ object TextQueries {
         |  CAST(sum(tokens) AS BIGINT) AS sum_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // long-format union of bounded aggregates; sha256 is bit-identical
+    // across engines (same digest family as dedup_exact's oracle)
+    "pipeline_dataset_card" ->
+      """WITH d AS (SELECT lang, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST(length(text) AS BIGINT) AS chars,
+        |    sha256(text) AS sha FROM documents),
+        |tot AS (SELECT count(*) AS docs, sum(toks) AS tokens,
+        |    sum(chars) AS nchars, count(DISTINCT sha) AS uniq FROM d)
+        |SELECT * FROM (
+        |  SELECT 'docs_total' AS metric, '' AS key,
+        |    CAST(docs AS BIGINT) AS value FROM tot
+        |  UNION ALL SELECT 'tokens_total', '', CAST(tokens AS BIGINT) FROM tot
+        |  UNION ALL SELECT 'chars_total', '', CAST(nchars AS BIGINT) FROM tot
+        |  UNION ALL SELECT 'dup_docs', '', CAST(docs - uniq AS BIGINT) FROM tot
+        |  UNION ALL SELECT 'docs_lang', lang, count(*) FROM d GROUP BY lang
+        |  UNION ALL SELECT 'docs_source', source, count(*) FROM d GROUP BY source)
+        |ORDER BY metric, key""".stripMargin,
     // ONE global window here where Spark uses the two-level prefix sum —
     // the hash match proves the bucket decomposition computes the same
     // offsets; all-integer, generate_series is inclusive like sequence()
