@@ -243,6 +243,34 @@ object ScanQueries {
       .orderBy("bucket")
   }
 
+  /** Small-files compaction — the maintenance job every long-lived
+    * 100 TB table needs: streaming ingest and over-parallel writers
+    * leave thousands of KB-sized files, and scan cost becomes per-file
+    * open/footer overhead instead of IO. A 64-file copy of lineitem is
+    * compacted with `coalesce` (narrow — files concatenate into larger
+    * tasks with NO shuffle; `repartition` would pay one for better
+    * balance) and read back aggregated. The oracle aggregates the
+    * original table: compaction must be invisible to every reader.
+    * ScaleSpec asserts the file counts (64 → ≤8) and that row count is
+    * preserved. */
+  def sinkCompact(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_$tag"
+    if (!new java.io.File(s"$base/big/_SUCCESS").exists()) {
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$base/small")
+      s.read.parquet(s"$base/small")
+        .coalesce(4)
+        .write.mode("overwrite").parquet(s"$base/big")
+    }
+    s.read.parquet(s"$base/big")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), Fp.r4(sum("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Bits per dimension for [[morton10]] / [[sinkZorder]]: 10 bits ⇒
     * keys are first folded into [0, 1024). */
   val ZBits = 10
@@ -311,6 +339,7 @@ object ScanQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_badrecords" -> sourceBadrecords,
+    "sink_compact" -> sinkCompact,
     "sink_zorder" -> sinkZorder,
     "sink_json_roundtrip" -> sinkJsonRoundtrip,
     "sink_orc_roundtrip" -> sinkOrcRoundtrip,
@@ -325,6 +354,11 @@ object ScanQueries {
     "source_inline" -> sourceInline)
 
   val oracleSql: Map[String, String] = Map(
+    // compaction must be invisible: aggregate straight off the original
+    "sink_compact" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // corrupt rows are exactly the injected modular set; the oracle
     // replays the rule over the CLEAN parquet — counts and the
     // quarantine bucket must agree, and sum over the CSV-round-tripped

@@ -148,6 +148,33 @@ object WindowQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** Row-pattern detection (the MATCH_RECOGNIZE shape, expressed with
+    * a lead() chain): STRICTLY ADJACENT view → click conversions per
+    * user within one hour — unlike agg_funnel's earliest-times
+    * ordering, adjacency means no other event may interrupt the pair,
+    * and one user can match many times. A fixed-length pattern over an
+    * ordered partition compiles to one window pass + a filter — no
+    * self-joins, no per-row regex engine; the shuffle is the same
+    * single (user) exchange every window query pays. (Longer patterns
+    * chain more leads over the SAME sort — a 3-step variant matched
+    * zero rows at the gate SF on this synthetic data, so the declared
+    * query uses the 2-step form that exercises every mechanism with
+    * non-trivial output.) */
+  def winPattern(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_s"))
+      .withColumn("t1", lead("event_type", 1).over(w))
+      .withColumn("ts1", lead("ts_s", 1).over(w))
+      .filter(col("event_type") === "view" && col("t1") === "click" &&
+        col("ts1") - col("ts_s") <= 3600L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min("event_id").as("first_match_event"),
+        min(col("ts1") - col("ts_s")).as("fastest_gap_s"))
+      .orderBy("user_id")
+  }
+
   /** Half-open session intervals [start_s, end_s) per (user, session)
     * under the [[SessionGapS]] gap rule — the sweep input shared by
     * [[winConcurrency]] and its incremental streaming twin
@@ -303,6 +330,7 @@ object WindowQueries {
     "win_concurrency" -> winConcurrency,
     "win_first_last" -> winFirstLast,
     "win_sessionize" -> winSessionize,
+    "win_pattern" -> winPattern,
     "win_sessionize_salted" -> winSessionizeSalted,
     "pipeline_scd2" -> pipelineScd2,
     "pipeline_gapfill" -> pipelineGapfill,
@@ -314,6 +342,20 @@ object WindowQueries {
     "win_ntile" -> winNtile)
 
   val oracleSql: Map[String, String] = Map(
+    // adjacency via the same lead() chain; DuckDB shares the window sort
+    "win_pattern" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |x AS (SELECT user_id, event_id, event_type, ts_s,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(ts_s, 1) OVER w AS ts1
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id))
+        |SELECT user_id, count(*) AS n_matches,
+        |  min(event_id) AS first_match_event,
+        |  min(ts1 - ts_s) AS fastest_gap_s
+        |FROM x
+        |WHERE event_type = 'view' AND t1 = 'click' AND ts1 - ts_s <= 3600
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // single global window — logically identical to the engine's
     // two-level prefix sum (associative integer sums)
     "win_concurrency" ->

@@ -108,6 +108,19 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
   }
 
+  test("sink_compact collapses the small-files layout without changing content") {
+    val df = SparkEntry.queries("sink_compact")(spark, sf)
+    val rows = df.collect() // materializes small + big on first run
+    val tag = sf.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_$tag"
+    def nFiles(d: String): Int = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles(s"$base/small") >= 32, "small-files fixture not fragmented")
+    assert(nFiles(s"$base/big") <= 8, "compaction did not reduce file count")
+    val orig = graft.Tables.t(spark, sf, "lineitem").count()
+    assert(rows.map(_.getLong(1)).sum == orig, "compaction lost or duplicated rows")
+  }
+
   test("z-order layout makes both dimensions prunable per row group; linear sort only one") {
     // The claim behind sink_zorder, proven from the parquet footers the
     // reader actually prunes with: under a 2-D rectangle predicate, a
