@@ -299,7 +299,62 @@ object ScalarQueries {
         |FROM graft_emb_sqlfn ORDER BY vec_id""".stripMargin)
   }
 
+  /** URL parsing — the first normalization step of every web-crawl
+    * curation pipeline (canonical host/path before URL dedup). URLs are
+    * CONSTRUCTED from event columns, so the oracle checks Spark's
+    * `parse_url` (java.net.URI-backed) against an independent
+    * re-derivation of each component, and `url_decode` against the
+    * literal percent-encoding it was fed. Pure per-row projection,
+    * zero shuffle — codegen'd end to end. */
+  def scalarUrl(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("https://ex"), expr("user_id % 5"), lit(".example.com/"),
+      col("event_type"), lit("/"), col("event_id"),
+      lit("?uid="), col("user_id"), lit("&q=a%20b%2Bc"))
+    t(s, dir, "events")
+      .select(col("event_id"), url.as("url"))
+      .select(
+        col("event_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("uid")).as("uid"),
+        url_decode(parse_url(col("url"), lit("QUERY"), lit("q"))).as("q_dec"))
+      .orderBy("event_id")
+  }
+
+  /** XML parsing (`from_xml` + `xpath_string`) — the reference's mean
+    * image arrives as OpenCV XML parsed with ElementTree (R16,
+    * ipynb:198–201; sources/MeanXml reads the real artifact). This is
+    * the same capability as a DISTRIBUTED column operation: per-row XML
+    * built from document columns, parsed back by Spark's native XML
+    * reader, fields extracted both via the typed struct and an XPath.
+    * Round-trip construction means the oracle just re-selects the
+    * source columns — encode→parse is checked as an identity. */
+  def scalarXml(s: SparkSession, dir: String): DataFrame = {
+    val xml = concat(
+      lit("<doc><lang>"), col("lang"),
+      lit("</lang><n>"), col("n_chars"),
+      lit("</n><src>"), col("source"), lit("</src></doc>"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(
+        "n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        "src", org.apache.spark.sql.types.StringType)))
+    t(s, dir, "documents")
+      .select(col("doc_id"), xml.as("xml"))
+      .withColumn("parsed", from_xml(col("xml"), schema))
+      .select(col("doc_id"),
+        col("parsed.lang").as("xlang"),
+        col("parsed.n").as("xn"),
+        xpath_string(col("xml"), lit("/doc/src")).as("xsrc"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_url" -> scalarUrl,
+    "scalar_xml" -> scalarXml,
     "scalar_dot_native" -> scalarDotNative,
     "scalar_date_extra" -> scalarDateExtra,
     "scalar_string_extra" -> scalarStringExtra,
@@ -323,6 +378,21 @@ object ScalarQueries {
     .map { case (k, v) => s"WHEN $k THEN '$v'" }.mkString(" ")
 
   val oracleSql: Map[String, String] = Map(
+    // each URL component re-derived from the source columns; the
+    // decoded query value is the literal the encoder was fed
+    "scalar_url" ->
+      """SELECT event_id,
+        |  'ex' || (user_id % 5) || '.example.com' AS host,
+        |  '/' || event_type || '/' || event_id AS path,
+        |  CAST(user_id AS VARCHAR) AS uid,
+        |  'a b+c' AS q_dec
+        |FROM events ORDER BY event_id""".stripMargin,
+    // encode→parse identity: the parsed fields must equal the columns
+    // the XML was built from
+    "scalar_xml" ->
+      """SELECT doc_id, lang AS xlang, CAST(n_chars AS BIGINT) AS xn,
+        |  source AS xsrc
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // integer-quantized self-dot: exact BIGINT on both engines
     "scalar_dot_native" ->
       """SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS qnorm

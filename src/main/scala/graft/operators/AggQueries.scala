@@ -375,7 +375,29 @@ object AggQueries {
         sum("cents").as("sum_cents"))
       .orderBy("bucket")
 
+  /** Ordered string aggregation — `listagg(...) WITHIN GROUP`
+    * (ANSI SQL:2023, Spark 4.0+): per region, the ordered
+    * comma-joined nation list plus member count. Group cardinality is
+    * bounded by the dim (25 nations / 5 regions), so the concatenated
+    * payload stays dim-sized at any fact scale; the agg itself rides
+    * the standard two-phase HashAggregate. The WITHIN GROUP ordering
+    * makes the result deterministic — unordered listagg would be
+    * partition-order-dependent and unhashable. */
+  def aggListagg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("graft_nation_la")
+    t(s, dir, "region").createOrReplaceTempView("graft_region_la")
+    s.sql(
+      """SELECT r.r_name,
+        |  listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+        |    AS nations,
+        |  count(*) AS n_nations
+        |FROM graft_region_la r JOIN graft_nation_la n
+        |  ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_listagg" -> aggListagg,
     "agg_regression" -> aggRegression,
     "profile_histogram" -> profileHistogram,
     "profile_stats" -> profileStats,
@@ -401,6 +423,12 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    "agg_listagg" ->
+      """SELECT r.r_name,
+        |  string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+        |  count(*) AS n_nations
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
     "profile_histogram" ->
       """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
         |    AS cents

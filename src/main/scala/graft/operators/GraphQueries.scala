@@ -136,7 +136,56 @@ object GraphQueries {
       .orderBy("doc_a", "doc_b", "doc_c")
   }
 
+  val BfsMaxHops = 3
+
+  /** Multi-source BFS (shortest hop count) from a seed set — the third
+    * iterative-graph primitive after pagerank (fixed-point value
+    * iteration) and components (label propagation): "how far is every
+    * entity from a trusted core", the standard graph-distance signal
+    * for source-trust weighting in corpus curation. Seeds: nation-0
+    * customers over the same bipartite customer↔supplier trading graph
+    * as pagerank.
+    *
+    * Scale: each of the [[BfsMaxHops]] rounds is one frontier⋈edges
+    * equi-join + distinct + an anti-join against the visited set —
+    * shuffles proportional to the frontier, never to pairs². Frontier
+    * and dist frames are localCheckpointed per round (the
+    * pagerank/components lineage discipline) so round i's plan never
+    * re-derives round i−1; the driver holds only the loop counter.
+    * Anti-join-before-label keeps each node's FIRST discovery level =
+    * min-hop distance. Output is the per-level membership summary
+    * (count + id-sum checksum pins the exact set); the oracle replays
+    * min(d) over a depth-capped recursive closure with UNION dedup so
+    * the path count can't explode. */
+  def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+      .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+      .localCheckpoint(true)
+    val seeds = t(s, dir, "customer").filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"))
+    var dist = seeds.withColumn("d", lit(0)).localCheckpoint(true)
+    var frontier = dist.select("node")
+    for (i <- 1 to BfsMaxHops) {
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      dist = dist.union(next.withColumn("d", lit(i))).localCheckpoint(true)
+      frontier = next
+    }
+    dist.groupBy("d")
+      .agg(count(lit(1)).as("n_nodes"), sum("node").as("id_sum"),
+        min("node").as("min_node"), max("node").as("max_node"))
+      .orderBy("d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs" -> graphBfs,
     "graph_triangles" -> graphTriangles,
     "graph_pagerank" -> graphPagerank)
 
@@ -193,7 +242,29 @@ object GraphQueries {
        |ORDER BY doc_a, doc_b, doc_c""".stripMargin
   }
 
+  /** Generated from [[BfsMaxHops]] so the depth cap can't drift.
+    * Recursive UNION (not UNION ALL) dedups (node, d) pairs per
+    * round, bounding the closure at nodes×depth rows — a UNION ALL
+    * walk would enumerate paths (edgesᵈ) and explode on this dense
+    * graph. min(d) per node = BFS discovery level. */
+  private def bfsOracle(hops: Int): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT c AS src, p AS dst FROM pairs
+       |      UNION ALL SELECT p, c FROM pairs),
+       |walk(node, d) AS (
+       |  SELECT c_custkey * 2, 0 FROM customer WHERE c_nationkey = 0
+       |  UNION
+       |  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node
+       |  WHERE w.d < $hops),
+       |md AS (SELECT node, min(d) AS d FROM walk GROUP BY node)
+       |SELECT d, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS id_sum,
+       |  min(node) AS min_node, max(node) AS max_node
+       |FROM md GROUP BY d ORDER BY d""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "graph_bfs" -> bfsOracle(BfsMaxHops),
     "graph_triangles" -> trianglesOracle,
     "graph_pagerank" -> pagerankOracle(PrIters))
 }

@@ -136,7 +136,41 @@ object MultimodalQueries {
       .orderBy("doc_id", "py", "px")
   }
 
+  /** AUDIO-shaped feature extraction: the payload read as a PCM-u8
+    * sample stream, cut into OVERLAPPING 256-sample frames at hop 128
+    * (the STFT window/hop shape — multimodal_frames' windows are
+    * disjoint) and reduced per frame to integer energy Σs² — the RMS
+    * proxy a voice-activity / silence-trim pass computes before
+    * transcription. Same per-partition batch plumbing as decode/
+    * frames; only (doc_id, frame_idx, n_samples, energy) rows leave
+    * the partition, never samples. */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val nFrames = (payload.length + 127) / 128
+          (0 until nFrames).map { f =>
+            val from = f * 128
+            val until = math.min(from + 256, payload.length)
+            var energy = 0L
+            var i = from
+            while (i < until) {
+              val v = (payload(i) & 0xff).toLong; energy += v * v; i += 1
+            }
+            (id, f, until - from, energy)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_samples", "energy")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_audio" -> multimodalAudio,
     "multimodal_resize" -> multimodalResize,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_decode" -> multimodalDecode,
@@ -144,6 +178,18 @@ object MultimodalQueries {
 
   val oracleSql: Map[String, String] = Map(
     // same ASCII chars==octets assumption as decode/frames
+    "multimodal_audio" ->
+      """SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(length(substr(text, CAST(f * 128 + 1 AS INTEGER), 256))
+        |    AS INTEGER) AS n_samples,
+        |  CAST(list_sum(list_transform(
+        |    regexp_extract_all(substr(text, CAST(f * 128 + 1 AS INTEGER), 256),
+        |      '.'),
+        |    c -> ascii(c) * ascii(c))) AS BIGINT) AS energy
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(0, (length(text) + 127) // 128)) AS f
+        |      FROM documents) t
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // (FixtureSpec); 1-based substr pos of pixel (r,c) is r*8 + c + 1
     "multimodal_resize" ->
       """SELECT doc_id, CAST(py AS INTEGER) AS py, CAST(px AS INTEGER) AS px,

@@ -573,7 +573,43 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Curriculum bucketing: order the corpus by token count and cut it
+    * into 10 equal-frequency buckets — the easy→hard schedule a
+    * curriculum-training pipeline publishes, with per-bucket
+    * composition stats. NO global sort or single-task window: global
+    * rank(doc) = (docs with smaller token count, from a cumulative sum
+    * over the bounded distinct-token-count frame — same carry-frame
+    * trick as win_concurrency) + (row_number within the doc's own
+    * count, a per-key distributed window). Bucket =
+    * ((rank−1)·10 div N) + 1: exact equal-split quantile assignment —
+    * note it distributes remainder docs round-robin, unlike ANSI
+    * ntile's first-buckets-get-extras; the oracle replays the same
+    * formula over a plain row_number, so semantics are pinned. */
+  def pipelineCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("tk"))
+    // distinct token counts ≈ hundreds at any corpus size: the carry
+    // frame is dim-sized, so its global window is safe
+    val cum = tok.groupBy("tk").agg(count(lit(1)).as("n"))
+      .select(col("tk"), coalesce(
+        sum("n").over(W.orderBy("tk").rowsBetween(W.unboundedPreceding, -1)),
+        lit(0L)).as("below"))
+    val nTotal = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(broadcast(cum), "tk")
+      .withColumn("rk",
+        col("below") + row_number().over(W.partitionBy("tk").orderBy("doc_id")))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("bucket", expr("((rk - 1) * 10) div n_total") + 1)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("tk").as("min_tok"), max("tk").as("max_tok"),
+        sum("tk").as("sum_tok"), sum("doc_id").as("id_sum"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curriculum" -> pipelineCurriculum,
     "pipeline_end_to_end" -> pipelineEndToEnd,
     "text_pii_scrub" -> textPiiScrub,
     "pipeline_contamination" -> pipelineContamination,
@@ -598,6 +634,20 @@ object TextQueries {
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    // plain global row_number replays the engine's two-level rank
+    "pipeline_curriculum" ->
+      """WITH tok AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+        |  FROM documents),
+        |r AS (SELECT doc_id, tk,
+        |    row_number() OVER (ORDER BY tk, doc_id) AS rk,
+        |    count(*) OVER () AS n_total
+        |  FROM tok)
+        |SELECT ((rk - 1) * 10) // n_total + 1 AS bucket,
+        |  count(*) AS n_docs, min(tk) AS min_tok, max(tk) AS max_tok,
+        |  CAST(sum(tk) AS BIGINT) AS sum_tok,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
     // the full curation chain, stage by stage: string grams where
     // Spark joins on xxhash64 longs (identical join semantics absent a
     // collision, which would surface as a hash mismatch)

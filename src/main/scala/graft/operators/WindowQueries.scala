@@ -326,7 +326,30 @@ object WindowQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Share-of-total analytics (the RATIO_TO_REPORT shape): each
+    * nation's share of its region's total customer account balance,
+    * plus the integer-cents gap to the region leader. Aggregate FIRST,
+    * window second — the windows run over the 25-row aggregated frame,
+    * never the fact table, so the only fact-sized shuffle is the
+    * two-phase groupBy. Balances are summed as integer cents (exact,
+    * associative); the share is one double division of two exact
+    * integers, r4-rounded on both engines. */
+  def winShare(s: SparkSession, dir: String): DataFrame = {
+    val byNation = t(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(sum(floor(col("c_acctbal") * 100 + lit(0.5)).cast("long"))
+        .as("cents"))
+    val w = Window.partitionBy("n_regionkey")
+    byNation
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey"), col("n_name"), col("cents"),
+        Fp.r4(col("cents") / sum("cents").over(w)).as("share"),
+        (max("cents").over(w) - col("cents")).as("gap_cents"))
+      .orderBy("n_regionkey", "n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_share" -> winShare,
     "win_concurrency" -> winConcurrency,
     "win_first_last" -> winFirstLast,
     "win_sessionize" -> winSessionize,
@@ -342,6 +365,19 @@ object WindowQueries {
     "win_ntile" -> winNtile)
 
   val oracleSql: Map[String, String] = Map(
+    // integer-cents sums are exact; share = one double division
+    "win_share" ->
+      """WITH bn AS (SELECT c_nationkey,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT n.n_regionkey, n.n_name, cents,
+        |  floor((cents / (sum(cents) OVER w)) * 10000.0 + 0.5) / 10000.0
+        |    AS share,
+        |  CAST((max(cents) OVER w) - cents AS BIGINT) AS gap_cents
+        |FROM bn JOIN nation n ON c_nationkey = n_nationkey
+        |WINDOW w AS (PARTITION BY n.n_regionkey)
+        |ORDER BY n_regionkey, n_name""".stripMargin,
     // adjacency via the same lead() chain; DuckDB shares the window sort
     "win_pattern" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
