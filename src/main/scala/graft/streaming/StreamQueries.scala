@@ -548,7 +548,103 @@ object StreamQueries {
       .orderBy("window_start_s", "category")
   }
 
+  /** Per-key running totals held in the v2 arbitrary-state API. */
+  case class TwsState(n: Long, idSum: Long, maxTs: Long)
+  case class TwsOut(user_id: Long, n_events: Long, id_sum: Long, max_ts: Long)
+
+  /** StatefulProcessor for [[streamTransformWithState]]: typed
+    * ValueState per user, updated per batch, emitting the running
+    * totals after each batch's rows for the key. count/sum/max are
+    * commutative+associative, so the final emission per key is
+    * batch-split-invariant. */
+  class TwsRunningTotals
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), TwsOut] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[TwsState] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[TwsState](
+        "totals", org.apache.spark.sql.Encoders.product[TwsState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, Long)],
+        timer: org.apache.spark.sql.streaming.TimerValues): Iterator[TwsOut] = {
+      var st =
+        if (state.exists()) state.get() else TwsState(0L, 0L, Long.MinValue)
+      rows.foreach { case (eid, _, ts) =>
+        st = TwsState(st.n + 1, st.idSum + eid, math.max(st.maxTs, ts))
+      }
+      state.update(st)
+      Iterator.single(TwsOut(key, st.n, st.idSum, st.maxTs))
+    }
+  }
+
+  /** Spark 4's arbitrary-state streaming API v2 — `transformWithState`
+    * with a typed [[TwsRunningTotals]] StatefulProcessor over the
+    * RocksDB state store (the API REQUIRES RocksDB; conf scoped to
+    * this query and restored after). The successor surface to
+    * stream_maxgap's flatMapGroupsWithState: explicit TimeMode /
+    * OutputMode, named ValueState with its own encoder, TTL support.
+    *
+    * Input is the events table chunked 4 ways by event_id and streamed
+    * with maxFilesPerTrigger=1, so the per-user state PROVABLY carries
+    * across multiple micro-batches. Each batch appends the running
+    * totals per touched key to a parquet sink; the final totals are
+    * the per-key MAX of the emitted rows (all three measures are
+    * monotone over batches), which must equal the one-shot batch
+    * aggregate — the oracle. The checkpoint makes re-runs process zero
+    * batches; chunking by event_id (not time) is deliberate: the state
+    * algebra is commutative, so ARRIVAL ORDER must not matter, and the
+    * hash check proves it doesn't.
+    *
+    * Scale: state lives off-heap in RocksDB keyed by user, updated
+    * per batch — no rescans of history; the sink receives key-sized
+    * rows, never events. */
+  def streamTransformWithState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = contentTag(s, dir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_tws_$tag"
+    val src = t(s, dir, "events").select("event_id", "user_id", "ts_s")
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists())
+      (0 to 3).foreach { c =>
+        src.filter(expr("event_id % 4") === c)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val outPath = s"$base/out"
+      val q = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+        .as[(Long, Long, Long)]
+        .groupByKey(_._2)
+        .transformWithState(new TwsRunningTotals,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .writeStream.format("parquet").option("path", outPath)
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outPath)
+        .groupBy("user_id")
+        .agg(max("n_events").as("n_events"), max("id_sum").as("id_sum"),
+          max("max_ts").as("max_ts"))
+        .orderBy("user_id")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_transformwithstate" -> streamTransformWithState,
     "stream_concurrency" -> streamConcurrency,
     "stream_minhash" -> streamMinhash,
     "stream_scd2" -> streamScd2,
@@ -564,6 +660,13 @@ object StreamQueries {
     "filter_null" -> filterNull)
 
   val oracleSql: Map[String, String] = Map(
+    // the final per-key state after 4 commutatively-merged
+    // micro-batches must equal the one-shot batch aggregate
+    "stream_transformwithstate" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  max(epoch_ns(ts) // 1000000000) AS max_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the incrementally-accumulated pair state must equal the one-shot
     // batch LSH — dedup_minhash's generated oracle verbatim
     "stream_minhash" -> graft.operators.DedupQueries.minhashOracleSql,

@@ -136,6 +136,26 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(again == inc)
   }
 
+  test("transformWithState running totals equal the batch aggregate and are idempotent") {
+    val inc = StreamQueries.streamTransformWithState(spark, sf).collect().toSeq
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("event_id").as("id_sum"),
+        max("ts_s").as("max_ts"))
+      .orderBy("user_id").collect().toSeq
+    assert(inc == batch,
+      "RocksDB ValueState totals diverged from the batch aggregate")
+    // the state genuinely carried across micro-batches (one per chunk)
+    val tagDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_stream_tws_"))
+    assert(tagDirs.exists(d =>
+        Option(new java.io.File(d, "chk/commits").list()).exists(_.length >= 2)),
+      "expected at least 2 committed micro-batches")
+    // re-run with the same checkpoint processes nothing and is stable
+    val again = StreamQueries.streamTransformWithState(spark, sf).collect().toSeq
+    assert(again == inc)
+  }
+
   test("incremental stream_concurrency equals batch win_concurrency and is idempotent") {
     val inc = StreamQueries.streamConcurrency(spark, sf).collect().toSeq
     val batch = operators.WindowQueries.winConcurrency(spark, sf).collect().toSeq
