@@ -29,9 +29,11 @@ object Bench {
     // setup phase: queries that create one-time side tables (bucketed /
     // partitioned sinks) materialize them HERE, untimed, so the timed
     // runs below measure their reads, not a one-off write
-    Seq("join_bucketed", "sink_partitioned", "sink_ts_roundtrip",
+    Seq("join_bucketed", "join_dpp", "source_merge_schema",
+        "sink_partitioned", "sink_ts_roundtrip",
         "stream_file_sink", "stream_foreachbatch", "stream_scd2",
-        "stream_concurrency", "sink_zorder", "sink_json_roundtrip",
+        "stream_concurrency", "stream_minhash", "stream_transformwithstate",
+        "sink_zorder", "sink_json_roundtrip",
         "sink_orc_roundtrip").foreach(n =>
       selected.get(n).foreach(fn =>
         // NonFatal only: an OOM/linkage error here must crash loudly, and

@@ -396,7 +396,53 @@ object AggQueries {
         |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin)
   }
 
+  /** UNPIVOT (melt): wide measure columns to long (measure, value)
+    * rows — the relational-surface operator behind every "stats per
+    * column" report. Uses `Dataset.unpivot`, which plans an Expand
+    * (×3 row multiplication here): the honest semantic cost of melt
+    * when the MELT ITSELF is the query. When only per-column
+    * aggregates are wanted, profile_stats shows the no-Expand
+    * two-level formulation — the two queries bracket the trade.
+    * Sums are integer cents (exact, order-independent); min/max of
+    * doubles are order-independent by definition. */
+  def aggUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),
+        col("l_tax"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "v")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v") * 100 + lit(0.5)).cast("long")).as("cents"),
+        min("v").as("min_v"), max("v").as("max_v"))
+      .orderBy("measure")
+
+  /** grouping()/grouping_id() over a CUBE: the only way a consumer of
+    * multi-level aggregates can distinguish "NULL because this level
+    * aggregates the column away" from a genuine NULL group value.
+    * The oracle recomputes gid as the explicit bit formula
+    * 2·grouping(status) + grouping(priority), pinning Spark's
+    * grouping_id bit order (first column = MSB) against first
+    * principles rather than trusting two engines to share a
+    * convention. Rides the same Expand+aggregate as agg_cube. */
+  def aggGroupingId(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_gid")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+        |    AS gid,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  count(*) AS n
+        |FROM graft_orders_gid
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_grouping_id" -> aggGroupingId,
+    "agg_unpivot" -> aggUnpivot,
     "agg_listagg" -> aggListagg,
     "agg_regression" -> aggRegression,
     "profile_histogram" -> profileHistogram,
@@ -423,6 +469,29 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    // gid re-derived from the explicit bit formula — checks Spark's
+    // grouping_id bit order, not a shared engine convention
+    "agg_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority)
+        |    AS BIGINT) AS gid,
+        |  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
+    // melt replayed as UNION ALL — same (measure, value) multiset
+    "agg_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure, count(*) AS n,
+        |  CAST(sum(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  min(v) AS min_v, max(v) AS max_v
+        |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
     "agg_listagg" ->
       """SELECT r.r_name,
         |  string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,

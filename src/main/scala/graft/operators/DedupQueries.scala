@@ -618,7 +618,43 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** URL dedup — the FIRST dedup pass of every web-crawl pipeline,
+    * running before any content hash because it needs no page bytes:
+    * canonicalize, group, keep one fetch per canonical URL. URLs are
+    * CONSTRUCTED from event columns with deterministic noise (mixed
+    * host case, an explicit :443 port, a trailing slash, rotating
+    * utm_* tracking params), then canonicalized from the RAW STRING
+    * ONLY via `parse_url`: lowercased HOST (java.net.URI drops the
+    * port), PATH with the trailing slash stripped, query discarded.
+    * The oracle re-derives the canonical form independently from the
+    * source columns, so the parse-based canonicalization is checked
+    * against ground truth, like scalar_url.
+    *
+    * Scale: canonicalization is a pure codegen'd per-row projection;
+    * the only shuffle is the groupBy on the canonical key — dedup cost
+    * is one hash-exchange of (url, id), never page content. */
+  def dedupUrl(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val host = when(col("event_id") % 2 === 0,
+      concat(lit("EX"), col("user_id") % 5, lit(".Example.COM")))
+      .otherwise(concat(lit("ex"), col("user_id") % 5, lit(".example.com")))
+    val port = when(col("event_id") % 3 === 0, lit(":443")).otherwise(lit(""))
+    val slash = when(col("event_id") % 5 === 0, lit("/")).otherwise(lit(""))
+    val raw = concat(lit("https://"), host, port,
+      lit("/"), col("event_type"), lit("/"), col("event_id") % 97,
+      slash, lit("?utm_source=s"), col("event_id") % 3)
+    ev.select(col("event_id"), raw.as("url"))
+      .withColumn("canon", concat(lit("https://"),
+        lower(parse_url(col("url"), lit("HOST"))),
+        regexp_replace(parse_url(col("url"), lit("PATH")), "/$", "")))
+      .groupBy("canon")
+      .agg(count(lit(1)).as("n_raw"), min("event_id").as("survivor"),
+        sum("event_id").as("id_sum"))
+      .orderBy("canon")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_url" -> dedupUrl,
     "dedup_substring" -> dedupSubstring,
     "dedup_components" -> dedupComponents,
     "dedup_components_star" -> dedupComponentsStar,
@@ -631,6 +667,14 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard)
 
   val oracleSql: Map[String, String] = Map(
+    // canonical form re-derived from the SOURCE columns — checks the
+    // parse_url-based canonicalization against construction ground truth
+    "dedup_url" ->
+      """SELECT 'https://ex' || (user_id % 5) || '.example.com/'
+        |    || event_type || '/' || (event_id % 97) AS canon,
+        |  count(*) AS n_raw, min(event_id) AS survivor,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // string windows where Spark joins on xxhash64 longs — identical
     // join semantics absent a collision (which would hash-mismatch)
     "dedup_substring" ->

@@ -337,7 +337,36 @@ object ScanQueries {
       .orderBy("z_cell")
   }
 
+  /** Parquet schema evolution (mergeSchema): a v1 writer without a
+    * column and a v2 writer with it land in the same logical dataset;
+    * the merged read surfaces the union schema with NULLs for v1 rows
+    * — the STORAGE-side half of schema drift (set_union_byname is the
+    * logical-plan half). A real ingest pipeline hits this the day a
+    * producer adds a field. Footer-schema union is metadata-only: no
+    * data rewrite, and column pruning/pushdown still work per file.
+    * Both versions are written once per (tmpdir, sfDir), untimed in
+    * Bench setup. */
+  def sourceMergeSchema(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_mergeschema_$tag"
+    if (!new java.io.File(s"$base/v2/_SUCCESS").exists()) {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$base/v1")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          upper(col("o_orderstatus")).as("o_status_v2"))
+        .write.mode("overwrite").parquet(s"$base/v2")
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+      .groupBy(coalesce(col("o_status_v2"), lit("<v1>")).as("status"))
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_merge_schema" -> sourceMergeSchema,
     "source_badrecords" -> sourceBadrecords,
     "sink_compact" -> sinkCompact,
     "sink_zorder" -> sinkZorder,
@@ -354,6 +383,13 @@ object ScanQueries {
     "source_inline" -> sourceInline)
 
   val oracleSql: Map[String, String] = Map(
+    // the merged read must equal the union replayed over the source:
+    // v1 rows (even keys) carry no v2 column, v2 rows surface it
+    "source_merge_schema" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<v1>'
+        |    ELSE upper(o_orderstatus) END AS status,
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // compaction must be invisible: aggregate straight off the original
     "sink_compact" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -579,7 +579,49 @@ object SimilarityQueries {
        |FROM r WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Late-interaction (MaxSim) scoring — the ColBERT retrieval shape:
+    * a document is a BAG of token vectors, and score(q, d) =
+    * Σ_{query token} max_{doc token} ⟨qt, dt⟩, which preserves
+    * token-level matching that single-vector cosine averages away.
+    * Multi-vector docs are derived from the embeddings table (4
+    * consecutive vec_ids = one doc); 3 query docs. Vectors are
+    * integer-quantized (×1024) so every dot, max, and sum is BIGINT —
+    * the oracle replays the whole scoring exactly.
+    *
+    * Scale: the query bag (12 token rows) broadcasts; the corpus
+    * streams ONCE through the codegen'd [[graft.functions.Native.dotI64]]
+    * cross-score, then two partial-aggregated shuffles whose keys are
+    * (q_doc, q_tok, n_doc) then (q_doc, n_doc) — rows after the first
+    * aggregate are |Q_tokens|×|docs|, independent of corpus token
+    * count. The max-then-sum decomposition is exactly the two-level
+    * aggregate Spark pushes map-side. */
+  def simMaxsim(s: SparkSession, dir: String): DataFrame = {
+    val quant = transform(col("embedding"),
+      x => floor(x.cast("double") * 1024 + lit(0.5)).cast("long"))
+    val tv = t(s, dir, "embeddings")
+      .select(expr("vec_id div 4").as("doc"), (col("vec_id") % 4).as("tok"),
+        quant.as("v"))
+    val corpus = tv.select(col("doc").as("n_doc"), col("v").as("nv"))
+    val qs = tv.filter(col("doc") < 3)
+      .select(col("doc").as("q_doc"), col("tok").as("q_tok"),
+        col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_doc").orderBy(desc("score"), asc("n_doc"))
+    corpus.crossJoin(broadcast(qs))
+      .filter(col("n_doc") =!= col("q_doc"))
+      .withColumn("d", graft.functions.Native.dotI64(col("qv"), col("nv")))
+      .groupBy("q_doc", "q_tok", "n_doc")
+      .agg(max("d").as("best"))
+      .groupBy("q_doc", "n_doc")
+      .agg(sum("best").as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("q_doc", "rank", "n_doc", "score")
+      .orderBy("q_doc", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_maxsim" -> simMaxsim,
     "sim_pq" -> simPq,
     "sim_cosine_topk" -> simCosineTopk,
     "sim_quantize" -> simQuantize,
@@ -588,6 +630,28 @@ object SimilarityQueries {
     "sim_ann_ivf_trained" -> simAnnIvfTrained)
 
   val oracleSql: Map[String, String] = Map(
+    // integer-quantized MaxSim replayed end-to-end: same ×1024
+    // quantization, per-query-token max dot, per-pair sum
+    "sim_maxsim" ->
+      """WITH tv AS (SELECT vec_id // 4 AS doc, vec_id % 4 AS tok,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT))
+        |      AS v
+        |  FROM embeddings),
+        |p AS (SELECT q.doc AS q_doc, q.tok AS q_tok, c.doc AS n_doc,
+        |    max(list_sum(list_transform(generate_series(1, 64),
+        |      i -> q.v[i] * c.v[i]))) AS best
+        |  FROM tv q JOIN tv c ON c.doc != q.doc
+        |  WHERE q.doc < 3
+        |  GROUP BY 1, 2, 3),
+        |sc AS (SELECT q_doc, n_doc, CAST(sum(best) AS BIGINT) AS score
+        |  FROM p GROUP BY 1, 2),
+        |r AS (SELECT q_doc, n_doc, score,
+        |    row_number() OVER (PARTITION BY q_doc
+        |                       ORDER BY score DESC, n_doc) AS rn
+        |  FROM sc)
+        |SELECT q_doc, CAST(rn AS INTEGER) AS rank, n_doc, score
+        |FROM r WHERE rn <= 3 ORDER BY q_doc, rank""".stripMargin,
     "sim_ann_lsh" -> annLshOracleSql,
     "sim_ann_ivf" -> annIvfOracleSql,
     "sim_ann_ivf_trained" -> trainedIvfOracleSql,

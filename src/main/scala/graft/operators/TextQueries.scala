@@ -608,7 +608,48 @@ object TextQueries {
       .orderBy("bucket")
   }
 
+  val WinnowK = 8 // character k-gram length
+  val WinnowW = 4 // winnow window (hashes per selection window)
+
+  /** Winnowing document fingerprints (the MOSS algorithm): hash every
+    * character [[WinnowK]]-gram, slide a [[WinnowW]]-hash window, keep
+    * the window MINIMUM — guarantees any shared substring of length
+    * ≥ k+w−1 (= 11) contributes at least one common fingerprint, while
+    * storing ~2/(w+1) of the grams. text_fingerprint keeps every
+    * rolling hash; winnowing is the principled sparse selection a
+    * plagiarism / near-dup index stores at scale. Gram hash = first 12
+    * hex digits of md5, read as a BIGINT on both engines (the
+    * dedup_minhash idiom), so the oracle replays hashing, windowing,
+    * and selection exactly.
+    *
+    * Scale: the gram explode is linear in document length and
+    * partition-local; the ONLY shuffle is the per-doc window sort on
+    * doc_id (re-used by the final per-doc aggregate). Output is
+    * per-doc fingerprint-set summaries — fingerprints never leave as
+    * raw text. */
+  def textWinnow(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    t(s, dir, "documents")
+      .filter(length(col("text")) >= WinnowK)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (WinnowK - 1)))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(expr(s"substring(text, pos, $WinnowK)")), 1, 12),
+          16, 10).cast("long").as("h"))
+      .withColumn("fp", min("h").over(
+        W.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(-(WinnowW - 1), 0)))
+      .filter(col("pos") >= WinnowW)
+      .select("doc_id", "fp").distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"),
+        max("fp").as("max_fp"), sum("fp").as("fp_sum"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnow" -> textWinnow,
     "pipeline_curriculum" -> pipelineCurriculum,
     "pipeline_end_to_end" -> pipelineEndToEnd,
     "text_pii_scrub" -> textPiiScrub,
@@ -634,6 +675,25 @@ object TextQueries {
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    // same md5-derived gram hashes, same w-window min selection
+    "text_winnow" ->
+      s"""WITH g AS (SELECT doc_id, text,
+         |    unnest(generate_series(1, length(text) - ${WinnowK - 1}))
+         |      AS pos
+         |  FROM documents WHERE length(text) >= $WinnowK),
+         |h AS (SELECT doc_id, pos,
+         |    ('0x' || substr(md5(substr(text, pos, $WinnowK)), 1, 12))::BIGINT
+         |      AS h
+         |  FROM g),
+         |wm AS (SELECT doc_id, pos,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN ${WinnowW - 1} PRECEDING
+         |                   AND CURRENT ROW) AS fp
+         |  FROM h),
+         |f AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos >= $WinnowW)
+         |SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp,
+         |  max(fp) AS max_fp, CAST(sum(fp) AS BIGINT) AS fp_sum
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // plain global row_number replays the engine's two-level rank
     "pipeline_curriculum" ->
       """WITH tok AS (SELECT doc_id,

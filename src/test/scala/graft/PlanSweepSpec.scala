@@ -17,7 +17,9 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
   private val bnljIntended = Set(
     "join_theta", "sim_cosine_topk", "sim_pq", "text_tfidf",
     "text_heavy_hitters",
-    "text_bm25") // bm25's crossJoin carries a broadcast 1-row (n_docs, avgdl)
+    "text_bm25", // bm25's crossJoin carries a broadcast 1-row (n_docs, avgdl)
+    "sim_maxsim", // crossJoin carries the broadcast 12-row query token bag
+    "pipeline_curriculum") // crossJoin carries a broadcast 1-row n_total
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -108,6 +108,19 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
   }
 
+  test("dynamic partition pruning injects into join_dpp's fact scan") {
+    import graft.operators.JoinQueries
+    val q = JoinQueries.joinDpp(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"DPP did not inject into the partitioned fact scan; plan:\n$plan")
+    // the pruned plan returns exactly the quarter's months
+    val months = q.collect().map(_.getString(0)).toSeq
+    assert(months == months.sorted && months.forall(_.startsWith("1996-0")),
+      s"unexpected months: $months")
+  }
+
   test("sink_compact collapses the small-files layout without changing content") {
     val df = SparkEntry.queries("sink_compact")(spark, sf)
     val rows = df.collect() // materializes small + big on first run
