@@ -352,7 +352,34 @@ object ScalarQueries {
       .orderBy("doc_id")
   }
 
+  /** Higher-order MAP lambdas — transform_values, map_zip_with,
+    * map_filter: the codegen-adjacent way to compute over keyed
+    * small collections per row without exploding them (an explode +
+    * re-group would add a shuffle; these stay inside the projection).
+    * Values are integer-derived so every result is exact; the kept-key
+    * set after map_filter is emitted as a sorted CSV. The oracle
+    * re-derives each entry arithmetically (the keys are literals), so
+    * lambda semantics — including parity-dependent filtering — are
+    * hash-checked. */
+  def scalarMapLambda(s: SparkSession, dir: String): DataFrame = {
+    val m1 = map(lit("a"), col("event_id") % 7,
+      lit("b"), col("user_id") % 5, lit("c"), col("event_id") % 3)
+    val m2 = map(lit("a"), lit(10L), lit("b"), col("user_id") % 4,
+      lit("c"), lit(2L))
+    val doubled = transform_values(m1, (_, v) => v * 2)
+    val summed = map_zip_with(doubled, m2, (_, x, y) => x + y)
+    val kept = map_filter(summed, (_, v) => v % 2 === 0)
+    t(s, dir, "events")
+      .select(col("event_id"),
+        element_at(summed, "a").as("s_a"),
+        element_at(summed, "b").as("s_b"),
+        element_at(summed, "c").as("s_c"),
+        concat_ws(",", array_sort(map_keys(kept))).as("kept_keys"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_map_lambda" -> scalarMapLambda,
     "scalar_url" -> scalarUrl,
     "scalar_xml" -> scalarXml,
     "scalar_dot_native" -> scalarDotNative,
@@ -378,6 +405,20 @@ object ScalarQueries {
     .map { case (k, v) => s"WHEN $k THEN '$v'" }.mkString(" ")
 
   val oracleSql: Map[String, String] = Map(
+    // map entries re-derived arithmetically (keys are literals);
+    // concat_ws skips the NULL branches exactly like Spark
+    "scalar_map_lambda" ->
+      """SELECT event_id,
+        |  CAST(2 * (event_id % 7) + 10 AS BIGINT) AS s_a,
+        |  CAST(2 * (user_id % 5) + (user_id % 4) AS BIGINT) AS s_b,
+        |  CAST(2 * (event_id % 3) + 2 AS BIGINT) AS s_c,
+        |  concat_ws(',',
+        |    CASE WHEN (2 * (event_id % 7) + 10) % 2 = 0 THEN 'a' END,
+        |    CASE WHEN (2 * (user_id % 5) + (user_id % 4)) % 2 = 0
+        |      THEN 'b' END,
+        |    CASE WHEN (2 * (event_id % 3) + 2) % 2 = 0 THEN 'c' END)
+        |    AS kept_keys
+        |FROM events ORDER BY event_id""".stripMargin,
     // each URL component re-derived from the source columns; the
     // decoded query value is the literal the encoder was fed
     "scalar_url" ->

@@ -420,7 +420,29 @@ object JoinQueries {
       .orderBy("ship_ym")
   }
 
+  /** Join strategy HINT surface: `hint("shuffle_hash")` forces a
+    * ShuffledHashJoin (asserted in RelationalSpec) where the
+    * cost model would pick sort-merge. SHJ skips the sort on BOTH
+    * sides — the right call when the build side's per-partition slice
+    * fits in memory and the probe side is large: at 100 TB that's a
+    * per-partition hash map over customer slices vs two full
+    * fact-table sorts. The hint is advisory metadata on the logical
+    * plan: same join result, same single shuffle per side, different
+    * physical operator — which is exactly what the oracle (plain
+    * join) checks. */
+  def joinHintShj(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer").hint("shuffle_hash")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_hint_shj" -> joinHintShj,
     "join_dpp" -> joinDpp,
     "join_bloom_pruned" -> joinBloomPruned,
     "join_merge_upsert" -> joinMergeUpsert,
@@ -440,6 +462,13 @@ object JoinQueries {
     "join_nullsafe" -> joinNullsafe)
 
   val oracleSql: Map[String, String] = Map(
+    // the hint changes the physical operator, never the result
+    "join_hint_shj" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // DPP is pure pruning — the result is the quarter-filtered
     // aggregate over the original table, which is what DuckDB replays
     "join_dpp" ->

@@ -60,6 +60,39 @@ object SortSetQueries {
       .orderBy("o_custkey")
   }
 
+  /** INTERSECT ALL — bag semantics: each (status, priority) row
+    * survives min(multiplicity_A, multiplicity_B) times, the ANSI rule
+    * both engines implement. Unlike the set variants, multiplicities
+    * carry analytic meaning (how many orders share the shape in BOTH
+    * cohorts); the trailing aggregate pins the exact multiplicities in
+    * a bounded result. One shuffle per side on the row value — same
+    * cost shape as intersect. */
+  def setIntersectAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_totalprice") > 150000)
+      .select("o_orderstatus", "o_orderpriority")
+      .intersectAll(o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderstatus", "o_orderpriority"))
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  /** EXCEPT ALL — bag difference: multiplicity_A − multiplicity_B,
+    * floored at zero. The "what remains after removing one matching
+    * occurrence per B row" semantics that dedup-by-subtraction
+    * workflows rely on. */
+  def setExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_totalprice") > 150000)
+      .select("o_orderstatus", "o_orderpriority")
+      .exceptAll(o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderstatus", "o_orderpriority"))
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
   /** Schema-evolution union: customers and suppliers share (name,
     * acctbal) but each side carries a column the other lacks;
     * unionByName(allowMissingColumns) aligns by NAME and null-fills —
@@ -217,9 +250,29 @@ object SortSetQueries {
     "distinct_sort" -> distinctSort,
     "set_union" -> setUnion,
     "set_intersect" -> setIntersect,
-    "set_except" -> setExcept)
+    "set_except" -> setExcept,
+    "set_intersect_all" -> setIntersectAll,
+    "set_except_all" -> setExceptAll)
 
   val oracleSql: Map[String, String] = Map(
+    // ANSI bag semantics: min(multA, multB) per distinct row
+    "set_intersect_all" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM (
+        |  SELECT o_orderstatus, o_orderpriority FROM orders
+        |  WHERE o_totalprice > 150000
+        |  INTERSECT ALL
+        |  SELECT o_orderstatus, o_orderpriority FROM orders
+        |  WHERE o_orderkey % 2 = 0)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // ANSI bag difference: max(multA - multB, 0) per distinct row
+    "set_except_all" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM (
+        |  SELECT o_orderstatus, o_orderpriority FROM orders
+        |  WHERE o_totalprice > 150000
+        |  EXCEPT ALL
+        |  SELECT o_orderstatus, o_orderpriority FROM orders
+        |  WHERE o_orderkey % 2 = 0)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the naive (unrewritten) formulation — the demotion rule's prune
     // must be invisible in the result, running sum included
     "topk_rewrite" ->

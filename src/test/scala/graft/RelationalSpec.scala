@@ -45,6 +45,10 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(plan("join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("join_hint_shj's hint forces a ShuffledHashJoin") {
+    assert(plan("join_hint_shj").contains("ShuffledHashJoin"))
+  }
+
   test("join_semi and join_anti plan as semi/anti joins") {
     assert(plan("join_semi").contains("LeftSemi"))
     assert(plan("join_anti").contains("LeftAnti"))
