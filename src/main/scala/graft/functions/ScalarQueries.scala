@@ -378,7 +378,30 @@ object ScalarQueries {
       .orderBy("event_id")
   }
 
+  /** Spark 4 COLLATION surface: grouping under UTF8_LCASE compares
+    * case-insensitively IN the aggregation operator — no lower()
+    * normalization column, and range scans / stats on the original
+    * column survive. Mixed-case keys are constructed deterministically
+    * (even keys upper, odd lower); the group key itself is dropped
+    * from the output (which representative a collated group carries
+    * is engine-internal) and replaced by min(seg) — deterministic over
+    * the group's multiset on both engines. The oracle replays the
+    * grouping with lower(), which is exactly UTF8_LCASE equality for
+    * ASCII. */
+  def scalarCollation(s: SparkSession, dir: String): DataFrame = {
+    val seg = when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+      .otherwise(lower(col("c_mktsegment")))
+    t(s, dir, "customer")
+      .select(seg.as("seg"))
+      .groupBy(expr("collate(seg, 'UTF8_LCASE')").as("ck"))
+      .agg(min("seg").as("k_repr"), count(lit(1)).as("n"),
+        countDistinct("seg").as("n_forms"))
+      .select("k_repr", "n", "n_forms")
+      .orderBy("k_repr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_collation" -> scalarCollation,
     "scalar_map_lambda" -> scalarMapLambda,
     "scalar_url" -> scalarUrl,
     "scalar_xml" -> scalarXml,
@@ -405,6 +428,15 @@ object ScalarQueries {
     .map { case (k, v) => s"WHEN $k THEN '$v'" }.mkString(" ")
 
   val oracleSql: Map[String, String] = Map(
+    // UTF8_LCASE equality for ASCII == lower() equality; min/count
+    // are representative-independent
+    "scalar_collation" ->
+      """WITH s AS (SELECT CASE WHEN c_custkey % 2 = 0
+        |      THEN upper(c_mktsegment) ELSE lower(c_mktsegment) END AS seg
+        |    FROM customer)
+        |SELECT min(seg) AS k_repr, count(*) AS n,
+        |  count(DISTINCT seg) AS n_forms
+        |FROM s GROUP BY lower(seg) ORDER BY k_repr""".stripMargin,
     // map entries re-derived arithmetically (keys are literals);
     // concat_ws skips the NULL branches exactly like Spark
     "scalar_map_lambda" ->

@@ -623,10 +623,16 @@ object TextQueries {
     * and selection exactly.
     *
     * Scale: the gram explode is linear in document length and
-    * partition-local; the ONLY shuffle is the per-doc window sort on
-    * doc_id (re-used by the final per-doc aggregate). Output is
-    * per-doc fingerprint-set summaries — fingerprints never leave as
-    * raw text. */
+    * partition-local; the ONLY shuffle is (doc_id, pos, 8-byte hash)
+    * triples for the per-doc window — ~24 bytes per character, reused
+    * by the final aggregate, never the text itself. MEASURED
+    * alternative (rejected): computing the whole selection inside one
+    * row via array higher-order functions (transform + slice +
+    * array_min) has zero shuffle but ran 2× slower at sf0.1 (7.5 s vs
+    * 3.9 s) — HOF lambdas evaluate outside whole-stage codegen and
+    * slice() allocates a w-array per gram; the narrow-triple shuffle
+    * through codegen'd window-min is the better trade until the
+    * exchange, not the CPU, is the bottleneck. */
   def textWinnow(s: SparkSession, dir: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     t(s, dir, "documents")
