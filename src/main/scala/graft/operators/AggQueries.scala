@@ -418,6 +418,25 @@ object AggQueries {
         min("v").as("min_v"), max("v").as("max_v"))
       .orderBy("measure")
 
+  /** EXACT distinct counts via bitmap aggregation (Spark 3.5 bitmap
+    * functions): ids bucketed by bitmap_bucket_number, one RoaringBit-
+    * map-style bytes value per (group, bucket) built map-side by
+    * bitmap_construct_agg, popcounts summed per group. Same answer as
+    * count(DISTINCT) — the oracle — but the shuffle carries ~4 KB
+    * bitmap blocks instead of every distinct id row, and bitmaps
+    * OR-merge associatively, so partial aggregation does real work
+    * (count-distinct's partial phase can only dedup within a
+    * partition). The bitmap-index pattern for high-cardinality exact
+    * distincts at 100 TB. */
+  def aggBitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderpriority").as("pri"), col("o_custkey").as("id"))
+      .groupBy(col("pri"), expr("bitmap_bucket_number(id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(id))").as("bm"))
+      .groupBy("pri")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"))
+      .orderBy("pri")
+
   /** grouping()/grouping_id() over a CUBE: the only way a consumer of
     * multi-level aggregates can distinguish "NULL because this level
     * aggregates the column away" from a genuine NULL group value.
@@ -441,6 +460,7 @@ object AggQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bitmap_distinct" -> aggBitmapDistinct,
     "agg_grouping_id" -> aggGroupingId,
     "agg_unpivot" -> aggUnpivot,
     "agg_listagg" -> aggListagg,
@@ -469,6 +489,11 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    // bitmap popcount must equal the exact distinct count
+    "agg_bitmap_distinct" ->
+      """SELECT o_orderpriority AS pri,
+        |  count(DISTINCT o_custkey) AS n_distinct
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // gid re-derived from the explicit bit formula — checks Spark's
     // grouping_id bit order, not a shared engine convention
     "agg_grouping_id" ->

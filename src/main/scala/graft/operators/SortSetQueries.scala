@@ -60,6 +60,40 @@ object SortSetQueries {
       .orderBy("o_custkey")
   }
 
+  /** NULL-ordering control: DESC NULLS FIRST with a key tie-break —
+    * the four asc/desc × nulls-first/last combinations are distinct
+    * sort orders and engines DISAGREE by default (Spark: NULLS FIRST
+    * on ASC, DuckDB: NULLS LAST), so explicit control is the only
+    * portable spelling. NULLs are injected deterministically; the
+    * row_number pins the produced ORDER into hashed values (a sorted
+    * compare would otherwise accept any order). Bounded 200-row frame,
+    * so the single-partition rank window is safe. */
+  def sortNulls(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null))
+          .otherwise(col("c_acctbal")).as("bal"))
+      .withColumn("rk", row_number().over(
+        W.orderBy(col("bal").desc_nulls_first, col("c_custkey"))))
+      .orderBy("rk")
+  }
+
+  /** LIMIT/OFFSET pagination — page 3 of the price-ranked orders.
+    * OFFSET pushes into the same TakeOrderedAndProject machinery as
+    * LIMIT (top offset+limit rows per partition, merge, drop offset):
+    * no global sort, no skip-scan of prior pages. Deep pagination
+    * (OFFSET 10⁶) is still an anti-pattern at scale — keyset
+    * pagination (WHERE price < last_seen) is the cursor form — but
+    * the surface itself must exist and be exact. */
+  def sortOffsetPage(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_ord_page")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM graft_ord_page
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20 OFFSET 40""".stripMargin)
+  }
+
   /** INTERSECT ALL — bag semantics: each (status, priority) row
     * survives min(multiplicity_A, multiplicity_B) times, the ANSI rule
     * both engines implement. Unlike the set variants, multiplicities
@@ -252,9 +286,26 @@ object SortSetQueries {
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
     "set_intersect_all" -> setIntersectAll,
-    "set_except_all" -> setExceptAll)
+    "set_except_all" -> setExceptAll,
+    "sort_nulls" -> sortNulls,
+    "sort_offset_page" -> sortOffsetPage)
 
   val oracleSql: Map[String, String] = Map(
+    // explicit NULLS FIRST because the engines' defaults disagree;
+    // the rank column hashes the order itself
+    "sort_nulls" ->
+      """SELECT c_custkey, bal,
+        |  CAST(row_number() OVER (ORDER BY bal DESC NULLS FIRST,
+        |    c_custkey) AS INTEGER) AS rk
+        |FROM (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END
+        |      AS bal
+        |  FROM customer WHERE c_custkey <= 200)
+        |ORDER BY rk""".stripMargin,
+    "sort_offset_page" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20 OFFSET 40""".stripMargin,
     // ANSI bag semantics: min(multA, multB) per distinct row
     "set_intersect_all" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM (
