@@ -21,21 +21,41 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps,
-    * which Spark's reader rejects (PARQUET_TYPE_ILLEGAL). We read the
-    * raw nanos as LONG (`nanosAsLong`) and expose:
-    *   - `ts_ns`  — raw nanoseconds since epoch (exact)
+  /** Schema-adaptive events loader. The driver has shipped `ts` under
+    * two physical encodings across testdata generations:
+    *   - parquet TIMESTAMP(NANOS), which Spark's vectorized reader only
+    *     accepts as a raw LONG (`spark.sql.legacy.parquet.nanosAsLong`);
+    *   - parquet TIMESTAMP(MICROS), read natively as TimestampType (or
+    *     TIMESTAMP_NTZ when `inferTimestampNTZ` is on).
+    * We branch on the *actual* read schema of `ts` and expose one
+    * stable contract to every downstream query:
+    *   - `ts_ns`  — nanoseconds since epoch (exact; micros × 1000 for
+    *                the MICROS encoding — matches DuckDB `epoch_ns(ts)`)
     *   - `ts_s`   — floor seconds since epoch (exact integer math,
     *                matches DuckDB `epoch_ns(ts) // 1000000000`)
     *   - `ts`     — second-truncated TimestampType for date functions
     * All oracle comparisons on event time go through `ts_s`/`ts` so
     * Spark-vs-DuckDB sub-second precision differences cannot surface.
+    * Sessions run with spark.sql.session.timeZone=UTC, so NTZ and LTZ
+    * readings of the same naive micros agree after the cast below.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_s", org.apache.spark.sql.functions.expr("ts_ns div 1000000000"))
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_seconds(ts_s)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val withNs = raw.schema("ts").dataType match {
+      case LongType =>                       // legacy NANOS-as-long encoding
+        raw.withColumnRenamed("ts", "ts_ns")
+      case TimestampType =>                  // MICROS, read as LTZ instant
+        raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000L")).drop("ts")
+      case TimestampNTZType =>               // MICROS, read as wall-clock NTZ
+        raw.withColumn("ts_ns", expr("unix_micros(cast(ts as timestamp)) * 1000L")).drop("ts")
+      case other =>
+        throw new IllegalStateException(s"events.ts: unsupported physical type $other")
+    }
+    withNs
+      .withColumn("ts_s", expr("ts_ns div 1000000000"))
+      .withColumn("ts", expr("timestamp_seconds(ts_s)"))
   }
 }

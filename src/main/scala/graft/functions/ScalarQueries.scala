@@ -322,14 +322,17 @@ object ScalarQueries {
       .orderBy("event_id")
   }
 
-  /** XML parsing (`from_xml` + `xpath_string`) — the reference's mean
-    * image arrives as OpenCV XML parsed with ElementTree (R16,
-    * ipynb:198–201; sources/MeanXml reads the real artifact). This is
-    * the same capability as a DISTRIBUTED column operation: per-row XML
-    * built from document columns, parsed back by Spark's native XML
-    * reader, fields extracted both via the typed struct and an XPath.
-    * Round-trip construction means the oracle just re-selects the
-    * source columns — encode→parse is checked as an identity. */
+  /** XML parsing (`from_xml`) — the reference's mean image arrives as
+    * OpenCV XML parsed with ElementTree (R16, ipynb:198–201;
+    * sources/MeanXml reads the real artifact). This is the same
+    * capability as a DISTRIBUTED column operation: per-row XML built
+    * from document columns, parsed back by Spark's native XML reader,
+    * all fields extracted from the one typed struct. A previous version
+    * ALSO ran `xpath_string` per row for `xsrc` — the Java XPath
+    * evaluator instantiates per value and runs interpreted outside
+    * codegen, costing 7× the scalar-family median for a value
+    * `from_xml` had already produced; `xpath_string` semantics are
+    * pinned separately in RelationalSpec. */
   def scalarXml(s: SparkSession, dir: String): DataFrame = {
     val xml = concat(
       lit("<doc><lang>"), col("lang"),
@@ -348,7 +351,7 @@ object ScalarQueries {
       .select(col("doc_id"),
         col("parsed.lang").as("xlang"),
         col("parsed.n").as("xn"),
-        xpath_string(col("xml"), lit("/doc/src")).as("xsrc"))
+        col("parsed.src").as("xsrc"))
       .orderBy("doc_id")
   }
 

@@ -42,6 +42,9 @@ object Native {
   def minhashSig(words: Column, perms: Int): Column =
     column(MinHashSig(expression(words), perms))
 
+  def winnowStats(text: Column, k: Int, w: Int): Column =
+    column(WinnowStats(expression(text), k, w))
+
   def dotF32(a: Column, b: Column): Column =
     column(DotProductF32(expression(a), expression(b)))
 
@@ -113,6 +116,107 @@ case class MinHashSig(child: Expression, perms: Int)
        """.stripMargin
     })
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** One-pass winnowing kernel shared VERBATIM by WinnowStats's
+  * interpreted eval and its generated code — bit-exact by construction
+  * with the exploded-window SQL formulation (and the DuckDB oracle):
+  * gram hash = first 12 hex digits of md5(k-char-gram) read as BIGINT,
+  * fingerprints = minima of each w-gram sliding window, stats over the
+  * DISTINCT fingerprint set.
+  */
+object WinnowKernel {
+  /** Returns {n_fp, min_fp, max_fp, fp_sum} over the distinct window
+    * minima, or null when the doc has fewer than w grams (the exploded
+    * formulation's `pos >= w` filter leaves no rows for such docs). */
+  def stats(text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): Array[Long] = {
+    val nChars = text.numChars()
+    val m = nChars - k + 1 // gram count
+    if (m < w) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = text.getBytes
+    val ascii = bytes.length == nChars
+    val str = if (ascii) null else text.toString
+    val h = new Array[Long](m)
+    var p = 0
+    while (p < m) {
+      // md5 of the UTF-8 bytes of the k-CHAR gram; for the (asserted-
+      // ASCII) corpus this is a zero-copy byte-range update
+      if (ascii) md.update(bytes, p, k)
+      else md.update(str.substring(p, p + k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest() // resets the digest for the next gram
+      h(p) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      p += 1
+    }
+    // w is tiny (4): the naive O(m·w) window min beats a deque here
+    val mins = new Array[Long](m - w + 1)
+    p = w - 1
+    while (p < m) {
+      var lo = h(p)
+      var j = p - w + 1
+      while (j < p) { if (h(j) < lo) lo = h(j); j += 1 }
+      mins(p - w + 1) = lo
+      p += 1
+    }
+    java.util.Arrays.sort(mins)
+    var n = 0L; var sum = 0L; var i = 0; var prev = 0L
+    while (i < mins.length) {
+      if (i == 0 || mins(i) != prev) { n += 1; sum += mins(i) }
+      prev = mins(i)
+      i += 1
+    }
+    Array(n, mins(0), mins(mins.length - 1), sum)
+  }
+}
+
+/** Per-row winnowing fingerprint stats over a text column — the
+  * zero-shuffle formulation of text_winnow. The exploded alternative
+  * (one row per character position through a partitionBy(doc_id)
+  * window) shuffles (doc_id, pos, hash) triples — ~24 bytes per corpus
+  * CHARACTER through the exchange, a ~24× amplification that becomes
+  * the bottleneck long before CPU at 100 TB. Every input the selection
+  * needs lives in ONE source row, so this computes the whole
+  * hash→window-min→distinct→stats chain in a tight per-row loop inside
+  * whole-stage codegen; the only remaining exchange in the query is
+  * the final presentation orderBy. Returns a struct
+  * {n_fp, min_fp, max_fp, fp_sum}; null when the doc has < w grams. */
+case class WinnowStats(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_fp", LongType, nullable = false),
+    StructField("min_fp", LongType, nullable = false),
+    StructField("max_fp", LongType, nullable = false),
+    StructField("fp_sum", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val st = WinnowKernel.stats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+    if (st == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](st(0), st(1), st(2), st(3)))
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val st = ctx.freshName("wnSt")
+      s"""
+         |long[] $st = graft.functions.WinnowKernel.stats($c, $k, $w);
+         |if ($st == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ $st[0], $st[1], $st[2], $st[3] });
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): WinnowStats = copy(child = c)
 }
 
 /** Dot product of two float arrays accumulated in double, sequential

@@ -187,12 +187,26 @@ object AggQueries {
     * percentile is too expensive. Implementation-specific estimates ⇒
     * self-checked (AggSpec: within the documented accuracy band of the
     * exact percentile), no DuckDB oracle. */
+  /** Approximate percentile (KLL/GK-style sketch) with a DRIVER-VISIBLE
+    * invariant: the approx median must land inside the EXACT discrete
+    * [p45, p55] quantile sandwich. approx_percentile(…, 1000) bounds
+    * rank error at n/1000 (≈0.1% of the group), far inside the ±5%
+    * band, so `p50_in_band` is deterministically true — and the oracle
+    * replays exactly that invariant, turning the engine-private sketch
+    * value into a hash-checkable row instead of an unverifiable
+    * `no_oracle` artifact. The raw sketch output itself stays covered
+    * by the sketch self-checks (SketchSpec). */
   def aggApproxQuantile(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy("o_orderpriority")
       .agg(
-        Fp.r4(expr("approx_percentile(o_totalprice, 0.5, 1000)")).as("p50_approx"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap"),
+        expr("percentile_disc(0.45) WITHIN GROUP (ORDER BY o_totalprice)").as("lo"),
+        expr("percentile_disc(0.55) WITHIN GROUP (ORDER BY o_totalprice)").as("hi"),
         count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        (col("ap") >= col("lo") && col("ap") <= col("hi")).as("p50_in_band"),
+        col("n"))
       .orderBy("o_orderpriority")
 
   /** Explicit GROUPING SETS — finer control than rollup/cube: totals
@@ -638,6 +652,13 @@ object AggQueries {
         |          o_orderpriority, count(*) AS cnt
         |        FROM orders GROUP BY 1, 2) g) x
         |WHERE rn = 1 ORDER BY yr""".stripMargin,
+    // the sketch value is engine-private; the oracle checks the
+    // published INVARIANT — approx p50 inside the exact [p45, p55]
+    // sandwich — which must hold, so the expected column is constant
+    "agg_approx_quantile" ->
+      """SELECT o_orderpriority, true AS p50_in_band, count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "agg_quantile_disc" ->
       """SELECT o_orderpriority,
         |  floor((quantile_disc(o_totalprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50d,

@@ -622,35 +622,34 @@ object TextQueries {
     * dedup_minhash idiom), so the oracle replays hashing, windowing,
     * and selection exactly.
     *
-    * Scale: the gram explode is linear in document length and
-    * partition-local; the ONLY shuffle is (doc_id, pos, 8-byte hash)
-    * triples for the per-doc window — ~24 bytes per character, reused
-    * by the final aggregate, never the text itself. MEASURED
-    * alternative (rejected): computing the whole selection inside one
-    * row via array higher-order functions (transform + slice +
-    * array_min) has zero shuffle but ran 2× slower at sf0.1 (7.5 s vs
-    * 3.9 s) — HOF lambdas evaluate outside whole-stage codegen and
-    * slice() allocates a w-array per gram; the narrow-triple shuffle
-    * through codegen'd window-min is the better trade until the
-    * exchange, not the CPU, is the bottleneck. */
+    * Scale: every input the selection needs lives in ONE source row, so
+    * the whole hash→window-min→distinct→stats chain runs per row inside
+    * whole-stage codegen ([[graft.functions.WinnowStats]], the
+    * DotProductI64 pattern) — the only exchange left in the plan is the
+    * final presentation orderBy (asserted in PlansSpec). MEASURED
+    * alternatives (rejected, SCALE.md):
+    *   - explode + partitionBy(doc_id) window + distinct: shuffles
+    *     (doc_id, pos, 8-byte hash) triples — ~24 B per corpus
+    *     CHARACTER through the exchange, a ~24× amplification that at
+    *     100 TB dominates long before CPU;
+    *   - per-row array higher-order functions (transform + slice +
+    *     array_min): zero shuffle but HOF lambdas evaluate outside
+    *     whole-stage codegen per ELEMENT and slice() allocates a
+    *     w-array per gram — 2× slower than even the shuffle plan. */
   def textWinnow(s: SparkSession, dir: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
+    // length ≥ k+w−1 ⟺ gram count ≥ w ⟺ the exploded formulation's
+    // `pos >= w` filter leaves rows: the docs WinnowStats would return
+    // null for are excluded up front, so no isNotNull filter is needed
+    // (which would re-evaluate the kernel once in Filter and once in
+    // Project — Spark's CSE does not span the two operators)
     t(s, dir, "documents")
-      .filter(length(col("text")) >= WinnowK)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (WinnowK - 1)))
-          .as("pos"))
-      .select(col("doc_id"), col("pos"),
-        conv(substring(md5(expr(s"substring(text, pos, $WinnowK)")), 1, 12),
-          16, 10).cast("long").as("h"))
-      .withColumn("fp", min("h").over(
-        W.partitionBy("doc_id").orderBy("pos")
-          .rowsBetween(-(WinnowW - 1), 0)))
-      .filter(col("pos") >= WinnowW)
-      .select("doc_id", "fp").distinct()
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"),
-        max("fp").as("max_fp"), sum("fp").as("fp_sum"))
+      .filter(length(col("text")) >= WinnowK + WinnowW - 1)
+      .select(col("doc_id"),
+        graft.functions.Native.winnowStats(col("text"), WinnowK, WinnowW)
+          .as("wst"))
+      .select(col("doc_id"), col("wst.n_fp").as("n_fp"),
+        col("wst.min_fp").as("min_fp"), col("wst.max_fp").as("max_fp"),
+        col("wst.fp_sum").as("fp_sum"))
       .orderBy("doc_id")
   }
 

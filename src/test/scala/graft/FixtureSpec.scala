@@ -41,4 +41,30 @@ class FixtureSpec extends AnyFunSuite with SparkFixture {
       assert(fractional == 0, s"$dir has $fractional fractional quantities")
     }
   }
+
+  test("schema-drift canary: every table loads and materializes a row at every SF") {
+    for (dir <- allSfDirs; name <- Tables.names) {
+      val df = Tables.t(spark, dir, name)
+      assert(df.limit(1).collect().length == 1, s"$dir/$name is empty or unreadable")
+    }
+  }
+
+  test("events loader contract: ts_ns/ts_s/ts types and values hold under the current encoding") {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    for (dir <- allSfDirs) {
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts_ns").dataType == LongType, s"$dir: ts_ns must be LONG")
+      assert(ev.schema("ts_s").dataType == LongType, s"$dir: ts_s must be LONG")
+      assert(ev.schema("ts").dataType == TimestampType, s"$dir: ts must be TIMESTAMP")
+      // ts_s is the floor-second of ts_ns; ts is the second-truncated instant;
+      // event times land in a sane decade (catches unit mix-ups: ms-vs-us-vs-ns)
+      val bad = ev.filter(
+        col("ts_s") * lit(1000000000L) > col("ts_ns") ||
+        col("ts_ns") >= (col("ts_s") + 1) * lit(1000000000L) ||
+        unix_seconds(col("ts")) =!= col("ts_s") ||
+        year(col("ts")) < 2000 || year(col("ts")) > 2040
+      ).count()
+      assert(bad == 0, s"$dir: $bad events violate the ts_ns/ts_s/ts contract")
+    }
+  }
 }

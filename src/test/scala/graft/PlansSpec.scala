@@ -184,4 +184,63 @@ class PlansSpec extends AnyFunSuite with SparkFixture {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("PartialTopK"), plan)
   }
+
+  test("text_winnow (codegen'd WinnowStats) equals the exploded-window formulation row-for-row") {
+    val W = org.apache.spark.sql.expressions.Window
+    val k = graft.operators.TextQueries.WinnowK
+    val w = graft.operators.TextQueries.WinnowW
+    val exploded = Tables.t(spark, sf, "documents")
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(expr(s"substring(text, pos, $k)")), 1, 12),
+          16, 10).cast("long").as("h"))
+      .withColumn("fp", min("h").over(
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)))
+      .filter(col("pos") >= w)
+      .select("doc_id", "fp").distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"),
+        max("fp").as("max_fp"), sum("fp").as("fp_sum"))
+      .orderBy("doc_id")
+      .collect()
+    val perRow = SparkEntry.queries("text_winnow")(spark, sf).collect()
+    assert(perRow.sameElements(exploded))
+  }
+
+  test("text_winnow plans ONE exchange (the presentation sort) — no gram shuffle") {
+    val df = SparkEntry.queries("text_winnow")(spark, sf)
+    df.collect()
+    // AQE's string repeats the plan (Final + Initial) — assert on the final section
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+    // the kernel must run ONCE per row: no isnotnull(winnowstats…) residue in a Filter
+    assert("winnowstats".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("WinnowStats handles non-ASCII text via the char-substring fallback") {
+    import spark.implicits._
+    // é is 2 UTF-8 bytes: byte-offset grams would diverge from char grams
+    val txt = "héllo wörld around the block"
+    val got = Seq((1L, txt)).toDF("doc_id", "text")
+      .select(graft.functions.Native.winnowStats(col("text"), 8, 4).as("w"))
+      .selectExpr("w.n_fp", "w.min_fp", "w.max_fp", "w.fp_sum")
+      .head()
+    val W = org.apache.spark.sql.expressions.Window
+    val want = Seq((1L, txt)).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 7)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(expr("substring(text, pos, 8)")), 1, 12),
+          16, 10).cast("long").as("h"))
+      .withColumn("fp", min("h").over(
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)))
+      .filter(col("pos") >= 4)
+      .select("fp").distinct()
+      .agg(count(lit(1)), min("fp"), max("fp"), sum("fp"))
+      .head()
+    assert(got == want, s"got $got want $want")
+  }
 }

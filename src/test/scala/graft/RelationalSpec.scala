@@ -12,7 +12,7 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
   test("every declared query runs at sf0.001 and has an oracle or documented self-check") {
-    val selfChecked = Set("agg_approx_distinct", "agg_approx_quantile",
+    val selfChecked = Set("agg_approx_distinct",
       "agg_sketch_union", "dedup_minhash", "dedup_simhash",
       "dedup_simhash_pairs", "sim_ann_lsh", "sim_ann_ivf",
       "sim_ann_ivf_trained", "sim_pq")
@@ -210,5 +210,15 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
   test("win_first_last computes all three frame-edge functions in ONE Window node") {
     val p = plan("win_first_last")
     assert("Window".r.findAllIn(p).size == 1, p)
+  }
+
+  test("xpath_string semantics pin (removed from scalar_xml's hot path for being non-codegen)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = Seq("<doc><lang>en</lang><src>web</src></doc>").toDF("xml")
+      .select(xpath_string(col("xml"), lit("/doc/src")).as("src"),
+        xpath_string(col("xml"), lit("/doc/lang")).as("lang"))
+      .head()
+    assert(got.getString(0) == "web" && got.getString(1) == "en")
   }
 }

@@ -39,6 +39,12 @@ class VerifySpec extends AnyFunSuite with SparkFixture {
       java.nio.file.Paths.get("COVERAGE.md")), java.nio.charset.StandardCharsets.UTF_8)
     val undocumented = SparkEntry.queries.keySet.filterNot(doc.contains)
     assert(undocumented.isEmpty, s"queries missing from COVERAGE.md: $undocumented")
+    // the headline count drifted from the registry once (r5: doc said
+    // 186, registry benched 189) — pin it so the doc can't lie again
+    val declaredInDoc = "(?m)^(\\d+) declared queries".r
+      .findFirstMatchIn(doc).map(_.group(1).toInt)
+    assert(declaredInDoc.contains(SparkEntry.queries.size),
+      s"COVERAGE.md headline says $declaredInDoc, registry has ${SparkEntry.queries.size}")
   }
 
   test("Verify.main emits outputs for every query, valid JSON, and the manifest") {
