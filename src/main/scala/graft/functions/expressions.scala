@@ -45,6 +45,9 @@ object Native {
   def winnowStats(text: Column, k: Int, w: Int): Column =
     column(WinnowStats(expression(text), k, w))
 
+  def repetitionStats(text: Column): Column =
+    column(RepetitionStats(expression(text)))
+
   def dotF32(a: Column, b: Column): Column =
     column(DotProductF32(expression(a), expression(b)))
 
@@ -217,6 +220,77 @@ case class WinnowStats(child: Expression, k: Int, w: Int)
        """.stripMargin
     })
   override protected def withNewChildInternal(c: Expression): WinnowStats = copy(child = c)
+}
+
+/** One-pass repetition-signal kernel shared VERBATIM by
+  * RepetitionStats's interpreted eval and its generated code. Counts
+  * are exact integers over the split-on-space word sequence (split
+  * semantics replicate Spark's `split(text, ' ')` / Java
+  * `String.split(" ", -1)`, which DuckDB's `string_split` matches):
+  *   n_words, top_word_n (count of the most frequent word),
+  *   n_3grams (= max(n_words−2, 0)),
+  *   dup3_pos (word-3-gram POSITIONS whose gram occurs ≥ 2× in-doc).
+  */
+object RepetitionKernel {
+  def stats(text: org.apache.spark.unsafe.types.UTF8String): Array[Long] = {
+    val ws = text.toString.split(" ", -1)
+    val n = ws.length
+    val wc = new java.util.HashMap[String, Integer](n * 2)
+    var i = 0
+    while (i < n) { wc.merge(ws(i), 1, (a, b) => a + b); i += 1 }
+    var top = 0
+    val it = wc.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c > top) top = c }
+    val m = math.max(n - 2, 0)
+    val gc = new java.util.HashMap[String, Integer](m * 2)
+    i = 0
+    while (i < m) {
+      gc.merge(ws(i) + " " + ws(i + 1) + " " + ws(i + 2), 1, (a, b) => a + b)
+      i += 1
+    }
+    var dup = 0L
+    val git = gc.values().iterator()
+    while (git.hasNext) { val c = git.next(); if (c >= 2) dup += c }
+    Array(n.toLong, top.toLong, m.toLong, dup)
+  }
+}
+
+/** Per-row repetition quality signals (the Gopher/C4 repetition
+  * filters): an excessively repetitive document — one word dominating,
+  * or a large fraction of repeated 3-grams — is boilerplate or spam
+  * and gets dropped before training. Both signals need per-document
+  * frequency maps; the groupBy formulation shuffles every WORD of the
+  * corpus, while this computes the maps in one per-row pass inside
+  * whole-stage codegen (the WinnowStats pattern) — zero shuffle.
+  * Returns {n_words, top_word_n, n_3grams, dup3_pos}, all exact
+  * integers an external engine can replay. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("top_word_n", LongType, nullable = false),
+    StructField("n_3grams", LongType, nullable = false),
+    StructField("dup3_pos", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val st = RepetitionKernel.stats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](st(0), st(1), st(2), st(3)))
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val st = ctx.freshName("repSt")
+      s"""
+         |long[] $st = graft.functions.RepetitionKernel.stats($c);
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{ $st[0], $st[1], $st[2], $st[3] });
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(child = c)
 }
 
 /** Dot product of two float arrays accumulated in double, sequential

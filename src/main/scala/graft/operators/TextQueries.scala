@@ -653,7 +653,35 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Repetition quality signals (the Gopher/C4 repetition filters):
+    * a document dominated by one word, or with a large fraction of
+    * repeated word-3-grams, is boilerplate/spam and gets dropped
+    * before training. Both signals need per-document frequency maps —
+    * the naive formulation explodes every word and shuffles
+    * (doc_id, word) pairs ≈ the whole corpus through an exchange; the
+    * [[graft.functions.RepetitionStats]] kernel builds the maps in one
+    * per-row pass inside whole-stage codegen instead (the WinnowStats
+    * pattern — zero shuffle, asserted in PlansSpec). All outputs are
+    * exact integers; the keep/drop flags use cross-multiplied integer
+    * thresholds (top word > 20%, duplicated 3-gram positions > 30%)
+    * so the oracle replays membership bit-exactly. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Native.repetitionStats(col("text")).as("rs"))
+      .select(col("doc_id"),
+        col("rs.n_words").as("n_words"),
+        col("rs.top_word_n").as("top_word_n"),
+        col("rs.n_3grams").as("n_3grams"),
+        col("rs.dup3_pos").as("dup3_pos"),
+        (col("rs.top_word_n") * 10L > col("rs.n_words") * 2L)
+          .as("top_word_heavy"),
+        (col("rs.dup3_pos") * 10L > col("rs.n_3grams") * 3L)
+          .as("repetitive"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> textRepetition,
     "text_winnow" -> textWinnow,
     "pipeline_curriculum" -> pipelineCurriculum,
     "pipeline_end_to_end" -> pipelineEndToEnd,
@@ -680,6 +708,35 @@ object TextQueries {
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    // per-doc word/3-gram frequency maps replayed relationally:
+    // unnest → group → max / conditional sum, all exact integers
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |wc AS (SELECT doc_id, max(c) AS top_word_n FROM (
+        |    SELECT doc_id, w, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(ws) AS w FROM d) GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        |gc AS (SELECT doc_id,
+        |    CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT)
+        |      AS dup3_pos
+        |  FROM (
+        |    SELECT doc_id, gram, count(*) AS c
+        |    FROM (SELECT doc_id,
+        |        unnest(list_transform(
+        |          generate_series(1, greatest(len(ws) - 2, 0)),
+        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        |      FROM d) GROUP BY 1, 2)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(d.ws) AS BIGINT) AS n_words,
+        |  wc.top_word_n,
+        |  CAST(greatest(len(d.ws) - 2, 0) AS BIGINT) AS n_3grams,
+        |  gc.dup3_pos,
+        |  wc.top_word_n * 10 > len(d.ws) * 2 AS top_word_heavy,
+        |  gc.dup3_pos * 10 > greatest(len(d.ws) - 2, 0) * 3 AS repetitive
+        |FROM d JOIN wc USING (doc_id) JOIN gc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // same md5-derived gram hashes, same w-window min selection
     "text_winnow" ->
       s"""WITH g AS (SELECT doc_id, text,

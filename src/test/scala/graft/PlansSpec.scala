@@ -220,6 +220,45 @@ class PlansSpec extends AnyFunSuite with SparkFixture {
     assert("winnowstats".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("text_repetition (codegen'd RepetitionStats) equals the exploded-groupBy formulation") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val wc = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_word_n"))
+    val gc = docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(ws) - 2, 0)), " +
+          "i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(coalesce(sum(when(col("c") >= 2, col("c"))), lit(0L)).as("dup3_pos"))
+    val exploded = docs
+      .join(wc, "doc_id").join(gc, "doc_id")
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+        col("top_word_n"),
+        greatest(size(col("ws")) - 2, lit(0)).cast("long").as("n_3grams"),
+        col("dup3_pos"),
+        (col("top_word_n") * 10L > size(col("ws")).cast("long") * 2L)
+          .as("top_word_heavy"),
+        (col("dup3_pos") * 10L >
+          greatest(size(col("ws")) - 2, lit(0)).cast("long") * 3L)
+          .as("repetitive"))
+      .orderBy("doc_id")
+      .collect()
+    val perRow = SparkEntry.queries("text_repetition")(spark, sf).collect()
+    assert(perRow.sameElements(exploded))
+  }
+
+  test("text_repetition plans ONE exchange (the presentation sort) — no word shuffle") {
+    val df = SparkEntry.queries("text_repetition")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+    assert("repetitionstats".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("WinnowStats handles non-ASCII text via the char-substring fallback") {
     import spark.implicits._
     // é is 2 UTF-8 bytes: byte-offset grams would diverge from char grams

