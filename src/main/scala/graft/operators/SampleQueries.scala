@@ -118,7 +118,42 @@ object SampleQueries {
       .orderBy("lang")
   }
 
+  /** Temperature-based multilingual resampling (the mT5/XLM-R data
+    * balancer): sample language l with probability ∝ c_l^α (α = 0.5),
+    * which upsamples rare languages relative to their raw frequency and
+    * flattens dominant ones — the standard fix for high-resource
+    * languages swamping a multilingual mix. Differs from
+    * [[pipelineMixture]] (a per-language absolute target) in that the
+    * SHAPE of the distribution is retempered, not capped.
+    *
+    * Exactness: w_l = floor(sqrt(c_l)) — IEEE-754 sqrt is correctly
+    * rounded, so floor(sqrt(bigint)) is bit-identical in DuckDB; every
+    * other step is integer arithmetic (thr = min(65521,
+    * T·w_l·65521 div (W·c_l)), membership by the shared doc_id hash).
+    * Scale: two tiny aggregates over (lang) — n_langs rows, broadcast
+    * back — then one filtered scan; no data-sized shuffle. */
+  val TempTargetTotal = 200L
+  def pipelineTemperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val stats = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      .withColumn("w", floor(sqrt(col("c").cast("double"))).cast("long"))
+    val tot = stats.agg(sum("w").as("w_total"))
+    val rates = stats.crossJoin(broadcast(tot))
+      .withColumn("thr", least(lit(65521L),
+        expr(s"($TempTargetTotal * w * 65521) div (w_total * c)")))
+    docs.select("lang", "doc_id")
+      .join(broadcast(rates), "lang")
+      .withColumn("keep",
+        ((col("doc_id") * 40503L + 17L) % 65521L) < col("thr"))
+      .groupBy("lang")
+      .agg(min("c").as("n_docs"), min("w").as("wgt"), min("thr").as("thr"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_temperature" -> pipelineTemperature,
     "pipeline_mixture" -> pipelineMixture,
     "sample_quota" -> sampleQuota,
     "sample_stratified" -> sampleStratified,
@@ -128,6 +163,27 @@ object SampleQueries {
   private val bucketEvt = hashBucketSql("event_id")
 
   val oracleSql: Map[String, String] = Map(
+    // α=0.5 temperature weights replayed exactly: floor(sqrt()) is
+    // IEEE-correctly-rounded on both engines, the rest is integer
+    "pipeline_temperature" ->
+      s"""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+         |s AS (SELECT lang, c, CAST(floor(sqrt(c)) AS BIGINT) AS w FROM c),
+         |s2 AS (SELECT *, sum(w) OVER () AS w_total FROM s),
+         |r AS (SELECT lang, c, w,
+         |    least(CAST(65521 AS BIGINT),
+         |      ($TempTargetTotal * w * 65521) // (w_total * c)) AS thr
+         |  FROM s2),
+         |k AS (SELECT d.lang, r.c, r.w, r.thr, d.doc_id,
+         |    ((d.doc_id * 40503 + 17) % 65521) < r.thr AS keep
+         |  FROM documents d JOIN r USING (lang))
+         |SELECT lang, CAST(min(c) AS BIGINT) AS n_docs,
+         |  CAST(min(w) AS BIGINT) AS wgt,
+         |  CAST(min(thr) AS BIGINT) AS thr,
+         |  CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(coalesce(sum(CASE WHEN keep THEN doc_id END), 0) AS BIGINT)
+         |    AS kept_id_sum
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     "pipeline_mixture" ->
       s"""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
          |r AS (SELECT lang, c,

@@ -620,7 +620,57 @@ object SimilarityQueries {
       .orderBy("q_doc", "rank")
   }
 
+  /** Cross-modal alignment filtering (the LAION/CLIP-filter shape): a
+    * paired multimodal corpus keeps only rows whose two modalities
+    * actually agree — here each vector is scored against the centroid
+    * of its OWN label vs the centroids of every other label, and a row
+    * is `aligned` iff its own label's centroid is the argmax. In a
+    * web-scale image-text pipeline this is the pass that drops
+    * mis-captioned pairs before training.
+    *
+    * Exactness: vectors quantized ×1024 to BIGINT; centroid =
+    * element-wise truncated-mean (sum div n — Spark `div` and DuckDB
+    * `//` both truncate toward zero); scores are integer dots via the
+    * codegen'd [[graft.functions.Native.dotI64]]; argmax tie-break is
+    * (score DESC, label ASC) through a unique-ordering max_by struct.
+    *
+    * Scale: the centroid pass posexplodes to (label, pos) partial sums
+    * — map-side combine bounds the shuffle at labels×dim rows PER TASK
+    * regardless of corpus size; the 10-row centroid dim broadcasts;
+    * scoring partial-aggregates the 10 scores per vector back to one
+    * row before the final exchange. No corpus-sized shuffle anywhere. */
+  def simCrossmodal(s: SparkSession, dir: String): DataFrame = {
+    val quant = transform(col("embedding"),
+      x => floor(x.cast("double") * 1024 + lit(0.5)).cast("long"))
+    val q = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        quant.as("qv"))
+    val cents = q.select(col("label").as("c_label"),
+        posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("c_label", "pos")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .withColumn("c", expr("sx div n"))
+      .groupBy("c_label")
+      .agg(collect_list(struct(col("pos"), col("c"))).as("pc"))
+      .select(col("c_label"),
+        transform(array_sort(col("pc")), t => t.getField("c")).as("cv"))
+    q.crossJoin(broadcast(cents))
+      .withColumn("score", graft.functions.Native.dotI64(col("qv"), col("cv")))
+      .groupBy("vec_id", "label")
+      .agg(
+        max("score").as("best_score"),
+        max_by(col("c_label"), struct(col("score"), -col("c_label")))
+          .as("best_label"),
+        sum(when(col("c_label") === col("label"), col("score")))
+          .as("own_score"))
+      .select(col("vec_id"), col("label"), col("own_score"),
+        col("best_label"), col("best_score"),
+        (col("label") === col("best_label")).as("aligned"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_crossmodal" -> simCrossmodal,
     "sim_maxsim" -> simMaxsim,
     "sim_pq" -> simPq,
     "sim_cosine_topk" -> simCosineTopk,
@@ -630,6 +680,34 @@ object SimilarityQueries {
     "sim_ann_ivf_trained" -> simAnnIvfTrained)
 
   val oracleSql: Map[String, String] = Map(
+    // centroid truncated-means and integer dots replayed element-wise;
+    // argmax tie-break (score DESC, label ASC) via row_number
+    "sim_crossmodal" ->
+      """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT))
+        |      AS qv
+        |  FROM embeddings),
+        |n_l AS (SELECT label, count(*) AS n FROM q GROUP BY label),
+        |ce AS (SELECT q.label, g.i, CAST(sum(qv[g.i]) AS BIGINT) AS sx
+        |  FROM q CROSS JOIN generate_series(1, 64) AS g(i)
+        |  GROUP BY 1, 2),
+        |cent AS (SELECT ce.label AS c_label, ce.i, ce.sx // n_l.n AS c
+        |  FROM ce JOIN n_l ON n_l.label = ce.label),
+        |sc AS (SELECT q.vec_id, q.label, cent.c_label,
+        |    CAST(sum(q.qv[cent.i] * cent.c) AS BIGINT) AS score
+        |  FROM q CROSS JOIN cent
+        |  GROUP BY 1, 2, 3),
+        |best AS (SELECT vec_id, label, c_label, score,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY score DESC, c_label) AS rn
+        |  FROM sc)
+        |SELECT b.vec_id, b.label, o.score AS own_score,
+        |  b.c_label AS best_label, b.score AS best_score,
+        |  b.label = b.c_label AS aligned
+        |FROM best b JOIN sc o
+        |  ON o.vec_id = b.vec_id AND o.c_label = b.label AND o.label = b.label
+        |WHERE b.rn = 1 ORDER BY b.vec_id""".stripMargin,
     // integer-quantized MaxSim replayed end-to-end: same ×1024
     // quantization, per-query-token max dot, per-pair sum
     "sim_maxsim" ->

@@ -19,6 +19,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     "text_heavy_hitters",
     "text_bm25", // bm25's crossJoin carries a broadcast 1-row (n_docs, avgdl)
     "sim_maxsim", // crossJoin carries the broadcast 12-row query token bag
+    "sim_crossmodal", // crossJoin carries the broadcast 10-row centroid dim
+    "pipeline_temperature", // crossJoin carries a broadcast 1-row Σw total
     "pipeline_curriculum") // crossJoin carries a broadcast 1-row n_total
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
