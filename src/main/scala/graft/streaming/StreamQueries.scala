@@ -111,6 +111,42 @@ object StreamQueries {
     dedupAgg(e.unionAll(e)).orderBy("event_type")
   }
 
+  /** Streaming quality gate: the Gopher/C4 repetition filters
+    * ([[graft.functions.RepetitionStats]], the per-row codegen kernel
+    * text_repetition uses in batch) applied INSIDE Structured
+    * Streaming — the shape of a live ingest pipeline that scores and
+    * gates documents as they land, keeping per-language admission
+    * counters. The kernel is a deterministic per-row projection, so
+    * the streaming result provably equals the batch gate on the same
+    * rows (StreamingSpec feeds the corpus through a MemoryStream in
+    * two batches and compares).
+    *
+    * The keep decision is folded into conditional aggregates instead
+    * of a `filter` so the kernel is evaluated ONCE per row — a filter
+    * on derived fields would be predicate-pushed below the projection
+    * and re-evaluate the kernel per conjunct.
+    *
+    * Scale: stateless per-row scoring + one partial-aggregated
+    * (lang)-keyed shuffle of counter rows; streaming state is the
+    * n_langs running counters, independent of corpus size. */
+  def qualityGateAgg(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("doc_id"),
+        graft.functions.Native.repetitionStats(col("text")).as("rs"))
+      .select(col("lang"), col("doc_id"),
+        col("rs.n_words").as("nw"),
+        (col("rs.top_word_n") * 10L <= col("rs.n_words") * 2L &&
+          col("rs.dup3_pos") * 10L <= col("rs.n_3grams") * 3L).as("keep"))
+      .groupBy("lang")
+      .agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"),
+        sum(when(col("keep"), col("nw")).otherwise(0L)).as("kept_words"),
+        count(lit(1)).as("n_seen"))
+
+  def streamQualityGate(s: SparkSession, dir: String): DataFrame =
+    qualityGateAgg(t(s, dir, "documents")).orderBy("lang")
+
   /** Null-predicate counts over events (SURVEY `filter_null` lives here
     * with the other events queries). */
   def filterNull(s: SparkSession, dir: String): DataFrame =
@@ -653,6 +689,7 @@ object StreamQueries {
     "stream_file_sink" -> streamFileSink,
     "stream_join" -> streamJoin,
     "stream_maxgap" -> streamMaxgap,
+    "stream_quality_gate" -> streamQualityGate,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
@@ -660,6 +697,41 @@ object StreamQueries {
     "filter_null" -> filterNull)
 
   val oracleSql: Map[String, String] = Map(
+    // the streaming gate's counters must equal the batch repetition
+    // filter — the per-doc frequency maps replayed relationally (the
+    // text_repetition CTEs) with the keep predicate folded into
+    // conditional aggregates, exactly as the engine computes it
+    "stream_quality_gate" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |wc AS (SELECT doc_id, max(c) AS top_word_n FROM (
+        |    SELECT doc_id, w, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(ws) AS w FROM d) GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        |gc AS (SELECT doc_id,
+        |    CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT)
+        |      AS dup3
+        |  FROM (
+        |    SELECT doc_id, gram, count(*) AS c
+        |    FROM (SELECT doc_id,
+        |        unnest(list_transform(
+        |          generate_series(1, greatest(len(ws) - 2, 0)),
+        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        |      FROM d) GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        |f AS (SELECT d.doc_id, d.lang, CAST(len(d.ws) AS BIGINT) AS nw,
+        |    (wc.top_word_n * 10 <= len(d.ws) * 2
+        |      AND gc.dup3 * 10 <= greatest(len(d.ws) - 2, 0) * 3) AS keep
+        |  FROM d JOIN wc USING (doc_id) JOIN gc USING (doc_id))
+        |SELECT lang,
+        |  CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(coalesce(sum(CASE WHEN keep THEN doc_id END), 0) AS BIGINT)
+        |    AS kept_id_sum,
+        |  CAST(coalesce(sum(CASE WHEN keep THEN nw END), 0) AS BIGINT)
+        |    AS kept_words,
+        |  count(*) AS n_seen
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
     // the final per-key state after 4 commutatively-merged
     // micro-batches must equal the one-shot batch aggregate
     "stream_transformwithstate" ->

@@ -11,6 +11,8 @@ import org.scalatest.funsuite.AnyFunSuite
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+case class Doc(doc_id: Long, lang: String, text: String)
+
 /** Structured-Streaming behavior: each stream_* transform run on a
   * MemoryStream must equal the same transform on the equivalent batch
   * DataFrame (SURVEY §5B), and late rows beyond the watermark must be
@@ -295,5 +297,28 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val hour0 = out.filter(col("window_start_s") === 1704067200L)
       .agg(sum("n")).collect()(0).getLong(0)
     assert(hour0 == 60, s"late row leaked into closed window: $hour0")
+  }
+
+  test("streaming quality gate equals the batch gate (codegen kernel inside streaming)") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang", "text").as[Doc].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = StreamQueries.qualityGateAgg(mem.toDF()).writeStream
+      .outputMode("complete").format("memory").queryName("t_qgate").start()
+    try {
+      // two micro-batches prove the counters accumulate incrementally
+      mem.addData(docs.take(250): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(250): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = StreamQueries.qualityGateAgg(
+      Tables.t(spark, sf, "documents"))
+    assert(sortedRows(spark.table("t_qgate")) == sortedRows(batch))
+    // the gate must actually gate: some docs kept, some dropped
+    val tot = spark.table("t_qgate")
+      .agg(sum("n_kept"), sum("n_seen")).head()
+    assert(tot.getLong(0) > 0 && tot.getLong(0) < tot.getLong(1))
   }
 }
