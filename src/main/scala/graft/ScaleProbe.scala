@@ -180,6 +180,60 @@ object ScaleProbe {
     println(s"""{"experiment":"skew_join","hot_key_share":0.95,"aqe_split_fired":$skewFired,${skewCells.mkString(",")}}""")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(skdir))
 
+    // Experiment 5: winnow formulation A/B — wall time AND actual
+    // shuffled bytes, because the scale argument for the per-row
+    // WinnowStats kernel is byte amplification, not CPU: the exploded
+    // formulation pushes one (doc_id, pos, 8-byte hash) row per corpus
+    // CHARACTER through the window exchange. Counted with a task-end
+    // listener (drained via GraftListenerBridge before readout) and
+    // normalized by the corpus text bytes.
+    {
+      val shufWrite = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            shufWrite.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val k = operators.TextQueries.WinnowK
+      val w = operators.TextQueries.WinnowW
+      def winnowExploded: DataFrame = {
+        val W = org.apache.spark.sql.expressions.Window
+        Tables.t(spark, sfDir, "documents")
+          .filter(length(col("text")) >= k)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
+          .select(col("doc_id"), col("pos"),
+            conv(substring(md5(expr(s"substring(text, pos, $k)")), 1, 12),
+              16, 10).cast("long").as("h"))
+          .withColumn("fp", min("h").over(
+            W.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)))
+          .filter(col("pos") >= w)
+          .select("doc_id", "fp").distinct()
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"),
+            max("fp").as("max_fp"), sum("fp").as("fp_sum"))
+      }
+      def winnowKernel: DataFrame =
+        operators.TextQueries.textWinnow(spark, sfDir)
+      def cell(name: String, mk: () => DataFrame): String = {
+        run(mk()) // warm
+        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+        shufWrite.set(0L)
+        val secs = run(mk())
+        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+        f""""${name}_sec":$secs%.3f,"${name}_shuffle_mb":${shufWrite.get / 1e6}%.2f"""
+      }
+      val corpusMb = Tables.t(spark, sfDir, "documents")
+        .agg(sum(length(col("text")))).head().getLong(0) / 1e6
+      val cells = Seq(
+        cell("exploded", () => winnowExploded),
+        cell("kernel", () => winnowKernel))
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"""{"experiment":"winnow_shuffle","corpus_text_mb":$corpusMb%.2f,${cells.mkString(",")}}""")
+    }
+
     // Experiment 4: scan-split sizing — maxPartitionBytes controls how
     // many tasks read a file (row-group granularity). Too-large splits
     // serialize the scan on a few cores; the aggregate is scan-bound.
