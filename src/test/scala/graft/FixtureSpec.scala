@@ -49,6 +49,21 @@ class FixtureSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("oracle-critical schema pins: embedding dim 64, expected column sets") {
+    for (dir <- allSfDirs) {
+      // sim_maxsim / sim_crossmodal oracles unroll generate_series(1, 64)
+      val dims = Tables.t(spark, dir, "embeddings")
+        .select(size(col("embedding")).as("d")).distinct().collect().map(_.getInt(0))
+      assert(dims.sameElements(Array(64)), s"$dir: embedding dims ${dims.toSeq}")
+      val docCols = Tables.t(spark, dir, "documents").columns.toSet
+      assert(Set("doc_id", "lang", "source", "n_chars", "text").subsetOf(docCols),
+        s"$dir: documents columns $docCols")
+      val evCols = Tables.t(spark, dir, "events").columns.toSet
+      assert(Set("event_id", "user_id", "event_type", "value", "props",
+        "ts", "ts_s", "ts_ns").subsetOf(evCols), s"$dir: events columns $evCols")
+    }
+  }
+
   test("events loader contract: ts_ns/ts_s/ts types and values hold under the current encoding") {
     import org.apache.spark.sql.types.{LongType, TimestampType}
     for (dir <- allSfDirs) {
