@@ -62,6 +62,27 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"minhash_sig perms must be an integer literal, got $other")
         })
+      }),
+    (FunctionIdentifier("winnow_stats"),
+      info("winnow_stats",
+        "winnow_stats(text, k, w) - winnowing fingerprint stats struct " +
+          "(n_fp, min_fp, max_fp, fp_sum) over md5 k-gram hashes, w-window minima"),
+      args => {
+        require(args.length == 3, s"winnow_stats expects 3 arguments, got ${args.length}")
+        def intLit(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"winnow_stats $name must be an integer literal, got $other")
+        }
+        WinnowStats(args(0), intLit(args(1), "k"), intLit(args(2), "w"))
+      }),
+    (FunctionIdentifier("repetition_stats"),
+      info("repetition_stats",
+        "repetition_stats(text) - repetition quality signals struct " +
+          "(n_words, top_word_n, n_3grams, dup3_pos) over the split-on-space words"),
+      args => {
+        require(args.length == 1, s"repetition_stats expects 1 argument, got ${args.length}")
+        RepetitionStats(args(0))
       }))
 
   /** Injects the same functions into an existing session's registry. */

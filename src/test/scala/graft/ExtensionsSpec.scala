@@ -87,6 +87,26 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     rows.foreach(r => assert(r.getDouble(0) > 0.0))
   }
 
+  test("winnow_stats and repetition_stats are callable from SQL and match the Column API") {
+    import org.apache.spark.sql.functions._
+    Tables.t(spark, sf, "documents").filter(col("doc_id") < 20)
+      .createOrReplaceTempView("ext_docs_kernels")
+    val sqlRows = spark.sql(
+      """SELECT doc_id, winnow_stats(text, 8, 4) AS w,
+        |  repetition_stats(text) AS r
+        |FROM ext_docs_kernels ORDER BY doc_id""".stripMargin)
+      .selectExpr("doc_id", "w.n_fp", "w.fp_sum", "r.n_words", "r.dup3_pos")
+      .collect()
+    val colRows = Tables.t(spark, sf, "documents").filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        graft.functions.Native.winnowStats(col("text"), 8, 4).as("w"),
+        graft.functions.Native.repetitionStats(col("text")).as("r"))
+      .selectExpr("doc_id", "w.n_fp", "w.fp_sum", "r.n_words", "r.dup3_pos")
+      .orderBy("doc_id")
+      .collect()
+    assert(sqlRows.sameElements(colRows))
+  }
+
   test("minhash_sig rejects a non-literal perms argument") {
     Tables.t(spark, sf, "documents").limit(1)
       .createOrReplaceTempView("ext_docs_bad")
