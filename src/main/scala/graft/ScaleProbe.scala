@@ -234,6 +234,50 @@ object ScaleProbe {
       println(f"""{"experiment":"winnow_shuffle","corpus_text_mb":$corpusMb%.2f,${cells.mkString(",")}}""")
     }
 
+    // Experiment 6: image near-dedup A/B — the banded-LSH dedup_image
+    // vs the O(n²) brute-force pair join on the same Hamming spec.
+    // The scale argument: the banded plan's shuffle is O(n) band rows
+    // and each bucket's work is O(cap²), while brute force materializes
+    // n²/2 candidate pairs regardless of how few survive the verify.
+    {
+      val shufWrite = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            shufWrite.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def bruteForce: DataFrame = {
+        val ph = operators.MultimodalQueries.multimodalPhash(spark, sfDir)
+        val a = ph.select(col("doc_id").as("doc_a"),
+          col("phash_hi").as("hi_a"), col("phash_lo").as("lo_a"))
+        val b = ph.select(col("doc_id").as("doc_b"),
+          col("phash_hi").as("hi_b"), col("phash_lo").as("lo_b"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            (expr("bit_count(lo_a ^ lo_b)") + expr("bit_count(hi_a ^ hi_b)"))
+              .cast("long").as("hamming"))
+          .filter(col("hamming") <= 8)
+      }
+      def banded: DataFrame =
+        operators.MultimodalQueries.dedupImage(spark, sfDir)
+      def cell6(name: String, mk: () => DataFrame): String = {
+        run(mk()) // warm
+        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+        shufWrite.set(0L)
+        val secs = run(mk())
+        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+        f""""${name}_sec":$secs%.3f,"${name}_shuffle_mb":${shufWrite.get / 1e6}%.2f"""
+      }
+      val nImages = operators.MultimodalQueries.multimodalPhash(spark, sfDir).count()
+      val cells = Seq(
+        cell6("banded_lsh", () => banded),
+        cell6("brute_force", () => bruteForce))
+      spark.sparkContext.removeSparkListener(listener)
+      println(s"""{"experiment":"image_dedup","n_images":$nImages,${cells.mkString(",")}}""")
+    }
+
     // Experiment 4: scan-split sizing — maxPartitionBytes controls how
     // many tasks read a file (row-group granularity). Too-large splits
     // serialize the scan on a few cores; the aggregate is scan-bound.

@@ -83,6 +83,14 @@ object GraftFunctions {
       args => {
         require(args.length == 1, s"repetition_stats expects 1 argument, got ${args.length}")
         RepetitionStats(args(0))
+      }),
+    (FunctionIdentifier("entropy_stats"),
+      info("entropy_stats",
+        "entropy_stats(text) - character-distribution quality signals struct " +
+          "(n_chars, distinct_chars, top_char_n, distinct_bigrams)"),
+      args => {
+        require(args.length == 1, s"entropy_stats expects 1 argument, got ${args.length}")
+        EntropyStats(args(0))
       }))
 
   /** Injects the same functions into an existing session's registry. */

@@ -48,6 +48,9 @@ object Native {
   def repetitionStats(text: Column): Column =
     column(RepetitionStats(expression(text)))
 
+  def entropyStats(text: Column): Column =
+    column(EntropyStats(expression(text)))
+
   def dotF32(a: Column, b: Column): Column =
     column(DotProductF32(expression(a), expression(b)))
 
@@ -291,6 +294,71 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
        """.stripMargin
     })
   override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(child = c)
+}
+
+/** One-pass character-distribution kernel shared VERBATIM by
+  * EntropyStats's interpreted eval and its generated code. Exact
+  * integer signals over the document's character sequence:
+  *   n_chars (code points), distinct_chars, top_char_n (count of the
+  *   most frequent character), distinct_bigrams (distinct adjacent
+  *   character pairs — a crude LZ/compressibility proxy: text that
+  *   compresses too well is boilerplate).
+  * All counts are replayable relationally (unnest chars → group), so
+  * the DuckDB oracle hash-checks every field. */
+object EntropyKernel {
+  def stats(text: org.apache.spark.unsafe.types.UTF8String): Array[Long] = {
+    val s = text.toString
+    val n = s.length
+    val cc = new java.util.HashMap[Character, Integer](128)
+    var i = 0
+    while (i < n) { cc.merge(s.charAt(i), 1, (a, b) => a + b); i += 1 }
+    var top = 0
+    val it = cc.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c > top) top = c }
+    val bg = new java.util.HashSet[Integer](if (n > 0) n * 2 else 8)
+    i = 0
+    while (i < n - 1) { bg.add((s.charAt(i) << 16) | s.charAt(i + 1)); i += 1 }
+    Array(n.toLong, cc.size.toLong, top.toLong, bg.size.toLong)
+  }
+}
+
+/** Per-row character-entropy quality signals for LLM-data curation —
+  * the character-level sibling of RepetitionStats (word level): a
+  * document dominated by one character, or with too few distinct
+  * adjacent pairs, is ASCII art / separator spam / degenerate output
+  * and gets dropped before training. The naive formulation explodes
+  * one row per CHARACTER through a groupBy — a corpus-sized shuffle;
+  * every input lives in one source row, so this builds the frequency
+  * map and bigram set in a tight per-row pass inside whole-stage
+  * codegen (the WinnowStats pattern) — zero shuffle. Returns
+  * {n_chars, distinct_chars, top_char_n, distinct_bigrams}. */
+case class EntropyStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("distinct_chars", LongType, nullable = false),
+    StructField("top_char_n", LongType, nullable = false),
+    StructField("distinct_bigrams", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val st = EntropyKernel.stats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](st(0), st(1), st(2), st(3)))
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val st = ctx.freshName("entSt")
+      s"""
+         |long[] $st = graft.functions.EntropyKernel.stats($c);
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{ $st[0], $st[1], $st[2], $st[3] });
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): EntropyStats = copy(child = c)
 }
 
 /** Dot product of two float arrays accumulated in double, sequential

@@ -302,6 +302,57 @@ object AggQueries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Daily OHLC bars per event_type — the time-series resample every
+    * metrics/finance pipeline runs (open/high/low/close + volume).
+    * Open/close are made deterministic under second-level ts ties by
+    * ordering on (ts_ns, event_id): ONE window sort per (type, bar)
+    * partition yields rn and the partition count, and the groupBy that
+    * follows reuses the same hash partitioning — a single exchange for
+    * the whole bar computation (AQE coalesces the reused exchange).
+    * Sum-of-doubles is order-sensitive in the last ulp; Fp.r4 absorbs
+    * it (the agg_stats pattern). */
+  def aggOhlc(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events")
+      .withColumn("bar", expr("ts_s div 86400"))
+      .select("event_type", "bar", "ts_ns", "event_id", "value")
+    val w = W.partitionBy("event_type", "bar").orderBy("ts_ns", "event_id")
+    val wAll = W.partitionBy("event_type", "bar")
+    e.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("event_type", "bar")
+      .agg(
+        min(when(col("rn") === 1, col("value"))).as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        min(when(col("rn") === col("n"), col("value"))).as("close"),
+        count(lit(1)).as("n_events"),
+        Fp.r4(sum("value")).as("volume"))
+      .orderBy("event_type", "bar")
+  }
+
+  /** Cohort retention matrix — users bucketed by first-seen day, then
+    * distinct-active counts per (cohort, day-offset ≤ 7): the product-
+    * analytics staple. Two narrow projections of events: the cohort
+    * side is a per-user min (one shuffle on user_id) and the activity
+    * side a per-(user, day) distinct that co-partitions with it on
+    * user_id — Catalyst reuses the hash partitioning for the join —
+    * before the final small (cohort, offset) aggregate. All integer
+    * math; output is bounded by days × 8 offsets regardless of event
+    * volume. */
+  def aggRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), expr("ts_s div 86400").as("day"))
+    val cohort = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val active = e.distinct()
+    active.join(cohort, "user_id")
+      .withColumn("offset", col("day") - col("cohort_day"))
+      .filter(col("offset") <= 7)
+      .groupBy("cohort_day", "offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "offset")
+  }
+
   /** Mergeable HLL sketches (DataSketches): per-(type, half) sketches
     * built independently, then UNIONED and estimated — the incremental
     * pattern that matters at 100 TB: daily/partition sketches persist
@@ -482,6 +533,8 @@ object AggQueries {
     "profile_histogram" -> profileHistogram,
     "profile_stats" -> profileStats,
     "agg_sketch_union" -> aggSketchUnion,
+    "agg_ohlc" -> aggOhlc,
+    "agg_retention" -> aggRetention,
     "agg_minmax_by" -> aggMinmaxBy,
     "agg_countif" -> aggCountIf,
     "agg_bitagg" -> aggBitagg,
@@ -503,6 +556,37 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    // open/close deterministic under ts ties via (ts_ns, event_id)
+    // ordering; bar = floor-seconds div 86400, both truncating
+    "agg_ohlc" ->
+      s"""WITH e AS (SELECT event_type, value, event_id,
+         |    epoch_ns(ts) AS ts_ns,
+         |    (epoch_ns(ts) // 1000000000) // 86400 AS bar
+         |  FROM events),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY event_type, bar
+         |                       ORDER BY ts_ns, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type, bar) AS n
+         |  FROM e)
+         |SELECT event_type, bar,
+         |  min(CASE WHEN rn = 1 THEN value END) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  min(CASE WHEN rn = n THEN value END) AS close,
+         |  count(*) AS n_events,
+         |  ${Fp.r4Sql("sum(value)")} AS volume
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // exact integer cohort math; epoch // 86400 truncation matches div
+    "agg_retention" ->
+      """WITH e AS (SELECT user_id,
+        |    (epoch_ns(ts) // 1000000000) // 86400 AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day
+        |  FROM e GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, day FROM e)
+        |SELECT cohort_day, day - cohort_day AS "offset",
+        |  count(DISTINCT user_id) AS n_users
+        |FROM active JOIN cohort USING (user_id)
+        |WHERE day - cohort_day <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // bitmap popcount must equal the exact distinct count
     "agg_bitmap_distinct" ->
       """SELECT o_orderpriority AS pri,

@@ -169,14 +169,134 @@ object MultimodalQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Internal: 64-bit average-hash (aHash) of the decoded 8×8 pixel
+    * grid (first 64 payload bytes — the FakeDecoder image), split into
+    * two 32-bit halves so the DuckDB replay never overflows a signed
+    * BIGINT power: bit_i = pixel_i·64 > Σpixels (strictly above the
+    * mean), lo = bits 0–31, hi = bits 32–63. Per-partition batch map,
+    * same plumbing as decode — only (doc_id, 2×long) leaves the
+    * partition, never pixels. */
+  private def phashDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .filter(octet_length(col("payload")) >= 64)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          var sum = 0L
+          var i = 0
+          while (i < 64) { sum += payload(i) & 0xffL; i += 1 }
+          var lo = 0L
+          var hi = 0L
+          i = 0
+          while (i < 32) { if ((payload(i) & 0xffL) * 64L > sum) lo |= 1L << i; i += 1 }
+          while (i < 64) { if ((payload(i) & 0xffL) * 64L > sum) hi |= 1L << (i - 32); i += 1 }
+          (id, hi, lo)
+        }
+      }
+      .toDF("doc_id", "phash_hi", "phash_lo")
+  }
+
+  /** Perceptual image fingerprint: the aHash every image-dedup pipeline
+    * computes right after decode. One row per image; downstream joins
+    * (dedup_image) group on the hash, so the 100 TB of pixels reduce to
+    * 16 bytes per image before any shuffle. */
+  def multimodalPhash(s: SparkSession, dir: String): DataFrame =
+    phashDf(s, dir).orderBy("doc_id")
+
+  /** Image NEAR-dedup at scale: LSH over the perceptual hash. The
+    * 64-bit aHash splits into four 16-bit bands; images sharing any
+    * band are candidates (an r-bit Hamming ball always shares one of
+    * r+1 bands for r ≤ 3, and empirically far beyond); candidates are
+    * verified with the exact Hamming distance (bit_count of xor) ≤ 8.
+    * A band-bucket population cap (2..64) bounds the within-bucket
+    * pair blowup from boilerplate images, the same guard as
+    * dedup_substring's df cap — so the shuffle key is the BAND, never
+    * an all-pairs join, and each bucket's work is O(cap²) — the
+    * MinHash-band pattern applied to the image modality. Oracle
+    * replays hash, banding, cap and verify exactly. */
+  def dedupImage(s: SparkSession, dir: String): DataFrame = {
+    val ph = phashDf(s, dir)
+    val bands = ph.select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+        posexplode(array(
+          col("phash_lo").bitwiseAND(lit(65535L)),
+          shiftrightunsigned(col("phash_lo"), 16).bitwiseAND(lit(65535L)),
+          col("phash_hi").bitwiseAND(lit(65535L)),
+          shiftrightunsigned(col("phash_hi"), 16).bitwiseAND(lit(65535L)))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val buckets = bands.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, 64))
+      .select("band_idx", "band_val")
+    val capped = bands.join(buckets, Seq("band_idx", "band_val"))
+    val a = capped.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_a"), col("phash_hi").as("hi_a"), col("phash_lo").as("lo_a"))
+    val b = capped.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_b"), col("phash_hi").as("hi_b"), col("phash_lo").as("lo_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (expr("bit_count(lo_a ^ lo_b)") + expr("bit_count(hi_a ^ hi_b)"))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_phash" -> multimodalPhash,
+    "dedup_image" -> dedupImage,
     "multimodal_audio" -> multimodalAudio,
     "multimodal_resize" -> multimodalResize,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_frames" -> multimodalFrames)
 
+  /** Shared oracle CTE: replays the aHash byte math on ASCII code
+    * points (chars==octets asserted by FixtureSpec), bit i via
+    * 1::BIGINT << shift so no signed-power overflow. */
+  private val phashCte: String =
+    """WITH px AS (SELECT doc_id,
+      |    list_transform(regexp_extract_all(substr(text, 1, 64), '.'),
+      |      c -> ascii(c)) AS p
+      |  FROM documents WHERE octet_length(encode(text)) >= 64),
+      |s AS (SELECT doc_id, p, CAST(list_sum(p) AS BIGINT) AS total FROM px),
+      |ph AS (SELECT doc_id,
+      |    CAST(list_sum(list_transform(generate_series(1, 32),
+      |      i -> CASE WHEN p[i] * 64 > total
+      |           THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT)
+      |      AS phash_lo,
+      |    CAST(list_sum(list_transform(generate_series(33, 64),
+      |      i -> CASE WHEN p[i] * 64 > total
+      |           THEN (1::BIGINT << (i - 33)) ELSE 0 END)) AS BIGINT)
+      |      AS phash_hi
+      |  FROM s)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "multimodal_phash" ->
+      s"""$phashCte
+         |SELECT doc_id, phash_hi, phash_lo FROM ph ORDER BY doc_id""".stripMargin,
+    "dedup_image" ->
+      s"""$phashCte,
+         |bands AS (SELECT doc_id, phash_hi, phash_lo, b.band_idx, b.band_val
+         |  FROM ph, LATERAL (SELECT
+         |    unnest(range(4)) AS band_idx,
+         |    unnest([phash_lo & 65535, (phash_lo >> 16) & 65535,
+         |            phash_hi & 65535, (phash_hi >> 16) & 65535]) AS band_val) b),
+         |bk AS (SELECT band_idx, band_val FROM bands
+         |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 64),
+         |cb AS (SELECT bands.* FROM bands JOIN bk USING (band_idx, band_val)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.phash_lo, b.phash_lo))
+         |       + bit_count(xor(a.phash_hi, b.phash_hi)) AS BIGINT) AS hamming
+         |  FROM cb a JOIN cb b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs
+         |WHERE hamming <= 8 ORDER BY doc_a, doc_b""".stripMargin,
     // same ASCII chars==octets assumption as decode/frames
     "multimodal_audio" ->
       """SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,

@@ -680,7 +680,30 @@ object TextQueries {
           .as("repetitive"))
       .orderBy("doc_id")
 
+  /** Character-distribution quality gate — the char-level sibling of
+    * text_repetition: one EntropyStats kernel pass per row inside
+    * whole-stage codegen (zero shuffle; the naive formulation explodes
+    * one row per corpus CHARACTER through a groupBy exchange). Flags
+    * are integer cross-multiplications so DuckDB replays them exactly:
+    * `char_dominated` (top char > ~17 % of the doc) and
+    * `low_diversity` (distinct adjacent pairs < ⅓ of length — the
+    * compressibility proxy; both split the driver corpus, measured
+    * 467/500 and 253/500 at sf0.01). */
+  def textEntropy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.Native.entropyStats(col("text")).as("es"))
+      .select(col("doc_id"),
+        col("es.n_chars").as("n_chars"),
+        col("es.distinct_chars").as("distinct_chars"),
+        col("es.top_char_n").as("top_char_n"),
+        col("es.distinct_bigrams").as("distinct_bigrams"),
+        (col("es.top_char_n") * 6L > col("es.n_chars")).as("char_dominated"),
+        (col("es.distinct_bigrams") * 3L < col("es.n_chars")).as("low_diversity"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> textEntropy,
     "text_repetition" -> textRepetition,
     "text_winnow" -> textWinnow,
     "pipeline_curriculum" -> pipelineCurriculum,
@@ -708,6 +731,35 @@ object TextQueries {
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    // per-doc char frequency map + adjacent-pair distinct set replayed
+    // relationally; regexp '.' char split is the corpus-wide ASCII /
+    // newline-free assumption FixtureSpec asserts (same as multimodal)
+    "text_entropy" ->
+      """WITH cc AS (SELECT doc_id, c, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+        |        FROM documents) GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+        |    CAST(count(*) AS BIGINT) AS distinct_chars,
+        |    CAST(max(n) AS BIGINT) AS top_char_n
+        |  FROM cc GROUP BY doc_id),
+        |bg AS (SELECT doc_id,
+        |    CAST(count(DISTINCT substr(text, CAST(i AS INTEGER), 2)) AS BIGINT)
+        |      AS distinct_bigrams
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 1)) AS i
+        |        FROM documents WHERE length(text) >= 2) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_chars, 0) AS n_chars,
+        |  coalesce(a.distinct_chars, 0) AS distinct_chars,
+        |  coalesce(a.top_char_n, 0) AS top_char_n,
+        |  coalesce(bg.distinct_bigrams, 0) AS distinct_bigrams,
+        |  coalesce(a.top_char_n, 0) * 6 > coalesce(a.n_chars, 0)
+        |    AS char_dominated,
+        |  coalesce(bg.distinct_bigrams, 0) * 3 < coalesce(a.n_chars, 0)
+        |    AS low_diversity
+        |FROM documents d
+        |LEFT JOIN a USING (doc_id) LEFT JOIN bg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // per-doc word/3-gram frequency maps replayed relationally:
     // unnest → group → max / conditional sum, all exact integers
     "text_repetition" ->

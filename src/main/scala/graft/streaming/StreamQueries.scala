@@ -484,6 +484,81 @@ object StreamQueries {
       .orderBy("day_bin")
   }
 
+  /** Chunk width for [[streamOhlc]]'s micro-batches — a multiple of
+    * the bar width (1 day), so chunk boundaries never split a bar
+    * (the merge is commutative anyway; alignment just keeps most
+    * merges trivial). */
+  val OhlcChunkS: Long = 86400L * 10
+
+  /** Incremental OHLC bars — the streaming twin of agg_ohlc. Each
+    * micro-batch (time-chunked file stream, AvailableNow) reduces to
+    * ONE summary row per (event_type, bar): open/close travel as
+    * (ts_ns, event_id, value) structs whose lexicographic MIN/MAX is
+    * commutative and associative, so merging batch summaries into the
+    * parquet state in any arrival order converges to the one-shot
+    * batch answer; high/low/count/volume merge the same way. Volume
+    * stays a raw double sum until the FINAL read and is r4-rounded
+    * once (merge order differs from the batch plan's partial-agg
+    * order; r4 absorbs the ulp — the agg_stats argument). At 100 TB
+    * the state is bars × types rows — KB-scale regardless of corpus
+    * size, the whole point of the incremental formulation.
+    * Oracle = agg_ohlc verbatim. */
+  def streamOhlc(s: SparkSession, dir: String): DataFrame = {
+    val tag = contentTag(s, dir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_ohlc_$tag"
+    val src = t(s, dir, "events")
+      .select("event_type", "ts_ns", "ts_s", "event_id", "value")
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+      val chunks = src.select(expr(s"ts_s div $OhlcChunkS").as("c"))
+        .distinct().orderBy("c").collect().map(_.getLong(0))
+      chunks.foreach { c =>
+        src.filter(expr(s"ts_s div $OhlcChunkS") === c)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      }
+    }
+    val statePath = s"$base/state"
+    val q = s.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val sess = batch.sparkSession
+        val delta = batch.withColumn("bar", expr("ts_s div 86400"))
+          .groupBy("event_type", "bar")
+          .agg(
+            min(struct(col("ts_ns"), col("event_id"), col("value"))).as("open_k"),
+            max(struct(col("ts_ns"), col("event_id"), col("value"))).as("close_k"),
+            max("value").as("high"),
+            min("value").as("low"),
+            count(lit(1)).as("n_events"),
+            sum("value").as("vol"))
+        val merged =
+          if (!new java.io.File(s"$statePath/_SUCCESS").exists()) delta
+          else sess.read.parquet(statePath).unionByName(delta)
+            .groupBy("event_type", "bar")
+            .agg(
+              min("open_k").as("open_k"),
+              max("close_k").as("close_k"),
+              max("high").as("high"),
+              min("low").as("low"),
+              sum("n_events").as("n_events"),
+              sum("vol").as("vol"))
+        val out = merged.localCheckpoint(true)
+        out.write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(statePath)
+      .select(col("event_type"), col("bar"),
+        col("open_k.value").as("open"), col("high"), col("low"),
+        col("close_k.value").as("close"), col("n_events"),
+        graft.Fp.r4(col("vol")).as("volume"))
+      .orderBy("event_type", "bar")
+  }
+
   /** Micro-batch count for [[streamMinhash]] (docs chunked by id). */
   val MinhashChunks = 3
 
@@ -681,6 +756,7 @@ object StreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_transformwithstate" -> streamTransformWithState,
+    "stream_ohlc" -> streamOhlc,
     "stream_concurrency" -> streamConcurrency,
     "stream_minhash" -> streamMinhash,
     "stream_scd2" -> streamScd2,
@@ -697,6 +773,25 @@ object StreamQueries {
     "filter_null" -> filterNull)
 
   val oracleSql: Map[String, String] = Map(
+    // identical to agg_ohlc (the incremental state must converge to
+    // the one-shot batch bars)
+    "stream_ohlc" ->
+      s"""WITH e AS (SELECT event_type, value, event_id,
+         |    epoch_ns(ts) AS ts_ns,
+         |    (epoch_ns(ts) // 1000000000) // 86400 AS bar
+         |  FROM events),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY event_type, bar
+         |                       ORDER BY ts_ns, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type, bar) AS n
+         |  FROM e)
+         |SELECT event_type, bar,
+         |  min(CASE WHEN rn = 1 THEN value END) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  min(CASE WHEN rn = n THEN value END) AS close,
+         |  count(*) AS n_events,
+         |  ${graft.Fp.r4Sql("sum(value)")} AS volume
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the streaming gate's counters must equal the batch repetition
     // filter — the per-doc frequency maps replayed relationally (the
     // text_repetition CTEs) with the keep predicate folded into

@@ -107,6 +107,26 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(sqlRows.sameElements(colRows))
   }
 
+  test("entropy_stats is callable from SQL and matches the Column API") {
+    import org.apache.spark.sql.functions._
+    Tables.t(spark, sf, "documents").filter(col("doc_id") < 20)
+      .createOrReplaceTempView("ext_docs_entropy")
+    val sqlRows = spark.sql(
+      """SELECT doc_id, entropy_stats(text) AS e
+        |FROM ext_docs_entropy ORDER BY doc_id""".stripMargin)
+      .selectExpr("doc_id", "e.n_chars", "e.distinct_chars",
+        "e.top_char_n", "e.distinct_bigrams")
+      .collect()
+    val colRows = Tables.t(spark, sf, "documents").filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        graft.functions.Native.entropyStats(col("text")).as("e"))
+      .selectExpr("doc_id", "e.n_chars", "e.distinct_chars",
+        "e.top_char_n", "e.distinct_bigrams")
+      .orderBy("doc_id")
+      .collect()
+    assert(sqlRows.sameElements(colRows))
+  }
+
   test("minhash_sig rejects a non-literal perms argument") {
     Tables.t(spark, sf, "documents").limit(1)
       .createOrReplaceTempView("ext_docs_bad")

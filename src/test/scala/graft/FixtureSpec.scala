@@ -20,6 +20,12 @@ class FixtureSpec extends AnyFunSuite with SparkFixture {
         .filter(length(col("text")) =!= octet_length(encode(col("text"), "UTF-8")))
         .count()
       assert(nonAscii == 0, s"$dir has $nonAscii non-ASCII documents")
+      // DuckDB regexp_extract_all(text, '.') char-splits (multimodal +
+      // text_entropy oracles) skip newlines — the corpus must have none
+      val withNewline = Tables.t(spark, dir, "documents")
+        .filter(col("text").contains("\n") || col("text").contains("\r"))
+        .count()
+      assert(withNewline == 0, s"$dir has $withNewline documents with newlines")
     }
   }
 

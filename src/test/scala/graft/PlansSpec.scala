@@ -259,6 +259,41 @@ class PlansSpec extends AnyFunSuite with SparkFixture {
     assert("repetitionstats".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("text_entropy (codegen'd EntropyStats) equals the exploded-per-char formulation") {
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    // filter guards against a zero-width-split trailing "" element
+    val cc = docs.select(col("doc_id"),
+        explode(expr("filter(split(text, ''), x -> x != '')")).as("c"))
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(
+        sum("n").as("n_chars"),
+        count(lit(1)).as("distinct_chars"),
+        max("n").as("top_char_n"))
+    val bg = docs.select(col("doc_id"),
+        size(array_distinct(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")))
+          .cast("long").as("distinct_bigrams"))
+    val exploded = docs.select("doc_id")
+      .join(cc, "doc_id").join(bg, "doc_id")
+      .select(col("doc_id"), col("n_chars"), col("distinct_chars"),
+        col("top_char_n"), col("distinct_bigrams"),
+        (col("top_char_n") * 6L > col("n_chars")).as("char_dominated"),
+        (col("distinct_bigrams") * 3L < col("n_chars")).as("low_diversity"))
+      .orderBy("doc_id")
+      .collect()
+    val perRow = SparkEntry.queries("text_entropy")(spark, sf).collect()
+    assert(perRow.sameElements(exploded))
+  }
+
+  test("text_entropy plans ONE exchange (the presentation sort) — no char shuffle") {
+    val df = SparkEntry.queries("text_entropy")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+    assert("entropystats".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("WinnowStats handles non-ASCII text via the char-substring fallback") {
     import spark.implicits._
     // é is 2 UTF-8 bytes: byte-offset grams would diverge from char grams

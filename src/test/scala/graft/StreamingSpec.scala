@@ -138,6 +138,21 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(again == inc)
   }
 
+  test("incremental stream_ohlc equals the one-shot agg_ohlc bars and is idempotent") {
+    val inc = StreamQueries.streamOhlc(spark, sf).collect().toSeq
+    val batch = operators.AggQueries.aggOhlc(spark, sf).collect().toSeq
+    assert(inc == batch, "incrementally merged bar state diverged from batch OHLC")
+    // the merge genuinely ran across micro-batches (one per time chunk)
+    val tagDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_stream_ohlc_"))
+    assert(tagDirs.exists(d =>
+        Option(new java.io.File(d, "chk/commits").list()).exists(_.length >= 2)),
+      "expected at least 2 committed micro-batches")
+    // re-run with the same checkpoint processes nothing and is stable
+    val again = StreamQueries.streamOhlc(spark, sf).collect().toSeq
+    assert(again == inc)
+  }
+
   test("transformWithState running totals equal the batch aggregate and are idempotent") {
     val inc = StreamQueries.streamTransformWithState(spark, sf).collect().toSeq
     val batch = Tables.events(spark, sf)
