@@ -331,6 +331,84 @@ object AggQueries {
       .orderBy("event_type", "bar")
   }
 
+  /** Audience overlap matrix — |users(A) ∩ users(B)| for every pair of
+    * event types (the segment-overlap report): one distinct
+    * (type, user) projection (map-side partial distinct), then a
+    * self-join ON user_id with type_a < type_b and a count per pair.
+    * The join key is the USER, so each user contributes only its own
+    * type-pairs (≤ k² rows for k event types) — never a cross of
+    * audiences; output is k·(k−1)/2 rows at any scale. */
+  def aggOverlap(s: SparkSession, dir: String): DataFrame = {
+    val tu = t(s, dir, "events").select("event_type", "user_id").distinct()
+    val a = tu.select(col("event_type").as("type_a"), col("user_id"))
+    val b = tu.select(col("event_type").as("type_b"), col("user_id"))
+    a.join(b, Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_both"), sum("user_id").as("user_id_sum"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Top-k frequent VALUES per profiled column — the other half of the
+    * data-profiling pair (profile_stats gives shape, this gives
+    * content: the values a schema-inference or drift monitor shows).
+    * Same explode-to-(cname, val) unpivot as profile_stats, one
+    * (cname, val) count, then a per-column top-3 with a value
+    * tie-break. The per-column rank partitions are column-count many
+    * (tiny), and the count aggregate partial-combines map-side, so
+    * the shuffle carries one row per distinct value, not per row. */
+  def profileTopvalues(s: SparkSession, dir: String): DataFrame = {
+    val kvs = Seq(
+      struct(lit("event_type").as("cname"), col("event_type").as("val")),
+      struct(lit("user_mod").as("cname"),
+        (col("user_id") % 10).cast("string").as("val")),
+      struct(lit("dow").as("cname"),
+        expr("CAST((ts_s div 86400) % 7 AS STRING)").as("val")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cname").orderBy(desc("c"), asc("val"))
+    t(s, dir, "events")
+      .select(explode(array(kvs: _*)).as("kv"))
+      .select(col("kv.cname").as("cname"), col("kv.val").as("val"))
+      .groupBy("cname", "val").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("cname", "rk", "val", "c")
+      .orderBy("cname", "rk")
+  }
+
+  /** Time-BOUNDED conversion funnel — agg_funnel with conversion
+    * windows (the strict product-analytics form): first view, then
+    * first click within 24 h OF THAT VIEW, then first purchase within
+    * 7 d OF THAT CLICK. Unbounded funnels (agg_funnel) overcount:
+    * a purchase weeks later is not a conversion. Each stage is one
+    * user_id-keyed min-aggregate joined to the previous stage — all
+    * joins co-partition on user_id so the exchanges are reused, and
+    * stage state per user is one timestamp. Exact integer seconds ⇒
+    * exact oracle. */
+  def aggFunnelWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select("user_id", "event_type", "ts_s")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_s").as("t_view"))
+    val fc = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts_s") > col("t_view") &&
+        col("ts_s") <= col("t_view") + 86400L)
+      .groupBy("user_id").agg(min("ts_s").as("t_click"))
+    val fp = e.filter(col("event_type") === "purchase")
+      .join(fc, "user_id")
+      .filter(col("ts_s") > col("t_click") &&
+        col("ts_s") <= col("t_click") + 7L * 86400L)
+      .groupBy("user_id").agg(min("ts_s").as("t_purchase"))
+    v.join(fc, Seq("user_id"), "left").join(fp, Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("t_purchase").isNotNull, lit(3))
+          .when(col("t_click").isNotNull, lit(2))
+          .otherwise(lit(1)))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_users"), sum("user_id").as("user_id_sum"))
+      .orderBy("stage")
+  }
+
   /** Cohort retention matrix — users bucketed by first-seen day, then
     * distinct-active counts per (cohort, day-offset ≤ 7): the product-
     * analytics staple. Two narrow projections of events: the cohort
@@ -535,6 +613,9 @@ object AggQueries {
     "agg_sketch_union" -> aggSketchUnion,
     "agg_ohlc" -> aggOhlc,
     "agg_retention" -> aggRetention,
+    "agg_funnel_window" -> aggFunnelWindow,
+    "profile_topvalues" -> profileTopvalues,
+    "agg_overlap" -> aggOverlap,
     "agg_minmax_by" -> aggMinmaxBy,
     "agg_countif" -> aggCountIf,
     "agg_bitagg" -> aggBitagg,
@@ -576,6 +657,46 @@ object AggQueries {
          |  ${Fp.r4Sql("sum(value)")} AS volume
          |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // exact integer cohort math; epoch // 86400 truncation matches div
+    "agg_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_both, CAST(sum(a.user_id) AS BIGINT) AS user_id_sum
+        |FROM tu a JOIN tu b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "profile_topvalues" ->
+      """WITH kv AS (
+        |  SELECT 'event_type' AS cname, event_type AS val FROM events
+        |  UNION ALL
+        |  SELECT 'user_mod', CAST(user_id % 10 AS VARCHAR) FROM events
+        |  UNION ALL
+        |  SELECT 'dow', CAST(((epoch_ns(ts) // 1000000000) // 86400) % 7
+        |    AS VARCHAR) FROM events),
+        |cnt AS (SELECT cname, val, count(*) AS c FROM kv GROUP BY 1, 2),
+        |r AS (SELECT cname, val, c,
+        |        row_number() OVER (PARTITION BY cname
+        |                           ORDER BY c DESC, val) AS rk
+        |      FROM cnt)
+        |SELECT cname, CAST(rk AS INTEGER) AS rk, val, c
+        |FROM r WHERE rk <= 3 ORDER BY cname, rk""".stripMargin,
+    "agg_funnel_window" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s FROM events),
+        |v AS (SELECT user_id, min(ts_s) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |fc AS (SELECT e.user_id, min(e.ts_s) AS t_click
+        |       FROM e JOIN v USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts_s > v.t_view
+        |         AND e.ts_s <= v.t_view + 86400 GROUP BY e.user_id),
+        |fp AS (SELECT e.user_id, min(e.ts_s) AS t_purchase
+        |       FROM e JOIN fc USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts_s > fc.t_click
+        |         AND e.ts_s <= fc.t_click + 604800 GROUP BY e.user_id)
+        |SELECT CASE WHEN fp.user_id IS NOT NULL THEN 3
+        |            WHEN fc.user_id IS NOT NULL THEN 2 ELSE 1 END AS stage,
+        |  count(*) AS n_users, CAST(sum(v.user_id) AS BIGINT) AS user_id_sum
+        |FROM v LEFT JOIN fc USING (user_id) LEFT JOIN fp USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_retention" ->
       """WITH e AS (SELECT user_id,
         |    (epoch_ns(ts) // 1000000000) // 86400 AS day FROM events),

@@ -228,6 +228,37 @@ object JoinQueries {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of join with a staleness tolerance — the other half of
+    * the as-of semantics family (join_asof is backward/unbounded): for
+    * each purchase, the EARLIEST click of the same user strictly after
+    * it but within 24 h, purchases without one kept with NULLs (the
+    * merge-asof direction='forward', tolerance=24h shape). Equality on
+    * user_id bounds the candidate set per row and keeps the plan a
+    * hash join with a residual range filter — never a nested loop;
+    * a keyless variant would use the time-binned pattern
+    * (join_range_binned). Tie-break on (c_ts, click_id); all integer
+    * ns math, so the oracle replays exactly. */
+  def joinAsofFwd(s: SparkSession, dir: String): DataFrame = {
+    val TolNs = 86400L * 1000000000L
+    val e = t(s, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_ns")
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts_ns").as("c_ts"))
+    val w = Window.partitionBy("event_id").orderBy(asc("c_ts"), asc("click_id"))
+    val matched = p.join(c,
+        p("user_id") === c("c_user") && c("c_ts") > p("ts_ns") &&
+          c("c_ts") <= p("ts_ns") + TolNs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("click_id"),
+        expr("(c_ts - ts_ns) div 1000000").as("gap_ms"))
+    p.join(matched, Seq("event_id"), "left")
+      .select("event_id", "user_id", "click_id", "gap_ms")
+      .orderBy("event_id")
+  }
+
   /** Bucketed co-located join: both fact sides written bucketed+sorted
     * on the join key, so the SortMergeJoin needs NO Exchange on either
     * side (asserted in RelationalSpec) — the pre-partitioning strategy
@@ -457,6 +488,7 @@ object JoinQueries {
     "join_outer" -> joinOuter,
     "join_theta" -> joinTheta,
     "join_asof" -> joinAsof,
+    "join_asof_fwd" -> joinAsofFwd,
     "join_range_binned" -> joinRangeBinned,
     "join_interval_overlap" -> joinIntervalOverlap,
     "join_nullsafe" -> joinNullsafe)
@@ -610,6 +642,23 @@ object JoinQueries {
         |  ON l.l_extendedprice >= p.p_retailprice
         | AND l.l_extendedprice < p.p_retailprice * 3
         |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+    "join_asof_fwd" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) AS ts_ns FROM events),
+        |p AS (SELECT event_id, user_id, ts_ns FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, event_id AS click_id,
+        |        ts_ns AS c_ts FROM e WHERE event_type = 'click'),
+        |m AS (SELECT p.event_id, c.click_id,
+        |        (c.c_ts - p.ts_ns) // 1000000 AS gap_ms,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |                           ORDER BY c.c_ts, c.click_id) AS rn
+        |      FROM p JOIN c ON c.c_user = p.user_id
+        |        AND c.c_ts > p.ts_ns
+        |        AND c.c_ts <= p.ts_ns + 86400000000000)
+        |SELECT p.event_id, p.user_id, m.click_id, m.gap_ms
+        |FROM p LEFT JOIN m ON m.event_id = p.event_id AND m.rn = 1
+        |ORDER BY p.event_id""".stripMargin,
     "join_asof" ->
       """SELECT event_id, user_id, o_orderkey FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey,

@@ -433,6 +433,51 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF+PQ hybrid — the production ANN composition (the FAISS-IVFPQ
+    * recipe): the coarse inverted-file index prunes the corpus to the
+    * probed clusters' lists, and the PQ asymmetric distance re-ranks
+    * the candidates from [[PqM]] one-byte codes per vector. At 100 TB
+    * this is THE memory/IO shape that survives: non-candidate vectors
+    * are never touched, and candidate vectors are touched only as
+    * their codes (64 floats → 4 bytes); the join shuffle key is the
+    * cluster id, the query side broadcasts. Candidate generation is
+    * sim_ann_ivf's (rank-1 cluster per corpus vector, [[IvfProbes]]
+    * probes per query), the re-rank is sim_pq's exact integer
+    * asymmetric distance — so the oracle replays both stages
+    * bit-for-bit. */
+  def simIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").withColumn("q1024", qint(col("embedding")))
+    val corpus = e.select(
+      col("vec_id").as("n_id") +:
+        element_at(iClustersRanked(col("q1024")), 1).getField("cid").as("cluster") +:
+        (0 until PqM).map(m => pqCode(col("q1024"), m).as(s"code$m")): _*)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("q_id") +:
+          col("q1024").as("qe") +:
+          explode(transform(
+            slice(iClustersRanked(col("q1024")), 1, IvfProbes),
+            x => x.getField("cid"))).as("cluster") +:
+          (0 until PqM).map(m =>
+            graft.functions.Native.dotI64(pqSubvec(col("q1024"), m),
+              pqSubvec(col("q1024"), m)).as(s"q2_$m")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(asc("adist"), asc("n_id"))
+    val adist = (0 until PqM).map { m =>
+      val c2 = element_at(array(pqC2(m).map(lit(_)): _*), col(s"code$m") + 1)
+      val cent = element_at(typedLit(pqCodebookInt(m)), col(s"code$m") + 1)
+      lit(10000L) * col(s"q2_$m") -
+        lit(200L) * graft.functions.Native.dotI64(pqSubvec(col("qe"), m), cent) + c2
+    }.reduce(_ + _)
+    corpus.join(broadcast(queries), Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("n_id"), col("adist").as("approx_dist"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Quantize-to-1024 list expression shared by the generated ANN
     * oracles (the exact SQL twin of [[qint]]). */
   private val qintSql =
@@ -579,6 +624,52 @@ object SimilarityQueries {
        |FROM r WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** GENERATED replay of BOTH IVFPQ stages: sim_ann_ivf's cluster
+    * assignment/probes for the candidate set, then sim_pq's integer
+    * asymmetric distances over exactly those candidates. */
+  private def ivfPqOracleSql: String = {
+    val cint = s"(((c.c * $IvfDim + (i-1)) * 2654435761) % 199 - 99) * 1024"
+    def cent(m: String, c: String) =
+      s"(((($m * $PqK + $c) * 64 + (i-1)) * 48271) % 101 - 50) * 1024"
+    def sqDist(m: String, c: String) =
+      s"""list_sum(list_transform(generate_series(1, $PqSubDim),
+         |          i -> (qe[$m * $PqSubDim + i] * 100 - ${cent(m, c)})
+         |             * (qe[$m * $PqSubDim + i] * 100 - ${cent(m, c)})))""".stripMargin
+    s"""WITH qv AS (SELECT vec_id, $qintSql AS qe FROM embeddings),
+       |sc AS (SELECT vec_id, c.c AS cid,
+       |         list_sum(list_transform(generate_series(1, $IvfDim),
+       |           i -> (qe[i] * 99 - $cint) * (qe[i] * 99 - $cint))) AS s
+       |       FROM qv, range($IvfClusters) c(c)),
+       |rankc AS (SELECT vec_id, cid,
+       |            row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |          FROM sc),
+       |corpus AS (SELECT vec_id AS n_id, cid AS cluster FROM rankc WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, cid AS cluster
+       |           FROM rankc WHERE rn <= $IvfProbes AND vec_id < 10),
+       |cand AS (SELECT DISTINCT p.q_id, c.n_id
+       |         FROM probes p JOIN corpus c
+       |           ON p.cluster = c.cluster AND p.q_id != c.n_id),
+       |g AS (SELECT vec_id, mm, cc,
+       |        ${sqDist("mm", "cc")} AS d
+       |      FROM qv, range($PqM) m(mm), range($PqK) c(cc)),
+       |codes AS (SELECT vec_id, mm, cc AS code FROM
+       |            (SELECT *, row_number() OVER (PARTITION BY vec_id, mm
+       |               ORDER BY d, cc) AS rn FROM g) t WHERE rn = 1),
+       |pair AS (SELECT cd.q_id, cd.n_id, n.mm AS mm, n.code AS code, q.qe AS qe
+       |         FROM cand cd JOIN codes n ON n.vec_id = cd.n_id
+       |                      JOIN qv q ON q.vec_id = cd.q_id),
+       |pd AS (SELECT q_id, n_id,
+       |         ${sqDist("mm", "code")} AS d
+       |       FROM pair),
+       |ad AS (SELECT q_id, n_id, CAST(sum(d) AS BIGINT) AS adist
+       |       FROM pd GROUP BY 1, 2),
+       |r AS (SELECT q_id, n_id, adist,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rn
+       |      FROM ad)
+       |SELECT q_id, CAST(rn AS INTEGER) AS rank, n_id, adist AS approx_dist
+       |FROM r WHERE rn <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Late-interaction (MaxSim) scoring — the ColBERT retrieval shape:
     * a document is a BAG of token vectors, and score(q, d) =
     * Σ_{query token} max_{doc token} ⟨qt, dt⟩, which preserves
@@ -673,6 +764,7 @@ object SimilarityQueries {
     "sim_crossmodal" -> simCrossmodal,
     "sim_maxsim" -> simMaxsim,
     "sim_pq" -> simPq,
+    "sim_ivf_pq" -> simIvfPq,
     "sim_cosine_topk" -> simCosineTopk,
     "sim_quantize" -> simQuantize,
     "sim_ann_lsh" -> simAnnLsh,
@@ -734,6 +826,7 @@ object SimilarityQueries {
     "sim_ann_ivf" -> annIvfOracleSql,
     "sim_ann_ivf_trained" -> trainedIvfOracleSql,
     "sim_pq" -> pqOracleSql,
+    "sim_ivf_pq" -> ivfPqOracleSql,
     // identical double arithmetic both sides: widen to double, one
     // multiply, floor(x+0.5) — no accumulation, so bit-exact
     "sim_quantize" ->

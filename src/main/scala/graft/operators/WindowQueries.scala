@@ -348,7 +348,60 @@ object WindowQueries {
       .orderBy("n_regionkey", "n_name")
   }
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands window: distinct active days, `day − dense-rank`
+    * island key (constant within a run of consecutive days, strictly
+    * monotone across gaps), island lengths, max per user. One shuffle
+    * on user_id reused by the window AND both aggregations; state per
+    * user is its distinct-day list, bounded by the calendar. All
+    * integers ⇒ exact oracle. */
+  def winStreaks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    t(s, dir, "events")
+      .select(col("user_id"), expr("ts_s div 86400").as("day"))
+      .distinct()
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"), min("day").as("streak_start"))
+      .groupBy("user_id")
+      .agg(max("len").as("max_streak"),
+        count(lit(1)).as("n_streaks"),
+        min("streak_start").as("first_day"))
+      .orderBy("user_id")
+  }
+
+  /** Rolling 7-day windowed quantiles per event_type at day
+    * granularity — the moving-percentile monitor (p50/p90 of the last
+    * week, recomputed daily). A naive per-ROW range-frame percentile
+    * recomputes an O(frame) exact quantile for every event (percentile
+    * is not subtractable — no incremental frame update exists), an
+    * O(n·frame) blowup; instead each event FANS OUT to the ≤ 7 target
+    * days whose window contains it (a ×7 narrow projection, the
+    * join_range_binned trick applied to frames), a semi-join drops
+    * target days with no events of their own, and ONE groupBy computes
+    * the exact discrete quantiles per (type, day) — shuffle scales
+    * with events×7, never events×frame. percentile_disc picks an
+    * actual element, so the oracle (quantile_disc) replays exactly;
+    * r4 normalizes the double representation. */
+  def winRollingQuantile(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), expr("ts_s div 86400").as("day"), col("value"))
+    val days = e.select(col("event_type"), col("day").as("target_day")).distinct()
+    e.withColumn("target_day", explode(sequence(col("day"), col("day") + 6)))
+      .join(days, Seq("event_type", "target_day"), "left_semi")
+      .groupBy(col("event_type"), col("target_day").as("day"))
+      .agg(
+        count(lit(1)).as("n_window"),
+        Fp.r4(expr(
+          "percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")).as("p50d"),
+        Fp.r4(expr(
+          "percentile_disc(0.9) WITHIN GROUP (ORDER BY value)")).as("p90d"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rolling_quantile" -> winRollingQuantile,
+    "win_streaks" -> winStreaks,
     "win_share" -> winShare,
     "win_concurrency" -> winConcurrency,
     "win_first_last" -> winFirstLast,
@@ -365,6 +418,33 @@ object WindowQueries {
     "win_ntile" -> winNtile)
 
   val oracleSql: Map[String, String] = Map(
+    // same fan-out formulation; quantile_disc picks the same element
+    "win_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    (epoch_ns(ts) // 1000000000) // 86400 AS day FROM events),
+        |isl AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS island
+        |  FROM d),
+        |runs AS (SELECT user_id, island, count(*) AS len,
+        |    min(day) AS streak_start
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS max_streak, count(*) AS n_streaks,
+        |  min(streak_start) AS first_day
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "win_rolling_quantile" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_ns(ts) // 1000000000) // 86400 AS day, value
+        |  FROM events),
+        |fan AS (SELECT event_type, day + o.o AS target_day, value
+        |        FROM e, range(7) o(o)),
+        |days AS (SELECT DISTINCT event_type, day AS target_day FROM e)
+        |SELECT f.event_type, f.target_day AS day,
+        |  count(*) AS n_window,
+        |  floor((quantile_disc(f.value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50d,
+        |  floor((quantile_disc(f.value, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90d
+        |FROM fan f JOIN days USING (event_type, target_day)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // integer-cents sums are exact; share = one double division
     "win_share" ->
       """WITH bn AS (SELECT c_nationkey,

@@ -101,6 +101,44 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(a == b)
   }
 
+  test("sim_ivf_pq: valid ranks, candidates respect the IVF probe structure") {
+    val rows = SparkEntry.queries("sim_ivf_pq")(spark, sf)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, rank, n, _) =>
+      assert(q != n); assert(rank >= 1 && rank <= 3)
+    }
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.sameElements(1 to g.length))
+      val byRank = g.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b },
+        "adist must be non-decreasing with rank")
+    }
+    // replay the coarse quantizer driver-side from the PUBLIC seed
+    // formula: every returned neighbor's rank-1 cluster must be among
+    // the query's top-IvfProbes clusters — i.e. the pair really came
+    // through the inverted-file candidate stage, not a global scan
+    val emb = Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def clustersRanked(v: Array[Float]): Seq[Int] = {
+      val q = v.map(x => math.floor(x.toDouble * 1024 + 0.5).toLong)
+      (0 until SimilarityQueries.IvfClusters).map { c =>
+        val d = (0 until SimilarityQueries.IvfDim).map { i =>
+          val diff = q(i) * 99L - SimilarityQueries.centroidIntAt(c, i) * 1024L
+          diff * diff
+        }.sum
+        (d, c)
+      }.sorted.map(_._2)
+    }
+    rows.foreach { case (q, _, n, _) =>
+      val probes = clustersRanked(emb(q)).take(SimilarityQueries.IvfProbes).toSet
+      val nCluster = clustersRanked(emb(n)).head
+      assert(probes.contains(nCluster),
+        s"pair ($q,$n): neighbor cluster $nCluster not in probes $probes")
+    }
+  }
+
   test("trained IVF: k-means actually moves centroids off the seed codebook") {
     val seed = SimilarityQueries.seedCodebookInt
     val trained = SimilarityQueries.trainedCodebookInt(spark, sf)
