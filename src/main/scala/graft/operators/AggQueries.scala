@@ -602,7 +602,71 @@ object AggQueries {
         |  o_orderpriority NULLS FIRST""".stripMargin)
   }
 
+  /** Welch's t-test between every pair of event types on `value` —
+    * the A/B-test significance primitive. One pass computes exact
+    * integer moments per type (n, Σcents, Σcents² — all BIGINT, no FP
+    * accumulation order anywhere); the 5×5 moment table self-joins
+    * (a < b) driver-free into 10 pairs and the t statistic / Welch–
+    * Satterthwaite df are each ONE fixed double expression over exact
+    * integers, so Spark and DuckDB agree bit-for-bit before r4. At
+    * 100 TB the scan is the only big stage (partial-aggregated,
+    * 5-row result); Σcents² would move to DECIMAL(38,0) there — at
+    * bench SF it is < 2⁵³ so BIGINT↔double stays exact. */
+  def aggTtest(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(col("c") * col("c")).as("q"))
+    val a = m.select(col("event_type").as("type_a"), col("n").as("na"),
+      col("s").as("sa"), col("q").as("qa"))
+    val b = m.select(col("event_type").as("type_b"), col("n").as("nb"),
+      col("s").as("sb"), col("q").as("qb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .withColumn("va", expr(
+        "(cast(qa as double) - cast(sa as double) * sa / na) / (na - 1)"))
+      .withColumn("vb", expr(
+        "(cast(qb as double) - cast(sb as double) * sb / nb) / (nb - 1)"))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        Fp.r4(expr("(cast(sa as double) / na - cast(sb as double) / nb)" +
+          " / sqrt(va / na + vb / nb) ")).as("t_stat"),
+        Fp.r4(expr("(va / na + vb / nb) * (va / na + vb / nb)" +
+          " / (va * va / (cast(na as double) * na * (na - 1))" +
+          "  + vb * vb / (cast(nb as double) * nb * (nb - 1)))")).as("welch_df"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** χ² independence test of lang × source on documents, per-cell
+    * contributions over the FULL grid (zero cells included — they
+    * carry expected mass). Observed counts, row/col totals and N are
+    * exact integers from three tiny aggregates of one scan; expected
+    * count and the cell contribution are single fixed double
+    * expressions (numerator (O·N − R·C)² computed in double to dodge
+    * BIGINT overflow at scale). The grid is |langs|×|sources| — all
+    * joins broadcast; no total row, because a cross-cell double sum
+    * would reintroduce accumulation-order nondeterminism. */
+  def aggChisq(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rows = d.groupBy("lang").agg(count(lit(1)).as("r"))
+    val cols = d.groupBy("source").agg(count(lit(1)).as("c"))
+    val n = d.select(count(lit(1)).as("n"))
+    rows.crossJoin(cols).join(cells, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .select(col("lang"), col("source"), col("o"),
+        Fp.r4(expr("cast(r as double) * c / n")).as("expected"),
+        Fp.r4(expr(
+          "(cast(o as double) * n - cast(r as double) * c)" +
+          " * (cast(o as double) * n - cast(r as double) * c)" +
+          " / (cast(r as double) * c * n)")).as("contrib"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_ttest" -> aggTtest,
+    "agg_chisq" -> aggChisq,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "agg_grouping_id" -> aggGroupingId,
     "agg_unpivot" -> aggUnpivot,
@@ -637,6 +701,53 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    // identical expression trees over exact integer moments — every
+    // double op happens in the same order in both engines
+    "agg_ttest" ->
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+        |  FROM (SELECT event_type,
+        |      CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events)
+        |  GROUP BY event_type),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.n AS na, a.s AS sa, a.q AS qa,
+        |    b.n AS nb, b.s AS sb, b.q AS qb
+        |  FROM m a JOIN m b ON a.event_type < b.event_type),
+        |v AS (SELECT *,
+        |    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na) / (na - 1)
+        |      AS va,
+        |    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1)
+        |      AS vb
+        |  FROM p)
+        |SELECT type_a, type_b, na, nb,
+        |  floor(((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+        |    / sqrt(va / na + vb / nb)) * 10000.0 + 0.5) / 10000.0
+        |    AS t_stat,
+        |  floor(((va / na + vb / nb) * (va / na + vb / nb)
+        |    / (va * va / (CAST(na AS DOUBLE) * na * (na - 1))
+        |     + vb * vb / (CAST(nb AS DOUBLE) * nb * (nb - 1))))
+        |    * 10000.0 + 0.5) / 10000.0 AS welch_df
+        |FROM v ORDER BY type_a, type_b""".stripMargin,
+    // full grid incl. zero cells; per-cell only (no cross-cell FP sum)
+    "agg_chisq" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, count(*) AS r FROM documents GROUP BY 1),
+        |c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT r.lang, c.source, COALESCE(cells.o, 0) AS o,
+        |  floor((CAST(r.r AS DOUBLE) * c.c / n.n) * 10000.0 + 0.5)
+        |    / 10000.0 AS expected,
+        |  floor(((CAST(COALESCE(cells.o, 0) AS DOUBLE) * n.n
+        |            - CAST(r.r AS DOUBLE) * c.c)
+        |         * (CAST(COALESCE(cells.o, 0) AS DOUBLE) * n.n
+        |            - CAST(r.r AS DOUBLE) * c.c)
+        |         / (CAST(r.r AS DOUBLE) * c.c * n.n)) * 10000.0 + 0.5)
+        |    / 10000.0 AS contrib
+        |FROM r CROSS JOIN c
+        |  LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source
+        |  CROSS JOIN n
+        |ORDER BY 1, 2""".stripMargin,
     // open/close deterministic under ts ties via (ts_ns, event_id)
     // ordering; bar = floor-seconds div 86400, both truncating
     "agg_ohlc" ->

@@ -399,7 +399,60 @@ object WindowQueries {
       .orderBy("event_type", "day")
   }
 
+  /** Distribution-position windows: cume_dist (fraction of the
+    * customer's orders priced at-or-below this one) and the runner-up
+    * order key via nth_value over the FULL frame. cume_dist counts
+    * VALUE peers, so it is tie-insensitive; nth_value reads a totally
+    * ordered frame (price desc, key asc — unique by key), so both are
+    * deterministic across engines. Same single shuffle on o_custkey
+    * as every other customer window; frames never leave the partition. */
+  def winCumeDist(s: SparkSession, dir: String): DataFrame = {
+    val wc = Window.partitionBy("o_custkey").orderBy(asc("o_totalprice"))
+    val wf = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        Fp.r4(cume_dist().over(wc)).as("cd"),
+        nth_value(col("o_orderkey"), 2).over(wf).as("runner_up"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Bounded exponentially-weighted moving average (α = 1/2, 8-tap)
+    * of each user's event values in time order. A true EWMA is a
+    * sequential recurrence — O(n) per partition but unsplittable and
+    * not window-expressible without per-row O(frame) recompute; the
+    * 8-tap truncation (weights 128,64,…,1 — the tail beyond 8 lags is
+    * < 1/255 of the mass) makes it a FAN-OUT aggregation, the same
+    * trick as winRollingQuantile: each event contributes to ≤ 8
+    * successor positions with an integer weight, one groupBy on
+    * (user, position) sums weight×cents exactly, and a semi-join to
+    * real positions drops the phantom tail past each user's last
+    * event. Integer cents ⇒ order-insensitive sums ⇒ exact oracle;
+    * the single double division happens once per output row. */
+  def winEwma(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy(asc("ts_ns"), asc("event_id"))
+    val seq0 = e.withColumn("rn", row_number().over(w))
+    val anchors = seq0.select(col("user_id"), col("rn"), col("event_id"))
+    val fan = seq0
+      .withColumn("k", explode(sequence(lit(0), lit(7))))
+      .select(col("user_id"), (col("rn") + col("k")).as("rn"),
+        (col("cents") * expr("shiftleft(1L, 7 - k)")).as("wx"),
+        expr("shiftleft(1L, 7 - k)").as("wt"))
+    fan.groupBy("user_id", "rn")
+      .agg(sum("wx").as("num"), sum("wt").as("den"))
+      .join(anchors, Seq("user_id", "rn"))
+      .select(col("user_id"), col("event_id"),
+        Fp.r4(col("num") / col("den") / lit(100.0)).as("ewma"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_cume_dist" -> winCumeDist,
+    "win_ewma" -> winEwma,
     "win_rolling_quantile" -> winRollingQuantile,
     "win_streaks" -> winStreaks,
     "win_share" -> winShare,
@@ -418,6 +471,35 @@ object WindowQueries {
     "win_ntile" -> winNtile)
 
   val oracleSql: Map[String, String] = Map(
+    // cume_dist counts value peers (tie-insensitive); nth_value reads
+    // a totally ordered full frame — both replay exactly
+    "win_cume_dist" ->
+      """SELECT o_custkey, o_orderkey,
+        |  floor((cume_dist() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS cd,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS runner_up
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // same 8-tap fan-out; integer weight×cents sums are exact, the
+    // double division happens once per row in the same order
+    "win_ewma" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |sq AS (SELECT user_id, event_id, cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_ns, event_id) AS rn FROM e),
+        |fan AS (SELECT user_id, rn + o.o AS rn,
+        |    cents * (1 << (7 - o.o)) AS wx, (1 << (7 - o.o)) AS wt
+        |  FROM sq, range(8) o(o)),
+        |g AS (SELECT user_id, rn, sum(wx) AS num, sum(wt) AS den
+        |  FROM fan GROUP BY 1, 2)
+        |SELECT g.user_id, sq.event_id,
+        |  floor((num / den / 100.0) * 10000.0 + 0.5) / 10000.0 AS ewma
+        |FROM g JOIN sq ON sq.user_id = g.user_id AND sq.rn = g.rn
+        |ORDER BY 1, 2""".stripMargin,
     // same fan-out formulation; quantile_disc picks the same element
     "win_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id,

