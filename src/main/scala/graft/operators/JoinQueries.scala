@@ -259,6 +259,38 @@ object JoinQueries {
       .orderBy("event_id")
   }
 
+  /** NEAREST as-of join, completing the direction family (join_asof =
+    * backward/unbounded, join_asof_fwd = forward/24 h): for each
+    * purchase, the signup of the same user with the smallest |Δt|
+    * within ±24 h, either direction (merge-asof direction='nearest').
+    * Tie on |Δt| (an earlier and a later signup equidistant) resolves
+    * to the EARLIER event, then event_id — a total order, so the
+    * picked row is deterministic. Same scale shape as the other two:
+    * user_id equality bounds candidates, hash join + residual range
+    * filter, per-purchase row_number, never a nested loop. */
+  def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val TolNs = 86400L * 1000000000L
+    val e = t(s, dir, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_ns")
+    val g = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("ts_ns").as("s_ts"))
+    val w = Window.partitionBy("event_id")
+      .orderBy(asc("adelta"), asc("s_ts"), asc("signup_id"))
+    val matched = p.join(g,
+        p("user_id") === g("s_user") &&
+          g("s_ts") >= p("ts_ns") - TolNs && g("s_ts") <= p("ts_ns") + TolNs)
+      .withColumn("adelta", abs(col("s_ts") - col("ts_ns")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("signup_id"),
+        expr("(s_ts - ts_ns) div 1000000").as("delta_ms"))
+    p.join(matched, Seq("event_id"), "left")
+      .select("event_id", "user_id", "signup_id", "delta_ms")
+      .orderBy("event_id")
+  }
+
   /** Bucketed co-located join: both fact sides written bucketed+sorted
     * on the join key, so the SortMergeJoin needs NO Exchange on either
     * side (asserted in RelationalSpec) — the pre-partitioning strategy
@@ -489,6 +521,7 @@ object JoinQueries {
     "join_theta" -> joinTheta,
     "join_asof" -> joinAsof,
     "join_asof_fwd" -> joinAsofFwd,
+    "join_asof_nearest" -> joinAsofNearest,
     "join_range_binned" -> joinRangeBinned,
     "join_interval_overlap" -> joinIntervalOverlap,
     "join_nullsafe" -> joinNullsafe)
@@ -657,6 +690,23 @@ object JoinQueries {
         |        AND c.c_ts > p.ts_ns
         |        AND c.c_ts <= p.ts_ns + 86400000000000)
         |SELECT p.event_id, p.user_id, m.click_id, m.gap_ms
+        |FROM p LEFT JOIN m ON m.event_id = p.event_id AND m.rn = 1
+        |ORDER BY p.event_id""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) AS ts_ns FROM events),
+        |p AS (SELECT event_id, user_id, ts_ns FROM e
+        |      WHERE event_type = 'purchase'),
+        |g AS (SELECT user_id AS s_user, event_id AS signup_id,
+        |        ts_ns AS s_ts FROM e WHERE event_type = 'signup'),
+        |m AS (SELECT p.event_id, g.signup_id,
+        |        (g.s_ts - p.ts_ns) // 1000000 AS delta_ms,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |          ORDER BY abs(g.s_ts - p.ts_ns), g.s_ts, g.signup_id) AS rn
+        |      FROM p JOIN g ON g.s_user = p.user_id
+        |        AND g.s_ts >= p.ts_ns - 86400000000000
+        |        AND g.s_ts <= p.ts_ns + 86400000000000)
+        |SELECT p.event_id, p.user_id, m.signup_id, m.delta_ms
         |FROM p LEFT JOIN m ON m.event_id = p.event_id AND m.rn = 1
         |ORDER BY p.event_id""".stripMargin,
     "join_asof" ->

@@ -548,6 +548,41 @@ object SimilarityQueries {
        |${cosTailSql(3)}""".stripMargin
   }
 
+  /** Same candidate stage as [[annIvfOracleSql]]; the top-k tail is
+    * replaced by the τ filter on the rounded cosine. */
+  private def radiusOracleSql: String = {
+    val cint = s"(((c.c * $IvfDim + (i-1)) * 2654435761) % 199 - 99) * 1024"
+    s"""WITH qv AS (SELECT vec_id, $qintSql AS qe FROM embeddings),
+       |sc AS (SELECT vec_id, c.c AS cid,
+       |         list_sum(list_transform(generate_series(1, $IvfDim),
+       |           i -> (qe[i] * 99 - $cint) * (qe[i] * 99 - $cint))) AS s
+       |       FROM qv, range($IvfClusters) c(c)),
+       |rankc AS (SELECT vec_id, cid,
+       |            row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |          FROM sc),
+       |corpus AS (SELECT vec_id AS n_id, cid AS cluster FROM rankc WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, cid AS cluster
+       |           FROM rankc WHERE rn <= $IvfProbes AND vec_id < 10),
+       |cand AS (SELECT DISTINCT p.q_id, c.n_id
+       |         FROM probes p JOIN corpus c
+       |           ON p.cluster = c.cluster AND p.q_id != c.n_id),
+       |e AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+       |        CAST(unnest(embedding) AS DOUBLE) AS x
+       |      FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id),
+       |d AS (SELECT c.q_id, c.n_id, sum(a.x * b.x) AS dot
+       |      FROM cand c
+       |      JOIN e a ON a.vec_id = c.q_id
+       |      JOIN e b ON b.vec_id = c.n_id AND a.pos = b.pos
+       |      GROUP BY 1, 2),
+       |cosv AS (SELECT q_id, n_id,
+       |           floor((dot / (nq.nrm * nc.nrm)) * 10000.0 + 0.5) / 10000.0 + 0.0 AS cos
+       |         FROM d JOIN norms nq ON q_id = nq.vec_id
+       |         JOIN norms nc ON n_id = nc.vec_id)
+       |SELECT q_id, n_id, cos FROM cosv
+       |WHERE cos >= $RadiusTau ORDER BY q_id, n_id""".stripMargin
+  }
+
   /** GENERATED replay of the ENTIRE integer k-means training loop +
     * trained-IVF search: [[KmeansIters]] unrolled Lloyd iterations
     * (assignment argmin with cid tie-break, centroid update
@@ -760,7 +795,47 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  val RadiusTau = 0.3
+
+  /** RADIUS (range) similarity search — the other query shape ANN
+    * indexes serve: not "the k nearest" but "EVERY neighbor with
+    * cos ≥ τ" (near-duplicate audit, contamination sweeps, embedding-
+    * space joins). Same IVF candidate stage as sim_ann_ivf (corpus
+    * assigned to its nearest deterministic centroid, queries probe
+    * their [[IvfProbes]] nearest cells — candidates never leave the
+    * bucket equi-join, no all-pairs stage), then an exact-cosine
+    * verify where the TOP-K TAIL IS REPLACED by a threshold filter on
+    * the r4-ROUNDED cosine, so both engines compare the identical
+    * rounded value against τ and the result set is well-defined at
+    * the boundary. Output is every surviving pair ordered (q_id,
+    * n_id) — cardinality is data-dependent by nature of the operator,
+    * bounded by the probed cells. Approximate by design like the
+    * other IVF rows: a τ-qualifying pair outside every probed cell is
+    * missed by BOTH engines identically. */
+  def simRadius(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").withColumn("q1024", qint(col("embedding")))
+    val corpus = e
+      .select(col("vec_id").as("n_id"), col("embedding").as("ce"),
+        element_at(iClustersRanked(col("q1024")), 1).getField("cid").as("cluster"))
+      .withColumn("cnorm", norm(col("ce")))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        explode(transform(
+          slice(iClustersRanked(col("q1024")), 1, IvfProbes),
+          x => x.getField("cid"))).as("cluster"))
+      .withColumn("qnorm", norm(col("qe")))
+    corpus.join(broadcast(queries), Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", Fp.r4(dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm"))))
+      .groupBy("q_id", "n_id")
+      .agg(max("cos").as("cos")) // dedup multi-probe hits
+      .filter(col("cos") >= RadiusTau)
+      .select("q_id", "n_id", "cos")
+      .orderBy("q_id", "n_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_radius" -> simRadius,
     "sim_crossmodal" -> simCrossmodal,
     "sim_maxsim" -> simMaxsim,
     "sim_pq" -> simPq,
@@ -823,6 +898,7 @@ object SimilarityQueries {
         |SELECT q_doc, CAST(rn AS INTEGER) AS rank, n_doc, score
         |FROM r WHERE rn <= 3 ORDER BY q_doc, rank""".stripMargin,
     "sim_ann_lsh" -> annLshOracleSql,
+    "sim_radius" -> radiusOracleSql,
     "sim_ann_ivf" -> annIvfOracleSql,
     "sim_ann_ivf_trained" -> trainedIvfOracleSql,
     "sim_pq" -> pqOracleSql,

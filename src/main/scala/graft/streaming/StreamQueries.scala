@@ -754,7 +754,107 @@ object StreamQueries {
     }
   }
 
+  /** Chunk width for [[streamFunnel]] — 10 days, so the 24 h and 7 d
+    * funnel windows straddle several micro-batch boundaries and the
+    * cross-batch state handoff is genuinely exercised. */
+  val FunnelChunkS: Long = 86400L * 10
+
+  /** Incremental time-BOUNDED funnel — the streaming twin of
+    * agg_funnel_window (first view → first click within 24 h of that
+    * view → first purchase within 7 d of that click). Per-user state
+    * is exactly THREE nullable timestamps (t_view, t_click,
+    * t_purchase) — bounded regardless of event volume, the textbook
+    * streaming-funnel state design. Convergence to the one-shot batch
+    * answer relies on EVENT-TIME-ORDERED delivery (the file stream is
+    * ts-chunked, like every incremental twin here): a qualifying
+    * click has ts > t_view, so it lives in the first view's chunk or
+    * later — it can never arrive BEFORE the state knows t_view; and
+    * in-order arrival means the first qualifying event seen IS the
+    * global minimum, so each slot is written once and never revised.
+    * Each micro-batch: merge batch-min views into state
+    * (least() ignores NULLs), then resolve clicks against the UPDATED
+    * t_view and purchases against the UPDATED t_click — so a chain
+    * completing inside one chunk lands in one batch. Out-of-order
+    * sources would need the watermark+retraction form instead
+    * (stream_dedup_late territory). Final stage classification and
+    * the oracle are agg_funnel_window's, verbatim. */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    val tag = contentTag(s, dir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_funnel_$tag"
+    val src = t(s, dir, "events").select("user_id", "event_type", "ts_s")
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+      val chunks = src.select(expr(s"ts_s div $FunnelChunkS").as("c"))
+        .distinct().orderBy("c").collect().map(_.getLong(0))
+      chunks.foreach { c =>
+        src.filter(expr(s"ts_s div $FunnelChunkS") === c)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      }
+    }
+    val statePath = s"$base/state"
+    val q = s.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val sess = batch.sparkSession
+        val st0 =
+          if (new java.io.File(s"$statePath/_SUCCESS").exists())
+            sess.read.parquet(statePath)
+          else sess.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "user_id LONG, t_view LONG, t_click LONG, t_purchase LONG"))
+        val bv = batch.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_s").as("bv"))
+        // views: least() skips NULLs, so new users and earlier views
+        // both land correctly (in-order makes this first-write-wins)
+        val s1 = st0.join(bv, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            least(col("t_view"), col("bv")).as("t_view"),
+            col("t_click"), col("t_purchase"))
+        // clicks resolve against the UPDATED t_view
+        val bc = batch.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_s"))
+        val cc = s1.filter(col("t_click").isNull && col("t_view").isNotNull)
+          .join(bc, "user_id")
+          .filter(col("ts_s") > col("t_view") &&
+            col("ts_s") <= col("t_view") + 86400L)
+          .groupBy("user_id").agg(min("ts_s").as("cand_click"))
+        val s2 = s1.join(cc, Seq("user_id"), "left")
+          .select(col("user_id"), col("t_view"),
+            coalesce(col("t_click"), col("cand_click")).as("t_click"),
+            col("t_purchase"))
+        // purchases resolve against the UPDATED t_click
+        val bp = batch.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_s"))
+        val cp = s2.filter(col("t_purchase").isNull && col("t_click").isNotNull)
+          .join(bp, "user_id")
+          .filter(col("ts_s") > col("t_click") &&
+            col("ts_s") <= col("t_click") + 7L * 86400L)
+          .groupBy("user_id").agg(min("ts_s").as("cand_purchase"))
+        val s3 = s2.join(cp, Seq("user_id"), "left")
+          .select(col("user_id"), col("t_view"), col("t_click"),
+            coalesce(col("t_purchase"), col("cand_purchase")).as("t_purchase"))
+        val out = s3.localCheckpoint(true)
+        out.write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(statePath)
+      .withColumn("stage",
+        when(col("t_purchase").isNotNull, lit(3))
+          .when(col("t_click").isNotNull, lit(2))
+          .otherwise(lit(1)))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_users"), sum("user_id").as("user_id_sum"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_funnel" -> streamFunnel,
     "stream_transformwithstate" -> streamTransformWithState,
     "stream_ohlc" -> streamOhlc,
     "stream_concurrency" -> streamConcurrency,
@@ -773,6 +873,9 @@ object StreamQueries {
     "filter_null" -> filterNull)
 
   val oracleSql: Map[String, String] = Map(
+    // identical to agg_funnel_window (three-timestamp state must
+    // converge to the one-shot bounded funnel)
+    "stream_funnel" -> graft.operators.AggQueries.oracleSql("agg_funnel_window"),
     // identical to agg_ohlc (the incremental state must converge to
     // the one-shot batch bars)
     "stream_ohlc" ->

@@ -138,6 +138,22 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(again == inc)
   }
 
+  test("incremental stream_funnel equals the one-shot bounded funnel and is idempotent") {
+    val inc = StreamQueries.streamFunnel(spark, sf).collect().toSeq
+    val batch = operators.AggQueries.aggFunnelWindow(spark, sf).collect().toSeq
+    assert(inc == batch,
+      "three-timestamp funnel state diverged from the one-shot bounded funnel")
+    // the state handoff genuinely ran across micro-batches (one per chunk)
+    val tagDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_stream_funnel_"))
+    assert(tagDirs.exists(d =>
+        Option(new java.io.File(d, "chk/commits").list()).exists(_.length >= 2)),
+      "expected at least 2 committed micro-batches")
+    // re-run with the same checkpoint processes nothing and is stable
+    val again = StreamQueries.streamFunnel(spark, sf).collect().toSeq
+    assert(again == inc)
+  }
+
   test("incremental stream_ohlc equals the one-shot agg_ohlc bars and is idempotent") {
     val inc = StreamQueries.streamOhlc(spark, sf).collect().toSeq
     val batch = operators.AggQueries.aggOhlc(spark, sf).collect().toSeq
