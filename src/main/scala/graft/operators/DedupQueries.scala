@@ -315,6 +315,32 @@ object DedupQueries {
       dedupNgramJaccard(s, dir).select("doc_a", "doc_b"))
       .orderBy("doc_id")
 
+  /** CANONICAL-SURVIVOR pick — the pipeline step that actually
+    * FOLLOWS near-dup clustering in a curation run: per component,
+    * keep the longest document (tie → lowest doc_id) and record the
+    * cluster size, so downstream stages train on one representative
+    * per duplicate family instead of dropping dups blindly. One
+    * window ranked (n_chars desc, doc_id) per component over the
+    * labels⋈documents join — components are near-dup families
+    * (tiny by construction), so no partition explodes; the shuffle
+    * key is the component label. Oracle = the recursive-closure
+    * labels + the same rank, replayed in SQL. */
+  def pipelineDedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val labels = components(
+      t(s, dir, "documents").filter(col("doc_id") < 300).select("doc_id"),
+      dedupNgramJaccard(s, dir).select("doc_a", "doc_b"))
+    val m = labels.join(
+      t(s, dir, "documents").select("doc_id", "n_chars"), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("comp").orderBy(desc("n_chars"), asc("doc_id"))
+    val canon = m.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("comp"), col("doc_id").as("canonical_id"),
+        col("n_chars").as("canonical_chars"))
+    val sizes = m.groupBy("comp").agg(count(lit(1)).as("n_members"))
+    canon.join(sizes, "comp").orderBy("comp")
+  }
+
   /** Min-label propagation over (doc_a, doc_b) edges for the given
     * (doc_id) node set — exposed for property tests. Unordered.
     *
@@ -478,7 +504,10 @@ object DedupQueries {
     * derivation as dedup_ngram_jaccard, then recursive-CTE transitive
     * closure; comp = min reachable doc_id, singletons label themselves
     * (equals both Spark fixpoints by definition). */
-  private val componentsOracleSql: String =
+  /** Recursive-CTE transitive closure over the n-gram-Jaccard pair
+    * graph (shared by the components and canonical-pick oracles) —
+    * ends with a `reach(src, dst)` CTE. */
+  private val componentsClosureSql: String =
     """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws
       |           FROM documents WHERE doc_id < 300),
       |g AS (SELECT DISTINCT doc_id,
@@ -502,9 +531,27 @@ object DedupQueries {
       |reach(src, dst) AS (
       |  SELECT doc_id, doc_id FROM w
       |  UNION
-      |  SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u)
-      |SELECT src AS doc_id, min(dst) AS comp
-      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+      |  SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u)""".stripMargin
+
+  private val componentsOracleSql: String =
+    s"""$componentsClosureSql
+       |SELECT src AS doc_id, min(dst) AS comp
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** Closure + canonical-survivor pick replayed per component. */
+  private val dedupCanonicalOracleSql: String =
+    s"""$componentsClosureSql,
+       |lab AS (SELECT src AS doc_id, min(dst) AS comp
+       |        FROM reach GROUP BY src),
+       |m AS (SELECT lab.doc_id, lab.comp, d.n_chars
+       |      FROM lab JOIN documents d USING (doc_id)),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY comp
+       |         ORDER BY n_chars DESC, doc_id) AS rn FROM m),
+       |sz AS (SELECT comp, count(*) AS n_members FROM m GROUP BY comp)
+       |SELECT rk.comp, rk.doc_id AS canonical_id,
+       |  rk.n_chars AS canonical_chars, sz.n_members
+       |FROM rk JOIN sz ON sz.comp = rk.comp
+       |WHERE rk.rn = 1 ORDER BY 1""".stripMargin
 
   /** GENERATED from the same [[permA]]/[[permB]]/[[MinhashPrime]]
     * constants the Spark plan uses, so the permutation family can never
@@ -657,6 +704,7 @@ object DedupQueries {
     "dedup_url" -> dedupUrl,
     "dedup_substring" -> dedupSubstring,
     "dedup_components" -> dedupComponents,
+    "pipeline_dedup_canonical" -> pipelineDedupCanonical,
     "dedup_components_star" -> dedupComponentsStar,
     "pipeline_near_dedup" -> pipelineNearDedup,
     "dedup_embedding" -> dedupEmbedding,
@@ -765,6 +813,7 @@ object DedupQueries {
     // transitive closure; comp = min reachable doc_id, singletons
     // label themselves (equals Spark's min-label-propagation fixpoint)
     "dedup_components" -> componentsOracleSql,
+    "pipeline_dedup_canonical" -> dedupCanonicalOracleSql,
     // identical semantics — only the Spark-side iteration scheme
     // (large-star/small-star vs min-label propagation) differs
     "dedup_components_star" -> componentsOracleSql,

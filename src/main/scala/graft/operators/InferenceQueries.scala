@@ -457,7 +457,40 @@ object InferenceQueries {
       s"\nFROM ($union) u ORDER BY iter"
   }
 
+  /** Model-calibration (reliability) curve — the eval staple that
+    * follows any scorer: bucket rows by model score, compare the
+    * positive RATE per bucket against the score. ENTIRELY integer
+    * until two final per-bin divisions: the score is the 1024-
+    * quantized embedding dotted with an integer weight row (the
+    * [[weights]] c=0 row ×1000 — same Knuth-hash family), binned by
+    * FIXED-WIDTH truncating division (score div 200 000, clamped to
+    * ±4 — fixed widths keep the binning a pure per-row expression;
+    * a global ntile would force a full sort at 100 TB). div
+    * truncation makes the middle bin double-width — documented,
+    * deterministic, and identical in DuckDB. Outcome = label < 5.
+    * One partial-aggregated groupBy over ≤ 9 bins. */
+  def inferCalibration(s: SparkSession, dir: String): DataFrame = {
+    val wInt = (0 until Dim).map(i => (i.toLong * 2654435761L) % 1000 - 500)
+    val q = expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 1024.0 + 0.5) as bigint))")
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        graft.functions.Native.dotI64(q,
+          array(wInt.map(lit(_)): _*)).as("score"))
+      .withColumn("bin",
+        greatest(lit(-4L), least(lit(4L), expr("score div 200000"))))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label") < 5, 1L).otherwise(0L)).as("n_pos"),
+        sum("score").as("score_sum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        Fp.r4(col("n_pos").cast("double") / col("n")).as("pos_rate"),
+        Fp.r4(col("score_sum").cast("double") / col("n")).as("avg_score"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "infer_calibration" -> inferCalibration,
     "infer_train" -> inferTrain,
     "infer_train_perceptron" -> inferTrainPerceptron,
     "udf_scalar" -> udfScalar,
@@ -478,6 +511,28 @@ object InferenceQueries {
   // eager init would crash EVERY query at object load on a machine
   // without the artifact, not just infer_mean_xml
   lazy val oracleSql: Map[String, String] = Map(
+    // same integer score/fixed-width bins; DuckDB // truncates toward
+    // zero exactly like Spark div (middle bin double-width on both)
+    "infer_calibration" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, label, p.pp AS i, q[p.pp + 1] AS qi
+        |      FROM e, range(64) p(pp)),
+        |w AS (SELECT i, (i * 2654435761) % 1000 - 500 AS wv
+        |      FROM range(64) t(i)),
+        |s AS (SELECT vec_id, label, CAST(sum(qi * wv) AS BIGINT) AS score
+        |      FROM u JOIN w USING (i) GROUP BY 1, 2),
+        |b AS (SELECT greatest(-4, least(4, score // 200000)) AS bin,
+        |        label, score FROM s)
+        |SELECT bin, count(*) AS n,
+        |  CAST(sum(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  floor((CAST(sum(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*)) * 10000.0 + 0.5) / 10000.0 AS pos_rate,
+        |  floor((CAST(sum(score) AS DOUBLE) / count(*)) * 10000.0 + 0.5)
+        |    / 10000.0 AS avg_score
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "infer_train" -> trainOracleSql,
     "infer_train_perceptron" -> perceptronOracleSql,
     // `+ 0.0` normalizes DuckDB's -0.0 (Spark's BigDecimal round never

@@ -853,7 +853,81 @@ object StreamQueries {
       .orderBy("stage")
   }
 
+  /** Incremental cohort retention — the streaming twin of
+    * agg_retention. Per-user state is TWO integers: the cohort day
+    * (first-seen day; in-order delivery makes it first-write-wins,
+    * least() covers the same-batch race) and an 8-BIT MASK of the
+    * day-offsets 0..7 on which the user was active — the whole
+    * retention matrix folds into one long per user, bounded at any
+    * event volume. Offsets resolve against the batch-updated cohort
+    * (a user's first batch carries its cohort AND its first
+    * activity); masks merge by bitwise OR, which is commutative, so
+    * only the cohort assignment needs the in-order argument. The
+    * final read explodes each mask into its set bits and counts
+    * users per (cohort, offset) — users are unique per state row, so
+    * the countDistinct of the batch form becomes a plain count.
+    * Oracle = agg_retention verbatim. */
+  def streamRetention(s: SparkSession, dir: String): DataFrame = {
+    val tag = contentTag(s, dir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_reten_$tag"
+    val src = t(s, dir, "events")
+      .select(col("user_id"), expr("ts_s div 86400").as("day"))
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+      val chunks = src.select(expr(s"day div 10").as("c"))
+        .distinct().orderBy("c").collect().map(_.getLong(0))
+      chunks.foreach { c =>
+        src.filter(expr("day div 10") === c)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      }
+    }
+    val statePath = s"$base/state"
+    val q = s.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val sess = batch.sparkSession
+        val st0 =
+          if (new java.io.File(s"$statePath/_SUCCESS").exists())
+            sess.read.parquet(statePath)
+          else sess.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "user_id LONG, cohort_day LONG, seen_mask LONG"))
+        val bdays = batch.groupBy("user_id")
+          .agg(min("day").as("b_cohort"),
+            collect_set("day").as("b_days"))
+        // batch days are a SET, so distinct offsets: Σ 2^off ≡ bitwise OR
+        val merged = st0.join(bdays, Seq("user_id"), "full_outer")
+          .withColumn("cohort", least(col("cohort_day"), col("b_cohort")))
+          .withColumn("b_mask", coalesce(expr(
+            """aggregate(
+              |  filter(b_days, d -> d - cohort >= 0L AND d - cohort <= 7L),
+              |  0L, (a, d) -> a + shiftleft(1L, int(d - cohort)))""".stripMargin),
+            lit(0L)))
+          .select(col("user_id"), col("cohort").as("cohort_day"),
+            (coalesce(col("seen_mask"), lit(0L))
+              .bitwiseOR(col("b_mask"))).as("seen_mask"))
+        val out = merged.localCheckpoint(true)
+        out.write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(statePath)
+      .select(col("cohort_day"), explode(expr(
+        """filter(sequence(0L, 7L),
+          |  o -> (seen_mask div shiftleft(1L, int(o))) % 2 = 1)""".stripMargin))
+        .as("offset"))
+      .groupBy("cohort_day", "offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_retention" -> streamRetention,
     "stream_funnel" -> streamFunnel,
     "stream_transformwithstate" -> streamTransformWithState,
     "stream_ohlc" -> streamOhlc,
@@ -876,6 +950,9 @@ object StreamQueries {
     // identical to agg_funnel_window (three-timestamp state must
     // converge to the one-shot bounded funnel)
     "stream_funnel" -> graft.operators.AggQueries.oracleSql("agg_funnel_window"),
+    // identical to agg_retention (the per-user bitmask state must
+    // explode back into the one-shot retention matrix)
+    "stream_retention" -> graft.operators.AggQueries.oracleSql("agg_retention"),
     // identical to agg_ohlc (the incremental state must converge to
     // the one-shot batch bars)
     "stream_ohlc" ->

@@ -154,6 +154,20 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(again == inc)
   }
 
+  test("incremental stream_retention equals the one-shot cohort matrix and is idempotent") {
+    val inc = StreamQueries.streamRetention(spark, sf).collect().toSeq
+    val batch = operators.AggQueries.aggRetention(spark, sf).collect().toSeq
+    assert(inc == batch,
+      "per-user bitmask retention state diverged from the one-shot cohort matrix")
+    val tagDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_stream_reten_"))
+    assert(tagDirs.exists(d =>
+        Option(new java.io.File(d, "chk/commits").list()).exists(_.length >= 2)),
+      "expected at least 2 committed micro-batches")
+    val again = StreamQueries.streamRetention(spark, sf).collect().toSeq
+    assert(again == inc)
+  }
+
   test("incremental stream_ohlc equals the one-shot agg_ohlc bars and is idempotent") {
     val inc = StreamQueries.streamOhlc(spark, sf).collect().toSeq
     val batch = operators.AggQueries.aggOhlc(spark, sf).collect().toSeq
