@@ -420,33 +420,36 @@ object WindowQueries {
 
   /** Bounded exponentially-weighted moving average (α = 1/2, 8-tap)
     * of each user's event values in time order. A true EWMA is a
-    * sequential recurrence — O(n) per partition but unsplittable and
-    * not window-expressible without per-row O(frame) recompute; the
+    * sequential recurrence — O(n) per partition but unsplittable; the
     * 8-tap truncation (weights 128,64,…,1 — the tail beyond 8 lags is
-    * < 1/255 of the mass) makes it a FAN-OUT aggregation, the same
-    * trick as winRollingQuantile: each event contributes to ≤ 8
-    * successor positions with an integer weight, one groupBy on
-    * (user, position) sums weight×cents exactly, and a semi-join to
-    * real positions drops the phantom tail past each user's last
-    * event. Integer cents ⇒ order-insensitive sums ⇒ exact oracle;
-    * the single double division happens once per output row. */
+    * < 1/255 of the mass) turns it into a FIXED linear combination of
+    * the last 8 values, i.e. EIGHT lag() columns over ONE window: a
+    * single user_id exchange, no join, no fan-out — each lag is O(1)
+    * per row inside the same window pass. (The fan-out-×8 groupBy
+    * formulation — winRollingQuantile's trick — also works but needs
+    * a join back to real positions whose plan broadcasts an
+    * event-count-sized side; lags express the same math with strictly
+    * less movement. Fan-out remains the right shape when the frame
+    * aggregate is NOT a fixed linear form, e.g. a quantile.) Missing
+    * lags at a user's start drop out of both numerator and
+    * denominator (weights renormalize over available taps). Integer
+    * cents × integer weights ⇒ exact sums; the single double division
+    * happens once per output row ⇒ exact oracle. */
   def winEwma(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy(asc("ts_ns"), asc("event_id"))
+    val taps = (0 to 7).map { k =>
+      val c = if (k == 0) col("cents") else lag(col("cents"), k).over(w)
+      (c, 1L << (7 - k))
+    }
+    val num = taps.map { case (c, wt) =>
+      when(c.isNotNull, c * lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
+    val den = taps.map { case (c, wt) =>
+      when(c.isNotNull, lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
+    t(s, dir, "events")
       .select(col("user_id"), col("event_id"), col("ts_ns"),
         floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
-    val w = Window.partitionBy("user_id").orderBy(asc("ts_ns"), asc("event_id"))
-    val seq0 = e.withColumn("rn", row_number().over(w))
-    val anchors = seq0.select(col("user_id"), col("rn"), col("event_id"))
-    val fan = seq0
-      .withColumn("k", explode(sequence(lit(0), lit(7))))
-      .select(col("user_id"), (col("rn") + col("k")).as("rn"),
-        (col("cents") * expr("shiftleft(1L, 7 - k)")).as("wx"),
-        expr("shiftleft(1L, 7 - k)").as("wt"))
-    fan.groupBy("user_id", "rn")
-      .agg(sum("wx").as("num"), sum("wt").as("den"))
-      .join(anchors, Seq("user_id", "rn"))
       .select(col("user_id"), col("event_id"),
-        Fp.r4(col("num") / col("den") / lit(100.0)).as("ewma"))
+        Fp.r4(num / den / lit(100.0)).as("ewma"))
       .orderBy("user_id", "event_id")
   }
 

@@ -209,6 +209,15 @@ class PlansSpec extends AnyFunSuite with SparkFixture {
     assert(perRow.sameElements(exploded))
   }
 
+  test("win_ewma plans one window exchange + presentation sort — no join, no fan-out") {
+    val df = SparkEntry.queries("win_ewma")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), plan)     // the fan-out formulation needed one
+    assert(!plan.contains("Generate"), plan) // and an explode
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+  }
+
   test("text_winnow plans ONE exchange (the presentation sort) — no gram shuffle") {
     val df = SparkEntry.queries("text_winnow")(spark, sf)
     df.collect()
