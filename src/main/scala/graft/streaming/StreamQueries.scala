@@ -926,7 +926,61 @@ object StreamQueries {
       .orderBy("cohort_day", "offset")
   }
 
+  /** Incremental corpus top-words — the streaming twin of
+    * text_top_words (top 25 words by DOCUMENT frequency). Documents
+    * arrive in doc_id-chunked micro-batches; chunks PARTITION the
+    * doc space, so each batch's distinct (doc, word) projection is
+    * disjoint from every other batch's and per-word df deltas merge
+    * into keyed parquet state by plain commutative SUM — exact under
+    * any arrival order (no in-order precondition, unlike the funnel).
+    * The ranked cut happens ONCE at the final read, because a top-25
+    * is not incrementally maintainable without keeping full counts
+    * anyway. State is vocabulary-sized — the honest cost of an EXACT
+    * incremental top-k; the bounded-state alternative is the
+    * Misra–Gries route (text_heavy_hitters), whose summary is
+    * mergeable the same way. Oracle = text_top_words verbatim. */
+  def streamTopWords(s: SparkSession, dir: String): DataFrame = {
+    val tag = contentTag(s, dir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_topw_$tag"
+    val src = t(s, dir, "documents").select("doc_id", "text")
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+      val chunks = src.select(expr("doc_id div 100").as("c"))
+        .distinct().orderBy("c").collect().map(_.getLong(0))
+      chunks.foreach { c =>
+        src.filter(expr("doc_id div 100") === c)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      }
+    }
+    val statePath = s"$base/state"
+    val q = s.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val sess = batch.sparkSession
+        val delta = batch
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .distinct()
+          .groupBy("word").agg(count(lit(1)).as("df"))
+        val merged =
+          if (!new java.io.File(s"$statePath/_SUCCESS").exists()) delta
+          else sess.read.parquet(statePath).unionByName(delta)
+            .groupBy("word").agg(sum("df").as("df"))
+        val out = merged.localCheckpoint(true)
+        out.write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(statePath)
+      .orderBy(desc("df"), asc("word"))
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_topwords" -> streamTopWords,
     "stream_retention" -> streamRetention,
     "stream_funnel" -> streamFunnel,
     "stream_transformwithstate" -> streamTransformWithState,
@@ -953,6 +1007,9 @@ object StreamQueries {
     // identical to agg_retention (the per-user bitmask state must
     // explode back into the one-shot retention matrix)
     "stream_retention" -> graft.operators.AggQueries.oracleSql("agg_retention"),
+    // identical to text_top_words (disjoint doc chunks ⇒ df deltas
+    // merge by plain sum)
+    "stream_topwords" -> graft.operators.TextQueries.oracleSql("text_top_words"),
     // identical to agg_ohlc (the incremental state must converge to
     // the one-shot batch bars)
     "stream_ohlc" ->

@@ -168,6 +168,20 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(again == inc)
   }
 
+  test("incremental stream_topwords equals the one-shot df ranking and is idempotent") {
+    val inc = StreamQueries.streamTopWords(spark, sf).collect().toSeq
+    val batch = operators.TextQueries.textTopWords(spark, sf).collect().toSeq
+    assert(inc == batch,
+      "summed per-chunk df deltas diverged from the one-shot document frequencies")
+    val tagDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_stream_topw_"))
+    assert(tagDirs.exists(d =>
+        Option(new java.io.File(d, "chk/commits").list()).exists(_.length >= 2)),
+      "expected at least 2 committed micro-batches")
+    val again = StreamQueries.streamTopWords(spark, sf).collect().toSeq
+    assert(again == inc)
+  }
+
   test("incremental stream_ohlc equals the one-shot agg_ohlc bars and is idempotent") {
     val inc = StreamQueries.streamOhlc(spark, sf).collect().toSeq
     val batch = operators.AggQueries.aggOhlc(spark, sf).collect().toSeq
