@@ -278,6 +278,56 @@ object ScaleProbe {
       println(s"""{"experiment":"image_dedup","n_images":$nImages,${cells.mkString(",")}}""")
     }
 
+    // Experiment 7: EWMA formulation A/B — eight window lags vs the
+    // fan-out-×8 groupBy + position join. Both compute the identical
+    // 8-tap weighted mean; the lag form moves each event through ONE
+    // user_id exchange, the fan-out form shuffles 8× the rows into a
+    // (user, position) aggregate and then joins back to an
+    // event-count-sized anchor side. Shuffle bytes are the scale
+    // story; wall time is the local sanity check.
+    {
+      val shufWrite = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            shufWrite.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def ewmaFanout: DataFrame = {
+        val W = org.apache.spark.sql.expressions.Window
+        val e = Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), col("ts_ns"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        val w0 = W.partitionBy("user_id").orderBy(asc("ts_ns"), asc("event_id"))
+        val seq0 = e.withColumn("rn", row_number().over(w0))
+        val anchors = seq0.select(col("user_id"), col("rn"), col("event_id"))
+        seq0.withColumn("k", explode(sequence(lit(0), lit(7))))
+          .select(col("user_id"), (col("rn") + col("k")).as("rn"),
+            (col("cents") * expr("shiftleft(1L, 7 - k)")).as("wx"),
+            expr("shiftleft(1L, 7 - k)").as("wt"))
+          .groupBy("user_id", "rn")
+          .agg(sum("wx").as("num"), sum("wt").as("den"))
+          .join(anchors, Seq("user_id", "rn"))
+          .select(col("user_id"), col("event_id"),
+            Fp.r4(col("num") / col("den") / lit(100.0)).as("ewma"))
+      }
+      def ewmaLags: DataFrame = operators.WindowQueries.winEwma(spark, sfDir)
+      def cell7(name: String, mk: () => DataFrame): String = {
+        run(mk()) // warm
+        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+        shufWrite.set(0L)
+        val secs = run(mk())
+        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+        f""""${name}_sec":$secs%.3f,"${name}_shuffle_mb":${shufWrite.get / 1e6}%.2f"""
+      }
+      val cells = Seq(
+        cell7("fanout_join", () => ewmaFanout),
+        cell7("window_lags", () => ewmaLags))
+      spark.sparkContext.removeSparkListener(listener)
+      println(s"""{"experiment":"ewma_formulation",${cells.mkString(",")}}""")
+    }
+
     // Experiment 4: scan-split sizing — maxPartitionBytes controls how
     // many tasks read a file (row-group granularity). Too-large splits
     // serialize the scan on a few cores; the aggregate is scan-bound.

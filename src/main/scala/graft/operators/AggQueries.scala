@@ -664,7 +664,33 @@ object AggQueries {
       .orderBy("lang", "source")
   }
 
+  /** Z-score anomaly flagging — the monitoring primitive: events
+    * whose value sits ≥ 3σ from their type's mean. Exact BIGINT
+    * moments per type (same one-pass shape as agg_ttest) broadcast
+    * back onto the scan — 5 moment rows against the full event
+    * stream, so the events themselves NEVER shuffle: scan → broadcast
+    * hash join → filter, the cheapest possible anomaly pass at
+    * 100 TB. z is one fixed double expression over exact integers
+    * (identical tree in DuckDB); the ≥3 cut compares the r4-ROUNDED
+    * z so the boundary is engine-identical by construction. */
+  def aggZscore(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val m = c.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        sum(col("cents") * col("cents")).as("q"))
+    c.join(broadcast(m), "event_type")
+      .withColumn("z", Fp.r4(expr(
+        "(cast(cents as double) - cast(s as double) / n)" +
+        " / sqrt((cast(q as double) - cast(s as double) * s / n) / (n - 1))")))
+      .filter(abs(col("z")) >= 3.0)
+      .select("event_id", "event_type", "value", "z")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_zscore" -> aggZscore,
     "agg_ttest" -> aggTtest,
     "agg_chisq" -> aggChisq,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
@@ -701,6 +727,21 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    // same fixed expression tree; the >=3 cut compares the ROUNDED z
+    "agg_zscore" ->
+      """WITH c AS (SELECT event_id, event_type, value,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s,
+        |    CAST(sum(cents * cents) AS BIGINT) AS q
+        |  FROM c GROUP BY 1),
+        |j AS (SELECT c.event_id, c.event_type, c.value,
+        |    floor(((CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
+        |      / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+        |             / (n - 1))) * 10000.0 + 0.5) / 10000.0 AS z
+        |  FROM c JOIN m ON m.event_type = c.event_type)
+        |SELECT event_id, event_type, value, z FROM j
+        |WHERE abs(z) >= 3.0 ORDER BY event_id""".stripMargin,
     // identical expression trees over exact integer moments — every
     // double op happens in the same order in both engines
     "agg_ttest" ->
