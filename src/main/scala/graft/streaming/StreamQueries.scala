@@ -979,7 +979,68 @@ object StreamQueries {
       .limit(25)
   }
 
+  /** Incremental anomaly moments — the streaming twin of agg_zscore.
+    * Per-type state is the exact integer moment triple (n, Σcents,
+    * Σcents²): plain sums, commutative and associative, so batches
+    * merge in ANY order and the state after the last chunk is
+    * bit-identical to the one-shot aggregation (5 rows total — the
+    * smallest state of any twin here). The final read broadcasts the
+    * merged moments onto the STATIC events table and applies the same
+    * fixed z expression and rounded ≥3σ cut as the batch query — in
+    * production that final pass is the live scoring job reading the
+    * continuously-maintained moments. Oracle = agg_zscore verbatim. */
+  def streamZscore(s: SparkSession, dir: String): DataFrame = {
+    val tag = contentTag(s, dir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_zsc_$tag"
+    val src = t(s, dir, "events")
+      .select(col("event_type"), col("ts_s"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+      val chunks = src.select(expr("ts_s div 864000").as("c"))
+        .distinct().orderBy("c").collect().map(_.getLong(0))
+      chunks.foreach { c =>
+        src.filter(expr("ts_s div 864000") === c)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      }
+    }
+    val statePath = s"$base/state"
+    val q = s.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val sess = batch.sparkSession
+        val delta = batch.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+            sum(col("cents") * col("cents")).as("q"))
+        val merged =
+          if (!new java.io.File(s"$statePath/_SUCCESS").exists()) delta
+          else sess.read.parquet(statePath).unionByName(delta)
+            .groupBy("event_type")
+            .agg(sum("n").as("n"), sum("s").as("s"), sum("q").as("q"))
+        val out = merged.localCheckpoint(true)
+        out.write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val m = s.read.parquet(statePath)
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .join(broadcast(m), "event_type")
+      .withColumn("z", graft.Fp.r4(expr(
+        "(cast(cents as double) - cast(s as double) / n)" +
+        " / sqrt((cast(q as double) - cast(s as double) * s / n) / (n - 1))")))
+      .filter(abs(col("z")) >= 3.0)
+      .select("event_id", "event_type", "value", "z")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_zscore" -> streamZscore,
     "stream_topwords" -> streamTopWords,
     "stream_retention" -> streamRetention,
     "stream_funnel" -> streamFunnel,
@@ -1010,6 +1071,8 @@ object StreamQueries {
     // identical to text_top_words (disjoint doc chunks ⇒ df deltas
     // merge by plain sum)
     "stream_topwords" -> graft.operators.TextQueries.oracleSql("text_top_words"),
+    // identical to agg_zscore (integer moment sums merge exactly)
+    "stream_zscore" -> graft.operators.AggQueries.oracleSql("agg_zscore"),
     // identical to agg_ohlc (the incremental state must converge to
     // the one-shot batch bars)
     "stream_ohlc" ->

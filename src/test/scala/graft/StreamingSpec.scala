@@ -182,6 +182,20 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(again == inc)
   }
 
+  test("incremental stream_zscore moments converge to the batch anomaly set") {
+    val inc = StreamQueries.streamZscore(spark, sf).collect().toSeq
+    val batch = operators.AggQueries.aggZscore(spark, sf).collect().toSeq
+    assert(inc == batch,
+      "merged integer moments diverged from the one-shot anomaly pass")
+    val tagDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_stream_zsc_"))
+    assert(tagDirs.exists(d =>
+        Option(new java.io.File(d, "chk/commits").list()).exists(_.length >= 2)),
+      "expected at least 2 committed micro-batches")
+    val again = StreamQueries.streamZscore(spark, sf).collect().toSeq
+    assert(again == inc)
+  }
+
   test("incremental stream_ohlc equals the one-shot agg_ohlc bars and is idempotent") {
     val inc = StreamQueries.streamOhlc(spark, sf).collect().toSeq
     val batch = operators.AggQueries.aggOhlc(spark, sf).collect().toSeq
