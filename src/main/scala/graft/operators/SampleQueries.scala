@@ -152,7 +152,41 @@ object SampleQueries {
       .orderBy("lang")
   }
 
+  val AnonK = 5
+
+  /** k-ANONYMITY generalization — the privacy pass a training corpus
+    * runs before release: rows whose quasi-identifier (lang, source)
+    * group is smaller than k=[[AnonK]] get GENERALIZED up the lattice
+    * (source → '*'), and rows still identifiable at (lang, '*') are
+    * SUPPRESSED into the ('*','*') bucket. Result: every released
+    * group carries ≥ k rows (asserted in PropertySpec), so no row's
+    * quasi-identifier pins it to fewer than k candidates. Two tiny
+    * group-size dims (|langs×sources|, |langs| rows) broadcast back
+    * onto the scan — the corpus shuffles only into the final bounded
+    * (ql, qs) aggregate. All-integer ⇒ exact oracle. */
+  def pipelineAnonymize(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "lang", "source")
+    val g1 = d.groupBy("lang", "source").agg(count(lit(1)).as("n1"))
+    val g2sizes = d.join(broadcast(g1), Seq("lang", "source"))
+      .filter(col("n1") < AnonK)
+      .groupBy("lang").agg(count(lit(1)).as("n2"))
+    val tagged = d
+      .join(broadcast(g1), Seq("lang", "source"))
+      .join(broadcast(g2sizes), Seq("lang"), "left")
+      .withColumn("ql",
+        when(col("n1") >= AnonK, col("lang"))
+          .when(col("n2") >= AnonK, col("lang"))
+          .otherwise(lit("*")))
+      .withColumn("qs",
+        when(col("n1") >= AnonK, col("source")).otherwise(lit("*")))
+    tagged.groupBy("ql", "qs")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+      .withColumn("suppressed", col("ql") === "*" && col("qs") === "*")
+      .orderBy("ql", "qs")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_anonymize" -> pipelineAnonymize,
     "pipeline_temperature" -> pipelineTemperature,
     "pipeline_mixture" -> pipelineMixture,
     "sample_quota" -> sampleQuota,
@@ -163,6 +197,23 @@ object SampleQueries {
   private val bucketEvt = hashBucketSql("event_id")
 
   val oracleSql: Map[String, String] = Map(
+    // same two-level generalization lattice, all integer counts
+    "pipeline_anonymize" ->
+      """WITH d AS (SELECT doc_id, lang, source FROM documents),
+        |g1 AS (SELECT lang, source, count(*) AS n1 FROM d GROUP BY 1, 2),
+        |g2 AS (SELECT d.lang, count(*) AS n2
+        |       FROM d JOIN g1 USING (lang, source)
+        |       WHERE g1.n1 < 5 GROUP BY 1),
+        |tagged AS (SELECT d.doc_id,
+        |    CASE WHEN g1.n1 >= 5 THEN d.lang
+        |         WHEN g2.n2 >= 5 THEN d.lang ELSE '*' END AS ql,
+        |    CASE WHEN g1.n1 >= 5 THEN d.source ELSE '*' END AS qs
+        |  FROM d JOIN g1 USING (lang, source)
+        |  LEFT JOIN g2 ON g2.lang = d.lang)
+        |SELECT ql, qs, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  (ql = '*' AND qs = '*') AS suppressed
+        |FROM tagged GROUP BY ql, qs ORDER BY ql, qs""".stripMargin,
     // α=0.5 temperature weights replayed exactly: floor(sqrt()) is
     // IEEE-correctly-rounded on both engines, the rest is integer
     "pipeline_temperature" ->

@@ -196,6 +196,30 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("pipeline_anonymize: every released group is k-anonymous") {
+    val k = graft.operators.SampleQueries.AnonK
+    val rows = SparkEntry.queries("pipeline_anonymize")(spark, sf)
+      .as[(String, String, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // total docs conserved — generalization moves rows, never drops them
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    assert(rows.map(_._3).sum == nDocs)
+    rows.foreach { case (ql, qs, n, _, suppressed) =>
+      if (!suppressed)
+        assert(n >= k, s"released group ($ql,$qs) has $n < $k rows")
+      else assert(ql == "*" && qs == "*")
+    }
+    // generalized rows really were un-releasable at level 1: a ('l','*')
+    // group only exists if SOME (l, source) group was < k
+    val level1 = Tables.t(spark, sf, "documents")
+      .groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.filter(r => r._2 == "*" && r._1 != "*").foreach { case (ql, _, _, _, _) =>
+      assert(level1.exists { case ((l, _), n) => l == ql && n < k },
+        s"($ql,*) exists but every ($ql, source) group was already >= $k")
+    }
+  }
+
   test("win_ewma matches the driver-side 8-tap recurrence per user") {
     // replay the truncated EWMA in plain Scala over the same integer
     // cents and compare every output row — proves the fan-out
