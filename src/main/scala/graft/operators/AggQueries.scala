@@ -689,7 +689,34 @@ object AggQueries {
       .orderBy("event_id")
   }
 
+  /** First-order Markov transition matrix of user behavior — the
+    * sequence-modeling staple: for each user's event stream in time
+    * order, count (previous type → type) transitions, then the
+    * transition probability per source state. ONE window pass (lag
+    * over the user_id shuffle — same single-exchange shape as
+    * win_lag) into a 25-cell aggregate; the probability is a single
+    * division over exact counts. Row-transition boundary: each
+    * user's first event has no predecessor and contributes nothing
+    * (lag NULL filtered). Deterministic total order via (ts_ns,
+    * event_id). */
+  def aggTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(asc("ts_ns"), asc("event_id"))
+    val tr = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = tr.groupBy("prev_type").agg(sum("n").as("row_total"))
+    tr.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("event_type"), col("n"),
+        Fp.r4(col("n").cast("double") / col("row_total")).as("p"))
+      .orderBy("prev_type", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_transitions" -> aggTransitions,
     "agg_zscore" -> aggZscore,
     "agg_ttest" -> aggTtest,
     "agg_chisq" -> aggChisq,
@@ -727,6 +754,22 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    // same lag-over-(ts, id) ordering; counts exact, one division
+    "agg_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    epoch_ns(ts) AS ts_ns FROM events),
+        |l AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_ns, event_id) AS prev_type FROM e),
+        |tr AS (SELECT prev_type, event_type, count(*) AS n
+        |  FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total
+        |  FROM tr GROUP BY 1)
+        |SELECT tr.prev_type, tr.event_type, tr.n,
+        |  floor((CAST(tr.n AS DOUBLE) / tot.row_total) * 10000.0 + 0.5)
+        |    / 10000.0 AS p
+        |FROM tr JOIN tot USING (prev_type)
+        |ORDER BY prev_type, event_type""".stripMargin,
     // same fixed expression tree; the >=3 cut compares the ROUNDED z
     "agg_zscore" ->
       """WITH c AS (SELECT event_id, event_type, value,

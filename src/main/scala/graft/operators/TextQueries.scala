@@ -393,6 +393,39 @@ object TextQueries {
     * global top-20 with a lexicographic tie-break. The zip/explode is
     * partition-local; only (bigram, partial count) rows shuffle —
     * counts, never text. Top-k compiles to TakeOrderedAndProject. */
+  /** Bigram language-model statistics — the conditional distribution
+    * P(w₂|w₁) = c(w₁w₂)/c(w₁·) an n-gram LM estimates, restricted to
+    * the 20 highest-continuation contexts so the output stays
+    * bounded. Unlike textBigrams (raw joint counts), this emits the
+    * per-context CONDITIONAL with a deterministic top-3 continuation
+    * cut (count desc, word asc). Two aggregations over one exploded
+    * projection — the context totals come from re-aggregating the
+    * bigram counts (vocabulary-sized, never corpus-sized) and join
+    * back broadcast; probability is a single division over exact
+    * counts. The (context, count) ordering ties break on the word, so
+    * ranks are engine-identical. */
+  def textBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val bigrams = zip_with(
+      slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bc = t(s, dir, "documents")
+      .select(explode(bigrams).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+    val ctx = bc.groupBy("w1").agg(sum("n").as("ctx_total"))
+      .orderBy(desc("ctx_total"), asc("w1")).limit(20)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("w1").orderBy(desc("n"), asc("w2"))
+    bc.join(broadcast(ctx), "w1")
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 3)
+      .select(col("w1"), col("rank"), col("w2"), col("n"),
+        Fp.r4(col("n").cast("double") / col("ctx_total")).as("p"))
+      .orderBy("w1", "rank")
+  }
+
   def textBigrams(s: SparkSession, dir: String): DataFrame = {
     val w = words(col("text"))
     val bigrams = zip_with(
@@ -711,6 +744,7 @@ object TextQueries {
     "text_pii_scrub" -> textPiiScrub,
     "pipeline_contamination" -> pipelineContamination,
     "text_bigrams" -> textBigrams,
+    "text_bigram_lm" -> textBigramLm,
     "udtf_posexplode_outer" -> udtfPosexplodeOuter,
     "pipeline_pack_bins" -> pipelinePackBins,
     "pipeline_pack_sequences" -> pipelinePackSequences,
@@ -939,6 +973,26 @@ object TextQueries {
         |  CAST(sum(df) AS BIGINT) AS n_train_hits
         |FROM ev JOIN tr USING (gram)
         |GROUP BY eval_doc ORDER BY eval_doc""".stripMargin,
+    // same bigram projection; ctx top-20 and continuation top-3 both
+    // tie-break lexicographically, so ranks replay exactly
+    "text_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |    i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b FROM w),
+        |bc AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS n
+        |  FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(n) AS BIGINT) AS ctx_total
+        |  FROM bc GROUP BY 1
+        |  ORDER BY ctx_total DESC, w1 LIMIT 20),
+        |r AS (SELECT bc.w1, bc.w2, bc.n, ctx.ctx_total,
+        |    row_number() OVER (PARTITION BY bc.w1
+        |      ORDER BY bc.n DESC, bc.w2) AS rank
+        |  FROM bc JOIN ctx USING (w1))
+        |SELECT w1, CAST(rank AS INTEGER) AS rank, w2, n,
+        |  floor((CAST(n AS DOUBLE) / ctx_total) * 10000.0 + 0.5)
+        |    / 10000.0 AS p
+        |FROM r WHERE rank <= 3 ORDER BY w1, rank""".stripMargin,
     "text_bigrams" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
         |b AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
