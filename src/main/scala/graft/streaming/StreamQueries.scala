@@ -1039,7 +1039,89 @@ object StreamQueries {
       .orderBy("event_id")
   }
 
+  /** Incremental Markov transition counts — the streaming twin of
+    * agg_transitions, and the one twin whose correctness lives at the
+    * MICRO-BATCH BOUNDARY: a (prev → next) pair can straddle two
+    * chunks, so per-user state carries the LAST event seen
+    * ((ts_ns, event_id, event_type) — lexicographic max-struct, the
+    * OHLC trick) and each batch contributes its within-batch lag
+    * transitions PLUS one boundary transition from the stored last
+    * event to the batch's first event per user. Count state merges by
+    * plain sum; the last-event slot REPLACES under in-order delivery
+    * (max-struct makes the same-batch race harmless). Final read
+    * derives the conditional exactly like the batch query. Oracle =
+    * agg_transitions verbatim. */
+  def streamTransitions(s: SparkSession, dir: String): DataFrame = {
+    val tag = contentTag(s, dir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_trans_$tag"
+    val src = t(s, dir, "events")
+      .select("user_id", "event_type", "ts_ns", "event_id")
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+      val chunks = src.select(expr("ts_ns div 864000000000000").as("c"))
+        .distinct().orderBy("c").collect().map(_.getLong(0))
+      chunks.foreach { c =>
+        src.filter(expr("ts_ns div 864000000000000") === c)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      }
+    }
+    val countPath = s"$base/counts"
+    val lastPath = s"$base/last"
+    val q = s.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val sess = batch.sparkSession
+        val w = Window.partitionBy("user_id").orderBy(asc("ts_ns"), asc("event_id"))
+        val withPrev = batch
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        val inner = withPrev.filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+        val firsts = batch.groupBy("user_id")
+          .agg(min(struct(col("ts_ns"), col("event_id"), col("event_type")))
+            .as("f"))
+          .select(col("user_id"), col("f.event_type").as("event_type"))
+        val lasts = batch.groupBy("user_id")
+          .agg(max(struct(col("ts_ns"), col("event_id"), col("event_type")))
+            .as("l"))
+        val boundary =
+          if (!new java.io.File(s"$lastPath/_SUCCESS").exists())
+            inner.limit(0)
+          else sess.read.parquet(lastPath)
+            .select(col("user_id"), col("l.event_type").as("prev_type"))
+            .join(firsts, "user_id")
+            .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+        val deltas = inner.unionByName(boundary)
+        val mergedCounts =
+          if (!new java.io.File(s"$countPath/_SUCCESS").exists()) deltas
+          else sess.read.parquet(countPath).unionByName(deltas)
+        val outCounts = mergedCounts
+          .groupBy("prev_type", "event_type").agg(sum("n").as("n"))
+          .localCheckpoint(true)
+        // last-event slot: lexicographic max over (old last ∪ batch last)
+        val mergedLast =
+          if (!new java.io.File(s"$lastPath/_SUCCESS").exists()) lasts
+          else sess.read.parquet(lastPath).unionByName(lasts)
+            .groupBy("user_id").agg(max("l").as("l"))
+        val outLast = mergedLast.localCheckpoint(true)
+        outCounts.write.mode("overwrite").parquet(countPath)
+        outLast.write.mode("overwrite").parquet(lastPath)
+        ()
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val tr = s.read.parquet(countPath)
+    val totals = tr.groupBy("prev_type").agg(sum("n").as("row_total"))
+    tr.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("event_type"), col("n"),
+        graft.Fp.r4(col("n").cast("double") / col("row_total")).as("p"))
+      .orderBy("prev_type", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_transitions" -> streamTransitions,
     "stream_zscore" -> streamZscore,
     "stream_topwords" -> streamTopWords,
     "stream_retention" -> streamRetention,
@@ -1073,6 +1155,9 @@ object StreamQueries {
     "stream_topwords" -> graft.operators.TextQueries.oracleSql("text_top_words"),
     // identical to agg_zscore (integer moment sums merge exactly)
     "stream_zscore" -> graft.operators.AggQueries.oracleSql("agg_zscore"),
+    // identical to agg_transitions (boundary pairs reconstructed from
+    // the per-user last-event slot)
+    "stream_transitions" -> graft.operators.AggQueries.oracleSql("agg_transitions"),
     // identical to agg_ohlc (the incremental state must converge to
     // the one-shot batch bars)
     "stream_ohlc" ->

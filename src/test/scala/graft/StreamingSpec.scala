@@ -196,6 +196,21 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(again == inc)
   }
 
+  test("incremental stream_transitions stitches chunk-boundary pairs exactly") {
+    val inc = StreamQueries.streamTransitions(spark, sf).collect().toSeq
+    val batch = operators.AggQueries.aggTransitions(spark, sf).collect().toSeq
+    assert(inc == batch,
+      "boundary-stitched transition counts diverged from the one-shot matrix " +
+        "(a straddling (prev,next) pair was lost or double-counted)")
+    val tagDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_stream_trans_"))
+    assert(tagDirs.exists(d =>
+        Option(new java.io.File(d, "chk/commits").list()).exists(_.length >= 2)),
+      "expected at least 2 committed micro-batches")
+    val again = StreamQueries.streamTransitions(spark, sf).collect().toSeq
+    assert(again == inc)
+  }
+
   test("incremental stream_ohlc equals the one-shot agg_ohlc bars and is idempotent") {
     val inc = StreamQueries.streamOhlc(spark, sf).collect().toSeq
     val batch = operators.AggQueries.aggOhlc(spark, sf).collect().toSeq
