@@ -623,7 +623,7 @@ object AggQueries {
       col("s").as("sa"), col("q").as("qa"))
     val b = m.select(col("event_type").as("type_b"), col("n").as("nb"),
       col("s").as("sb"), col("q").as("qb"))
-    a.join(b, col("type_a") < col("type_b"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
       .withColumn("va", expr(
         "(cast(qa as double) - cast(sa as double) * sa / na) / (na - 1)"))
       .withColumn("vb", expr(
@@ -652,7 +652,7 @@ object AggQueries {
     val rows = d.groupBy("lang").agg(count(lit(1)).as("r"))
     val cols = d.groupBy("source").agg(count(lit(1)).as("c"))
     val n = d.select(count(lit(1)).as("n"))
-    rows.crossJoin(cols).join(cells, Seq("lang", "source"), "left")
+    rows.crossJoin(broadcast(cols)).join(cells, Seq("lang", "source"), "left")
       .withColumn("o", coalesce(col("o"), lit(0L)))
       .crossJoin(broadcast(n))
       .select(col("lang"), col("source"), col("o"),
@@ -715,7 +715,72 @@ object AggQueries {
       .orderBy("prev_type", "event_type")
   }
 
+  /** The whole events-analytics suite as ONE query — the dashboard
+    * refresh job: bounded funnel, retention-by-offset, daily actives,
+    * and per-type anomaly counts, emitted as a long-format metrics
+    * table (section, key, n, v). The point is PLAN SHARING: the
+    * narrow events projection is localCheckpointed ONCE and feeds all
+    * four consumers — without it each UNION branch re-scans and
+    * re-derives the source (the pipeline_end_to_end lesson). Every
+    * metric is exact integers, so the UNION replays exactly; day keys
+    * are zero-padded so string ordering equals numeric ordering. */
+  def analyticsEndToEnd(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts_s"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .localCheckpoint(true)
+    // 1. bounded funnel (agg_funnel_window's chain)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_s").as("t_view"))
+    val fc = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts_s") > col("t_view") && col("ts_s") <= col("t_view") + 86400L)
+      .groupBy("user_id").agg(min("ts_s").as("t_click"))
+    val fp = e.filter(col("event_type") === "purchase").join(fc, "user_id")
+      .filter(col("ts_s") > col("t_click") && col("ts_s") <= col("t_click") + 604800L)
+      .groupBy("user_id").agg(min("ts_s").as("t_purchase"))
+    val funnel = v.join(fc, Seq("user_id"), "left").join(fp, Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("t_purchase").isNotNull, lit(3))
+          .when(col("t_click").isNotNull, lit(2)).otherwise(lit(1)))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n"), sum("user_id").as("v"))
+      .select(lit("funnel").as("section"),
+        col("stage").cast("string").as("key"), col("n"), col("v"))
+    // 2. retention actives per day-offset 0..7
+    val days = e.select(col("user_id"), expr("ts_s div 86400").as("day")).distinct()
+    val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val retention = days.join(cohort, "user_id")
+      .withColumn("off", col("day") - col("cohort_day"))
+      .filter(col("off") <= 7)
+      .groupBy("off")
+      .agg(count(lit(1)).as("n")) // (user, off) rows are distinct by construction
+      .select(lit("retention").as("section"),
+        col("off").cast("string").as("key"), col("n"), lit(0L).as("v"))
+    // 3. daily actives + volume
+    val daily = e.withColumn("day", expr("ts_s div 86400"))
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("n"), count(lit(1)).as("v"))
+      .select(lit("daily").as("section"),
+        lpad(col("day").cast("string"), 8, "0").as("key"), col("n"), col("v"))
+    // 4. per-type anomaly counts (agg_zscore's rule)
+    val m = e.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("sm"),
+        sum(col("cents") * col("cents")).as("q"))
+    val anomaly = e.join(broadcast(m), "event_type")
+      .withColumn("z", Fp.r4(expr(
+        "(cast(cents as double) - cast(sm as double) / cnt)" +
+        " / sqrt((cast(q as double) - cast(sm as double) * sm / cnt) / (cnt - 1))")))
+      .groupBy("event_type")
+      .agg(sum(when(abs(col("z")) >= 3.0, 1L).otherwise(0L)).as("n"),
+        count(lit(1)).as("v"))
+      .select(lit("anomaly").as("section"), col("event_type").as("key"),
+        col("n"), col("v"))
+    funnel.unionByName(retention).unionByName(daily).unionByName(anomaly)
+      .orderBy("section", "key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "analytics_end_to_end" -> analyticsEndToEnd,
     "agg_transitions" -> aggTransitions,
     "agg_zscore" -> aggZscore,
     "agg_ttest" -> aggTtest,
@@ -754,6 +819,57 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    // four exact-integer sections unioned; day keys zero-padded so
+    // string order == numeric order
+    "analytics_end_to_end" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |v AS (SELECT user_id, min(ts_s) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |fc AS (SELECT e.user_id, min(e.ts_s) AS t_click
+        |       FROM e JOIN v USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts_s > v.t_view
+        |         AND e.ts_s <= v.t_view + 86400 GROUP BY e.user_id),
+        |fp AS (SELECT e.user_id, min(e.ts_s) AS t_purchase
+        |       FROM e JOIN fc USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts_s > fc.t_click
+        |         AND e.ts_s <= fc.t_click + 604800 GROUP BY e.user_id),
+        |funnel AS (SELECT 'funnel' AS section,
+        |    CAST(CASE WHEN fp.user_id IS NOT NULL THEN 3
+        |              WHEN fc.user_id IS NOT NULL THEN 2 ELSE 1 END
+        |      AS VARCHAR) AS key,
+        |    count(*) AS n, CAST(sum(v.user_id) AS BIGINT) AS v
+        |  FROM v LEFT JOIN fc USING (user_id) LEFT JOIN fp USING (user_id)
+        |  GROUP BY 2),
+        |days AS (SELECT DISTINCT user_id, ts_s // 86400 AS day FROM e),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day
+        |  FROM days GROUP BY user_id),
+        |retention AS (SELECT 'retention' AS section,
+        |    CAST(day - cohort_day AS VARCHAR) AS key,
+        |    count(*) AS n, CAST(0 AS BIGINT) AS v
+        |  FROM days JOIN cohort USING (user_id)
+        |  WHERE day - cohort_day <= 7 GROUP BY 2),
+        |daily AS (SELECT 'daily' AS section,
+        |    lpad(CAST(ts_s // 86400 AS VARCHAR), 8, '0') AS key,
+        |    count(DISTINCT user_id) AS n, count(*) AS v
+        |  FROM e GROUP BY 2),
+        |m AS (SELECT event_type, count(*) AS cnt,
+        |    CAST(sum(cents) AS BIGINT) AS sm,
+        |    CAST(sum(cents * cents) AS BIGINT) AS q
+        |  FROM e GROUP BY 1),
+        |anomaly AS (SELECT 'anomaly' AS section, e.event_type AS key,
+        |    CAST(sum(CASE WHEN abs(
+        |        floor(((CAST(cents AS DOUBLE) - CAST(sm AS DOUBLE) / cnt)
+        |          / sqrt((CAST(q AS DOUBLE) - CAST(sm AS DOUBLE) * sm / cnt)
+        |                 / (cnt - 1))) * 10000.0 + 0.5) / 10000.0) >= 3.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n,
+        |    count(*) AS v
+        |  FROM e JOIN m USING (event_type) GROUP BY 2)
+        |SELECT * FROM (
+        |  SELECT * FROM funnel UNION ALL SELECT * FROM retention
+        |  UNION ALL SELECT * FROM daily UNION ALL SELECT * FROM anomaly)
+        |ORDER BY section, key""".stripMargin,
     // same lag-over-(ts, id) ordering; counts exact, one division
     "agg_transitions" ->
       """WITH e AS (SELECT user_id, event_type, event_id,

@@ -21,7 +21,9 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     "sim_maxsim", // crossJoin carries the broadcast 12-row query token bag
     "sim_crossmodal", // crossJoin carries the broadcast 10-row centroid dim
     "pipeline_temperature", // crossJoin carries a broadcast 1-row Σw total
-    "pipeline_curriculum") // crossJoin carries a broadcast 1-row n_total
+    "pipeline_curriculum", // crossJoin carries a broadcast 1-row n_total
+    "agg_ttest", // a<b theta self-join of the broadcast 5-row moment table
+    "agg_chisq") // |langs|×|sources| grid from broadcast tiny aggregates
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
