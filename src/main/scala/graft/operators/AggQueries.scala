@@ -779,8 +779,71 @@ object AggQueries {
       .orderBy("section", "key")
   }
 
+  /** Gini coefficient of event value per type — the inequality /
+    * concentration metric (is 1% of events carrying 90% of the
+    * value?). Formula over the ASC-sorted values with rank i:
+    * G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx). One exchange on event_type
+    * (window rank + aggregate co-partition, Catalyst reuses it);
+    * Σi·xᵢ and Σx are exact BIGINT — i·x ≤ n·maxcents ≈ 10⁶·10⁴ per
+    * term, sums < 2⁶³ far beyond bench SF — so G is ONE fixed double
+    * expression over exact integers. Ties in cents contribute
+    * x·Σi over the tied block regardless of within-block order, so
+    * the event_id tie-break pins determinism without affecting G. */
+  def aggGini(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(asc("cents"), asc("event_id"))
+    t(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("total"),
+        sum(col("i") * col("cents")).as("iw"))
+      .select(col("event_type"), col("n"), col("total"),
+        Fp.r4(expr("(2.0 * iw - (n + 1.0) * total)" +
+          " / (cast(n as double) * total)")).as("gini"))
+      .orderBy("event_type")
+  }
+
+  /** Lag-k serial correlation (k = 1..3) of the daily event-count
+    * series — the seasonality probe. Defined as the Pearson
+    * correlation of the (x_d, x_{d+k}) pairs where BOTH days exist,
+    * so gaps drop pairs deterministically instead of imputing. The
+    * raw events collapse to ONE bounded row per day before anything
+    * else (map-side partial count), so the lag self-join runs on a
+    * calendar-bounded frame — at 100 TB the series is still ≤ a few
+    * thousand rows; localCheckpoint materializes it once for both
+    * join legs. All six moments are exact BIGINT; r is one fixed
+    * double expression. explode(array(1,2,3)) fans the lags without
+    * a cross join (keeps the BNLJ sweep clean). */
+  def aggAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(expr("ts_s div 86400").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true)
+    val left = daily
+      .withColumn("k", explode(array(lit(1), lit(2), lit(3))))
+    left.join(
+        daily.select(col("day").as("day2"), col("x").as("y")),
+        col("day2") === col("day") + col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("k"), col("n"),
+        Fp.r4(expr(
+          "(n * cast(sxy as double) - cast(sx as double) * sy)" +
+          " / (sqrt(n * cast(sxx as double) - cast(sx as double) * sx)" +
+          "  * sqrt(n * cast(syy as double) - cast(sy as double) * sy))"))
+          .as("r"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "analytics_end_to_end" -> analyticsEndToEnd,
+    "agg_gini" -> aggGini,
+    "agg_autocorr" -> aggAutocorr,
     "agg_transitions" -> aggTransitions,
     "agg_zscore" -> aggZscore,
     "agg_ttest" -> aggTtest,
@@ -819,6 +882,44 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    // same ASC-(cents, event_id) ranking; exact integer moments, one
+    // double expression
+    "agg_gini" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY cents, event_id) AS i FROM e),
+        |m AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS total,
+        |    CAST(sum(i * cents) AS BIGINT) AS iw
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n, total,
+        |  floor(((2.0 * iw - (n + 1.0) * total)
+        |         / (CAST(n AS DOUBLE) * total)) * 10000.0 + 0.5)
+        |    / 10000.0 AS gini
+        |FROM m ORDER BY event_type""".stripMargin,
+    // pairs where both days exist; six exact BIGINT moments
+    "agg_autocorr" ->
+      """WITH ev AS (SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT)
+        |    AS ts_s FROM events),
+        |d AS (SELECT ts_s // 86400 AS day, count(*) AS x
+        |  FROM ev GROUP BY 1),
+        |p AS (SELECT k.k, a.x AS x, b.x AS y
+        |  FROM d a, (VALUES (1), (2), (3)) k(k), d b
+        |  WHERE b.day = a.day + k.k),
+        |m AS (SELECT k, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT k, n,
+        |  floor(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+        |    / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+        |     * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)))
+        |    * 10000.0 + 0.5) / 10000.0 AS r
+        |FROM m ORDER BY k""".stripMargin,
     // four exact-integer sections unioned; day keys zero-padded so
     // string order == numeric order
     "analytics_end_to_end" ->

@@ -834,7 +834,100 @@ object SimilarityQueries {
       .orderBy("q_id", "n_id")
   }
 
+  /** Semantic dedup — cluster the embedding space, keep ONE
+    * representative per cluster (the member nearest the cluster's own
+    * centroid), drop the rest: the SemDeDup-style curation pass that
+    * removes semantically-redundant training documents where exact /
+    * MinHash dedup sees nothing shared. Assignment uses the same
+    * deterministic [[centroidIntAt]] codebook as sim_ann_ivf (rn=1
+    * cell); the kept representative is argmin integer L2 to the
+    * cluster's truncated-mean centroid, tie → lower vec_id.
+    *
+    * Exactness: ×1024-quantized BIGINT vectors; centroid = sum div n
+    * per dim (truncation matches DuckDB `//`); member distance is a
+    * zip_with/aggregate BIGINT fold — no FP anywhere, so the kept-set
+    * is cross-engine bit-stable.
+    *
+    * Scale: the centroid pass posexplodes to (cluster, pos) partial
+    * sums — map-side combine bounds the shuffle at clusters×dim rows
+    * per task regardless of corpus size; the clusters×dim centroid
+    * table broadcasts back; the member pass is scan → broadcast join
+    * → per-cluster window, one corpus exchange total. Output is one
+    * row per cluster (bounded by the codebook), with kept/dropped
+    * accounting the dataset card consumes. */
+  def pipelineSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), qint(col("embedding")).as("q"))
+      .withColumn("cluster",
+        element_at(iClustersRanked(col("q")), 1).getField("cid")
+          .cast("long")) // BIGINT like the oracle's range(16) cid
+    val cents = e
+      .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .withColumn("c", expr("sx div n"))
+      .groupBy("cluster")
+      .agg(collect_list(struct(col("pos"), col("c"))).as("pc"))
+      .select(col("cluster"),
+        transform(array_sort(col("pc")), t => t.getField("c")).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(asc("dist"), asc("vec_id"))
+    e.join(broadcast(cents), "cluster")
+      .withColumn("dist", aggregate(
+        zip_with(col("q"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        min(when(col("rn") === 1, col("vec_id"))).as("rep_id"),
+        min(when(col("rn") === 1, col("dist"))).as("rep_dist"))
+      .withColumn("n_dropped", col("n_members") - 1)
+      .orderBy("cluster")
+  }
+
+  /** k-NN majority-vote classification — the label-propagation /
+    * eval-set-scoring primitive: each held-out query vector
+    * (vec_id < 10) is classified by the majority label of its 5
+    * nearest labeled corpus neighbors (vec_id ≥ 10). Same plan spine
+    * as sim_cosine_topk — corpus scan × broadcast query side, r4
+    * cosine, (cos DESC, n_id) ranking — so the 100 TB story is
+    * identical: the big side never shuffles, the window runs per
+    * query key. The vote is exact integers: per-(query, label)
+    * counts over the top-5, winner by (votes DESC, label ASC) —
+    * both tie-breaks total, so prediction is cross-engine stable.
+    * Output keeps the true label so the query doubles as an
+    * eval-accuracy row source. */
+  def inferKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("embedding").as("ce"))
+      .withColumn("cnorm", norm(col("ce")))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("embedding").as("qe"))
+      .withColumn("qnorm", norm(col("qe")))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    val wVote = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("votes"), asc("n_label"))
+    corpus.crossJoin(broadcast(qs))
+      .withColumn("cos", Fp.r4(dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm"))))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .groupBy("q_id", "true_label", "n_label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("n_label").as("pred"), col("votes"),
+        col("true_label"),
+        (col("n_label") === col("true_label")).as("correct"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "infer_knn" -> inferKnn,
+    "pipeline_semdedup" -> pipelineSemdedup,
     "sim_radius" -> simRadius,
     "sim_crossmodal" -> simCrossmodal,
     "sim_maxsim" -> simMaxsim,
@@ -847,6 +940,79 @@ object SimilarityQueries {
     "sim_ann_ivf_trained" -> simAnnIvfTrained)
 
   val oracleSql: Map[String, String] = Map(
+    // sim_ann_ivf's integer assignment replayed, then truncated-mean
+    // centroids, BIGINT L2 argmin with vec_id tie-break
+    "pipeline_semdedup" ->
+      """WITH qv AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT))
+        |    AS qe FROM embeddings),
+        |sc AS (SELECT vec_id, c.c AS cid,
+        |         list_sum(list_transform(generate_series(1, 64),
+        |           i -> (qe[i] * 99 - (((c.c * 64 + (i-1)) * 2654435761) % 199 - 99) * 1024)
+        |              * (qe[i] * 99 - (((c.c * 64 + (i-1)) * 2654435761) % 199 - 99) * 1024))) AS s
+        |       FROM qv, range(16) c(c)),
+        |asg AS (SELECT vec_id, cid FROM (
+        |          SELECT vec_id, cid,
+        |            row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+        |          FROM sc) WHERE rn = 1),
+        |mem AS (SELECT a.vec_id, a.cid, q.qe
+        |        FROM asg a JOIN qv q USING (vec_id)),
+        |mq AS (SELECT vec_id, cid, generate_subscripts(qe, 1) AS pos,
+        |         unnest(qe) AS q FROM mem),
+        |cent AS (SELECT cid, pos,
+        |           CAST(sum(q) AS BIGINT) // count(*) AS c
+        |         FROM mq GROUP BY 1, 2),
+        |d AS (SELECT mq.vec_id, mq.cid,
+        |        CAST(sum((mq.q - c.c) * (mq.q - c.c)) AS BIGINT) AS dist
+        |      FROM mq JOIN cent c ON c.cid = mq.cid AND c.pos = mq.pos
+        |      GROUP BY 1, 2),
+        |r AS (SELECT cid, vec_id, dist,
+        |        row_number() OVER (PARTITION BY cid
+        |          ORDER BY dist, vec_id) AS rn,
+        |        count(*) OVER (PARTITION BY cid) AS n_members
+        |      FROM d)
+        |SELECT cid AS cluster, n_members, vec_id AS rep_id,
+        |  dist AS rep_dist, n_members - 1 AS n_dropped
+        |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    // same r4-cosine (cos DESC, n_id) top-5 as sim_cosine_topk, then
+    // an exact-integer vote with (votes DESC, label ASC) tie-break
+    "infer_knn" ->
+      """WITH qe AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |              CAST(unnest(embedding) AS DOUBLE) AS x
+        |            FROM embeddings WHERE vec_id < 10),
+        |ce AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |       FROM embeddings WHERE vec_id >= 10),
+        |dots AS (SELECT qe.vec_id AS q_id, ce.vec_id AS n_id,
+        |           sum(qe.x * ce.x) AS dot
+        |         FROM qe JOIN ce ON qe.pos = ce.pos
+        |         GROUP BY 1, 2),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+        |          FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+        |                FROM embeddings) t
+        |          GROUP BY vec_id),
+        |cosv AS (SELECT q_id, n_id,
+        |           floor((dot / (nq.nrm * nc.nrm)) * 10000.0 + 0.5) / 10000.0
+        |             + 0.0 AS cos
+        |         FROM dots
+        |         JOIN norms nq ON q_id = nq.vec_id
+        |         JOIN norms nc ON n_id = nc.vec_id),
+        |top AS (SELECT q_id, n_id,
+        |          row_number() OVER (PARTITION BY q_id
+        |            ORDER BY cos DESC, n_id) AS rn
+        |        FROM cosv),
+        |votes AS (SELECT t.q_id, l.label AS n_label, count(*) AS votes
+        |          FROM top t JOIN embeddings l ON l.vec_id = t.n_id
+        |          WHERE t.rn <= 5 GROUP BY 1, 2),
+        |win AS (SELECT q_id, n_label, votes,
+        |          row_number() OVER (PARTITION BY q_id
+        |            ORDER BY votes DESC, n_label) AS vr
+        |        FROM votes)
+        |SELECT w.q_id, w.n_label AS pred, w.votes,
+        |  ql.label AS true_label,
+        |  (w.n_label = ql.label) AS correct
+        |FROM win w JOIN embeddings ql ON ql.vec_id = w.q_id
+        |WHERE w.vr = 1 ORDER BY w.q_id""".stripMargin,
     // centroid truncated-means and integer dots replayed element-wise;
     // argmax tie-break (score DESC, label ASC) via row_number
     "sim_crossmodal" ->

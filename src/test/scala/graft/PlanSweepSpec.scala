@@ -23,7 +23,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     "pipeline_temperature", // crossJoin carries a broadcast 1-row Σw total
     "pipeline_curriculum", // crossJoin carries a broadcast 1-row n_total
     "agg_ttest", // a<b theta self-join of the broadcast 5-row moment table
-    "agg_chisq") // |langs|×|sources| grid from broadcast tiny aggregates
+    "agg_chisq", // |langs|×|sources| grid from broadcast tiny aggregates
+    "infer_knn") // crossJoin carries the broadcast 10-row query side
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

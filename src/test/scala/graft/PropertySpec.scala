@@ -259,6 +259,40 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("agg_gini: bounds hold and a driver-side replay agrees per type") {
+    val rows = SparkEntry.queries("agg_gini")(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.length == 5)
+    val raw = Tables.t(spark, sf, "events")
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    rows.foreach { case (et, n, total, g) =>
+      val xs = raw.filter(_._1 == et).sortBy(t => (t._3, t._2)).map(_._3)
+      assert(xs.length == n, s"$et n")
+      assert(xs.sum == total, s"$et total")
+      val iw = xs.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+      val expect = math.floor(((2.0 * iw - (n + 1.0) * total)
+        / (n.toDouble * total)) * 10000.0 + 0.5) / 10000.0
+      assert(g == expect, s"$et gini")
+      assert(g >= 0.0 && g < 1.0, s"$et gini out of [0,1)")
+    }
+  }
+
+  test("agg_autocorr: r bounded, pair counts equal the lag-covered days") {
+    val rows = SparkEntry.queries("agg_autocorr")(spark, sf)
+      .as[(Int, Long, Double)].collect()
+    assert(rows.length == 3)
+    val daily = Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.expr("ts_s div 86400").as("day"))
+      .count().as[(Long, Long)].collect().toMap
+    rows.foreach { case (k, n, r) =>
+      val pairs = daily.keys.count(d => daily.contains(d + k))
+      assert(pairs == n, s"k=$k pair count")
+      assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9, s"k=$k r=$r out of range")
+    }
+  }
+
   test("agg_chisq: full grid, integer marginals consistent") {
     val rows = SparkEntry.queries("agg_chisq")(spark, sf)
       .as[(String, String, Long, Double, Double)].collect()

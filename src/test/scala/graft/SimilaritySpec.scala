@@ -234,4 +234,50 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
         assert(byRank.zip(byRank.tail).forall { case (x, y) => x <= y })
       }
   }
+
+  test("infer_knn: predictions equal a sequential brute-force replay") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("infer_knn")(spark, sf)
+      .as[(Long, Int, Long, Int, Boolean)].collect().sortBy(_._1)
+    assert(rows.length == 10)
+    val all = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)].collect()
+    def dotSeq(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val corpus = all.filter(_._1 >= 10)
+    rows.foreach { case (q, pred, votes, truth, correct) =>
+      val (_, qe, ql) = all.find(_._1 == q).get
+      assert(truth == ql && correct == (pred == truth))
+      val qn = math.sqrt(dotSeq(qe, qe))
+      val top5 = corpus
+        .map { case (id, ce, lb) =>
+          (id, lb, r4(dotSeq(qe, ce) / (qn * math.sqrt(dotSeq(ce, ce))))) }
+        .sortBy { case (id, _, cos) => (-cos, id) }.take(5)
+      val (expPred, expVotes) = top5.groupBy(_._2).view
+        .mapValues(_.length).toSeq
+        .minBy { case (lb, v) => (-v, lb) }
+      assert(pred == expPred, s"q=$q pred")
+      assert(votes == expVotes, s"q=$q votes")
+    }
+  }
+
+  test("pipeline_semdedup: reps are members, accounting covers the corpus") {
+    val rows = SparkEntry.queries("pipeline_semdedup")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val nVec = Tables.t(spark, sf, "embeddings").count()
+    assert(rows.map(_._2).sum == nVec,
+      "cluster membership must partition the corpus")
+    assert(rows.map(_._3).distinct.length == rows.length,
+      "representatives must be distinct vectors")
+    rows.foreach { case (c, n, rep, dist, dropped) =>
+      assert(c >= 0 && c < 16)
+      assert(n >= 1 && dropped == n - 1, s"cluster $c accounting")
+      assert(dist >= 0, s"cluster $c negative distance")
+    }
+  }
 }
