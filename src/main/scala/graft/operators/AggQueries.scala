@@ -779,6 +779,49 @@ object AggQueries {
       .orderBy("section", "key")
   }
 
+  /** Median absolute deviation per event type — the robust scale
+    * estimate that z-scores (agg_zscore) can't give you when the
+    * distribution has heavy tails: MAD ignores outliers entirely.
+    * Two discrete-median passes (percentile_disc picks an ACTUAL data
+    * value, so everything stays exact BIGINT — no interpolation, no
+    * FP): median of cents per type, broadcast back onto the scan
+    * (the events never shuffle — same spine as agg_zscore), then the
+    * discrete median of |x − med|. Both engines share the
+    * percentile_disc definition agg_quantile_disc already proves. */
+  def aggMad(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val med = c.groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("long").as("med"))
+    c.join(broadcast(med), "event_type")
+      .withColumn("ad", abs(col("cents") - col("med")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("med").as("median_cents"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)")
+          .cast("long").as("mad_cents"))
+      .orderBy("event_type")
+  }
+
+  /** Gini–Simpson diversity of the language mix per source — the
+    * corpus-composition monitor (is a source collapsing to one
+    * language?). D = 1 − Σcᵢ²/n²: unlike Shannon entropy this needs
+    * NO logs, so it stays a single double expression over exact
+    * BIGINT counts — no cross-row FP accumulation anywhere. Two
+    * grouped aggregates, output bounded by |sources|. */
+  def aggDiversity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_langs"), sum("c").as("n_docs"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col("source"), col("n_langs"), col("n_docs"),
+        Fp.r4(expr(
+          "1.0 - cast(ss as double) / (cast(n_docs as double) * n_docs)"))
+          .as("simpson"))
+      .orderBy("source")
+
   /** Gini coefficient of event value per type — the inequality /
     * concentration metric (is 1% of events carrying 90% of the
     * value?). Formula over the ASC-sorted values with rank i:
@@ -844,6 +887,8 @@ object AggQueries {
     "analytics_end_to_end" -> analyticsEndToEnd,
     "agg_gini" -> aggGini,
     "agg_autocorr" -> aggAutocorr,
+    "agg_mad" -> aggMad,
+    "agg_diversity" -> aggDiversity,
     "agg_transitions" -> aggTransitions,
     "agg_zscore" -> aggZscore,
     "agg_ttest" -> aggTtest,
@@ -882,6 +927,34 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    // discrete medians stay exact BIGINT; same percentile_disc
+    // definition agg_quantile_disc proves
+    "agg_mad" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT event_type,
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+        |      AS BIGINT) AS med
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n, max(m.med) AS median_cents,
+        |  CAST(percentile_disc(0.5)
+        |    WITHIN GROUP (ORDER BY abs(e.cents - m.med)) AS BIGINT)
+        |    AS mad_cents
+        |FROM e JOIN m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // no logs: Simpson over exact integer counts, one double expression
+    "agg_diversity" ->
+      """WITH c AS (SELECT source, lang, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (SELECT source, count(*) AS n_langs,
+        |    CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_langs, n_docs,
+        |  floor((1.0 - CAST(ss AS DOUBLE)
+        |         / (CAST(n_docs AS DOUBLE) * n_docs)) * 10000.0 + 0.5)
+        |    / 10000.0 AS simpson
+        |FROM m ORDER BY source""".stripMargin,
     // same ASC-(cents, event_id) ranking; exact integer moments, one
     // double expression
     "agg_gini" ->

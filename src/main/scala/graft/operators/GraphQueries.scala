@@ -184,9 +184,28 @@ object GraphQueries {
       .orderBy("d")
   }
 
+  /** Degree distribution of the near-duplicate pair graph — the
+    * first thing to look at before running any iterative algorithm on
+    * it (hub detection, skew planning, arboricity sanity). One row
+    * per degree value: how many docs have that many near-dup
+    * partners, with a min-node witness. Two grouped aggregates over
+    * the pair frame — degree per node (map-side combined), then nodes
+    * per degree; output is bounded by the max degree, so the result
+    * stays tiny at any corpus size. All counts exact integers. */
+  def graphDegrees(s: SparkSession, dir: String): DataFrame = {
+    val e = DedupQueries.substringPairs(s, dir).select("doc_a", "doc_b")
+    e.select(col("doc_a").as("node"))
+      .union(e.select(col("doc_b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .groupBy("degree")
+      .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"))
+      .orderBy("degree")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_bfs" -> graphBfs,
     "graph_triangles" -> graphTriangles,
+    "graph_degrees" -> graphDegrees,
     "graph_pagerank" -> graphPagerank)
 
   /** The unrolled-CTE oracle is GENERATED from [[PrIters]] so the
@@ -263,8 +282,33 @@ object GraphQueries {
        |  min(node) AS min_node, max(node) AS max_node
        |FROM md GROUP BY d ORDER BY d""".stripMargin
 
+  /** Same pair derivation as [[trianglesOracle]], then the two-level
+    * degree → distribution aggregate. */
+  private def degreesOracle: String = {
+    import DedupQueries.{SubstrLen, SubstrStride, SubstrMaxDf}
+    s"""WITH d AS (SELECT doc_id, text FROM documents
+       |           WHERE length(text) >= $SubstrLen),
+       |w0 AS (SELECT doc_id,
+       |    unnest(list_transform(
+       |      generate_series(1, length(text) - ${SubstrLen - 1}, $SubstrStride),
+       |      i -> substr(text, i, $SubstrLen))) AS wnd
+       |  FROM d),
+       |w AS (SELECT DISTINCT doc_id, wnd FROM w0),
+       |keep AS (SELECT wnd FROM w GROUP BY wnd
+       |         HAVING count(*) BETWEEN 2 AND $SubstrMaxDf),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM w a JOIN w b ON a.wnd = b.wnd AND a.doc_id < b.doc_id
+       |          JOIN keep k ON k.wnd = a.wnd),
+       |deg AS (SELECT node, count(*) AS degree FROM (
+       |          SELECT doc_a AS node FROM pairs
+       |          UNION ALL SELECT doc_b FROM pairs) GROUP BY 1)
+       |SELECT degree, count(*) AS n_nodes, min(node) AS min_node
+       |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "graph_bfs" -> bfsOracle(BfsMaxHops),
     "graph_triangles" -> trianglesOracle,
+    "graph_degrees" -> degreesOracle,
     "graph_pagerank" -> pagerankOracle(PrIters))
 }

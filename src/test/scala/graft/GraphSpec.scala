@@ -83,4 +83,20 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(g.filter(col("n_obs").isNull).count() > 0, "fixture has no gaps")
     g.unpersist()
   }
+
+  test("graph_degrees: handshake lemma and node accounting vs the pair frame") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("graph_degrees")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val pairs = graft.operators.DedupQueries.substringPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val nodes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+    assert(rows.map(_._2).sum == nodes.length, "node totals")
+    // Σ degree·n_nodes counts every edge endpoint exactly twice
+    assert(rows.map(r => r._1 * r._2).sum == 2L * pairs.length, "handshake")
+    rows.foreach { case (deg, n, minNode) =>
+      assert(deg >= 1 && n >= 1)
+      assert(nodes.contains(minNode), s"degree $deg witness not a node")
+    }
+  }
 }

@@ -293,6 +293,43 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("agg_mad: both medians equal a sequential lower-median replay") {
+    val rows = SparkEntry.queries("agg_mad")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length == 5)
+    val raw = Tables.t(spark, sf, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    def discMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((math.ceil(0.5 * s.length) - 1).toInt)
+    }
+    rows.foreach { case (et, n, med, mad) =>
+      val xs = raw.filter(_._1 == et).map(_._2).toSeq
+      assert(xs.length == n, s"$et n")
+      val m = discMedian(xs)
+      assert(med == m, s"$et median")
+      assert(mad == discMedian(xs.map(x => math.abs(x - m))), s"$et mad")
+    }
+  }
+
+  test("agg_diversity: Simpson matches exact counts; bounds hold") {
+    val rows = SparkEntry.queries("agg_diversity")(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    val raw = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    rows.foreach { case (src, nLangs, nDocs, d) =>
+      val cs = raw.filter(_._1 == src).groupBy(_._2).map(_._2.length.toLong)
+      assert(cs.size == nLangs && cs.sum == nDocs, s"$src counts")
+      val ss = cs.map(c => c * c).sum
+      val expect = math.floor(
+        (1.0 - ss.toDouble / (nDocs.toDouble * nDocs)) * 10000.0 + 0.5) / 10000.0
+      assert(d == expect, s"$src simpson")
+      assert(d >= 0.0 && d < 1.0, s"$src simpson out of [0,1)")
+    }
+  }
+
   test("agg_chisq: full grid, integer marginals consistent") {
     val rows = SparkEntry.queries("agg_chisq")(spark, sf)
       .as[(String, String, Long, Double, Double)].collect()
