@@ -779,6 +779,78 @@ object AggQueries {
       .orderBy("section", "key")
   }
 
+  /** Activity heatmap — the (day-of-week × hour-of-day) count grid
+    * every ops dashboard draws. Both coordinates come from PURE
+    * INTEGER epoch math, NOT calendar functions: dow = (days+4) % 7
+    * (1970-01-01 was a Thursday; 0 = Sunday), hour = (s mod 86400)
+    * div 3600 — so the two engines cannot disagree on locale/ISO
+    * week conventions (Spark's dayofweek is 1=Sunday, DuckDB's dow
+    * is 0=Sunday; neither is used). One grouped aggregate, output
+    * bounded at 168 rows forever; id-sum checksum pins membership. */
+  def aggHeatmap(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        expr("(ts_s div 86400 + 4) % 7").as("dow"),
+        expr("(ts_s % 86400) div 3600").as("hour"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+      .orderBy("dow", "hour")
+
+  /** Day-over-day percent change of daily volume — the trend line on
+    * the same dashboard. The raw events collapse map-side to one row
+    * per day (calendar-bounded at any corpus size), then ONE ordered
+    * window pass computes the lag; pct is a single double expression
+    * over the two exact counts. The single-partition window on the
+    * daily frame is safe by construction — its input is already
+    * aggregate-bounded, the same argument as agg_autocorr. The first
+    * day has no predecessor and is dropped — a NULL pct would ride on
+    * engine-specific NULL-vs-NaN parquet round-trips for no semantic
+    * gain. */
+  def winPctChange(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+    t(s, dir, "events")
+      .groupBy(expr("ts_s div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .filter(col("prev_n").isNotNull)
+      .select(col("day"), col("n"), col("prev_n"),
+        Fp.r4(expr(
+          "100.0 * (n - cast(prev_n as double)) / prev_n")).as("pct"))
+      .orderBy("day")
+  }
+
+  /** Benford first-digit audit of the value column — the classic
+    * fabricated-data screen: natural multi-scale quantities follow
+    * P(d) = log10(1+1/d); a synthetic or truncated source shows up
+    * as a flat histogram. The observed side is EXACT (first digit
+    * via integer division by a power of 10 — no string formatting,
+    * whose scientific-notation thresholds differ between engines,
+    * and no floor(log10(·)) either — libm could disagree by one ulp
+    * exactly AT powers of ten, flipping the digit); instead a
+    * GENERATED integer CASE chain over the 19 BIGINT magnitudes,
+    * rendered once for Spark (`div`) and once for DuckDB (`//`) so
+    * the formula cannot drift. Expected share is a per-row constant
+    * expression. Zero-cent events have no leading digit and are
+    * excluded deterministically. */
+  def benfordDigitSql(divOp: String): String = {
+    val cases = (18 to 1 by -1).map { k =>
+      val p = "1" + "0" * k
+      s"WHEN cents >= $p THEN cents $divOp $p"
+    }.mkString(" ")
+    s"(CASE $cases ELSE cents END)"
+  }
+
+  def aggBenford(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .withColumn("d", expr(benfordDigitSql("div")))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("expected_pct",
+        Fp.r4(expr("100.0 * log10(1.0 + 1.0 / d)")))
+      .orderBy("d")
+
   /** Median absolute deviation per event type — the robust scale
     * estimate that z-scores (agg_zscore) can't give you when the
     * distribution has heavy tails: MAD ignores outliers entirely.
@@ -889,6 +961,9 @@ object AggQueries {
     "agg_autocorr" -> aggAutocorr,
     "agg_mad" -> aggMad,
     "agg_diversity" -> aggDiversity,
+    "agg_heatmap" -> aggHeatmap,
+    "win_pct_change" -> winPctChange,
+    "agg_benford" -> aggBenford,
     "agg_transitions" -> aggTransitions,
     "agg_zscore" -> aggZscore,
     "agg_ttest" -> aggTtest,
@@ -927,6 +1002,37 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    // pure integer epoch math: dow = (days+4) % 7, hour from mod —
+    // no calendar functions on either engine
+    "agg_heatmap" ->
+      """WITH e AS (SELECT event_id,
+        |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s FROM events)
+        |SELECT (ts_s // 86400 + 4) % 7 AS dow,
+        |  (ts_s % 86400) // 3600 AS hour,
+        |  count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM e GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin,
+    // lag over the bounded daily frame; first day keeps NULL pct
+    "win_pct_change" ->
+      """WITH e AS (SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT)
+        |    AS ts_s FROM events),
+        |d AS (SELECT ts_s // 86400 AS day, count(*) AS n
+        |  FROM e GROUP BY 1),
+        |l AS (SELECT day, n, lag(n, 1) OVER (ORDER BY day) AS prev_n
+        |  FROM d)
+        |SELECT day, n, prev_n,
+        |  floor((100.0 * (n - CAST(prev_n AS DOUBLE)) / prev_n)
+        |    * 10000.0 + 0.5) / 10000.0 AS pct
+        |FROM l WHERE prev_n IS NOT NULL ORDER BY day""".stripMargin,
+    // identical generated digit CASE chain, `//` rendering
+    "agg_benford" ->
+      s"""WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |    AS cents FROM events),
+        |p AS (SELECT ${benfordDigitSql("//")} AS d
+        |  FROM c WHERE cents > 0)
+        |SELECT d, count(*) AS n,
+        |  floor((100.0 * log10(1.0 + 1.0 / d)) * 10000.0 + 0.5)
+        |    / 10000.0 AS expected_pct
+        |FROM p GROUP BY d ORDER BY d""".stripMargin,
     // discrete medians stay exact BIGINT; same percentile_disc
     // definition agg_quantile_disc proves
     "agg_mad" ->

@@ -293,6 +293,46 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("agg_heatmap: grid bounded, counts cover every event exactly once") {
+    val rows = SparkEntry.queries("agg_heatmap")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length <= 168)
+    rows.foreach { case (dow, hour, n, _) =>
+      assert(dow >= 0 && dow <= 6 && hour >= 0 && hour <= 23)
+      assert(n >= 1)
+    }
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_._3).sum == total, "heatmap must cover every event")
+  }
+
+  test("win_pct_change: day coverage and an exact spot replay") {
+    val rows = SparkEntry.queries("win_pct_change")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val daily = Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.expr("ts_s div 86400").as("day"))
+      .count().as[(Long, Long)].collect().sortBy(_._1)
+    // one row per observed day except the first; prev = the previous
+    // OBSERVED day (calendar gaps don't null the lag)
+    val expected = daily.zip(daily.tail).map { case ((d0, n0), (d1, n1)) =>
+      (d1, n1, n0,
+        math.floor(100.0 * (n1 - n0.toDouble) / n0 * 10000.0 + 0.5) / 10000.0)
+    }
+    assert(rows.toSeq == expected.toSeq)
+  }
+
+  test("agg_benford: digits 1-9, counts cover every positive-cent event") {
+    val rows = SparkEntry.queries("agg_benford")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.map(_._1).forall(d => d >= 1 && d <= 9))
+    val pos = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions
+        .expr("cast(floor(value * 100 + 0.5) as long) > 0")).count()
+    assert(rows.map(_._2).sum == pos, "benford must cover every positive value")
+    // expected shares sum to ~100%
+    val totalPct = (1 to 9).map(d => math.log10(1.0 + 1.0 / d) * 100).sum
+    assert(math.abs(totalPct - 100.0) < 1e-9)
+  }
+
   test("agg_mad: both medians equal a sequential lower-median replay") {
     val rows = SparkEntry.queries("agg_mad")(spark, sf)
       .as[(String, Long, Long, Long)].collect()
