@@ -403,7 +403,30 @@ object ScalarQueries {
       .orderBy("k_repr")
   }
 
+  /** Formatting surface — the report/export staples: printf-style
+    * templating (format_string ↔ printf), zero-padded fixed-width
+    * ids, hex rendering, and MONEY formatting done the deterministic
+    * way: integer div/mod + lpad over exact cents, never `%f` on a
+    * double (cents/100 is not exactly representable, so printf ties
+    * could round differently across libc/JVM — the CASE-chain lesson
+    * from agg_benford applied to formatting). Pure codegen'd per-row
+    * projection; the only exchange is the presentation orderBy. */
+  def scalarFormat(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .select(
+        col("event_id"),
+        format_string("%08d", col("event_id")).as("padded"),
+        lower(hex(col("event_id"))).as("hex_id"),
+        concat(expr("cents div 100").cast("string"), lit("."),
+          lpad((col("cents") % 100).cast("string"), 2, "0")).as("money"),
+        format_string("ev-%d/%s", col("event_id"), col("event_type"))
+          .as("tag"))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_format" -> scalarFormat,
     "scalar_collation" -> scalarCollation,
     "scalar_map_lambda" -> scalarMapLambda,
     "scalar_url" -> scalarUrl,
@@ -431,6 +454,18 @@ object ScalarQueries {
     .map { case (k, v) => s"WHEN $k THEN '$v'" }.mkString(" ")
 
   val oracleSql: Map[String, String] = Map(
+    // printf ↔ format_string on INTEGER args only; money via exact
+    // div/mod — no %f on doubles anywhere
+    "scalar_format" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+        |SELECT event_id,
+        |  printf('%08d', event_id) AS padded,
+        |  lower(to_hex(event_id)) AS hex_id,
+        |  CAST(cents // 100 AS VARCHAR) || '.' ||
+        |    lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS money,
+        |  printf('ev-%d/%s', event_id, event_type) AS tag
+        |FROM e ORDER BY event_id""".stripMargin,
     // UTF8_LCASE equality for ASCII == lower() equality; min/count
     // are representative-independent
     "scalar_collation" ->

@@ -876,6 +876,33 @@ object AggQueries {
       .orderBy("event_type")
   }
 
+  /** Winsorized mean per event type — the outlier-clipped average
+    * that pairs with agg_mad in the robust-stats toolkit: values are
+    * CLAMPED to the [p05, p95] discrete-percentile band before the
+    * mean, so a single fat-fingered 1000× event moves the estimate by
+    * at most the clip bound. Discrete percentiles keep the bounds
+    * exact BIGINT data values; the clamped sum is exact BIGINT; only
+    * the final division is double (r4). Same broadcast-moments spine
+    * as agg_zscore/agg_mad — the event stream never shuffles. */
+  def aggWinsorized(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val b = c.groupBy("event_type")
+      .agg(expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)")
+        .cast("long").as("lo"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)")
+          .cast("long").as("hi"))
+    c.join(broadcast(b), "event_type")
+      .withColumn("w", greatest(col("lo"), least(col("hi"), col("cents"))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("lo").as("lo"), max("hi").as("hi"),
+        sum("w").as("sw"))
+      .select(col("event_type"), col("n"), col("lo"), col("hi"),
+        Fp.r4(expr("cast(sw as double) / n")).as("wmean"))
+      .orderBy("event_type")
+  }
+
   /** Gini–Simpson diversity of the language mix per source — the
     * corpus-composition monitor (is a source collapsing to one
     * language?). D = 1 − Σcᵢ²/n²: unlike Shannon entropy this needs
@@ -962,6 +989,7 @@ object AggQueries {
     "agg_mad" -> aggMad,
     "agg_diversity" -> aggDiversity,
     "agg_heatmap" -> aggHeatmap,
+    "agg_winsorized" -> aggWinsorized,
     "win_pct_change" -> winPctChange,
     "agg_benford" -> aggBenford,
     "agg_transitions" -> aggTransitions,
@@ -1002,6 +1030,25 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    // discrete p05/p95 bounds stay exact BIGINT; clamp + sum exact,
+    // one double division
+    "agg_winsorized" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT event_type,
+        |    CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)
+        |      AS BIGINT) AS lo,
+        |    CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)
+        |      AS BIGINT) AS hi
+        |  FROM e GROUP BY 1),
+        |m AS (SELECT e.event_type, count(*) AS n,
+        |    max(b.lo) AS lo, max(b.hi) AS hi,
+        |    CAST(sum(greatest(b.lo, least(b.hi, e.cents))) AS BIGINT) AS sw
+        |  FROM e JOIN b USING (event_type) GROUP BY 1)
+        |SELECT event_type, n, lo, hi,
+        |  floor((CAST(sw AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0
+        |    AS wmean
+        |FROM m ORDER BY event_type""".stripMargin,
     // pure integer epoch math: dow = (days+4) % 7, hour from mod —
     // no calendar functions on either engine
     "agg_heatmap" ->

@@ -333,6 +333,42 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(totalPct - 100.0) < 1e-9)
   }
 
+  test("agg_winsorized: clamp bounds hold and the mean replays exactly") {
+    val rows = SparkEntry.queries("agg_winsorized")(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.length == 5)
+    val raw = Tables.t(spark, sf, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    def disc(xs: Seq[Long], p: Double): Long = {
+      val s = xs.sorted; s((math.ceil(p * s.length) - 1).toInt)
+    }
+    rows.foreach { case (et, n, lo, hi, wmean) =>
+      val xs = raw.filter(_._1 == et).map(_._2).toSeq
+      assert(lo == disc(xs, 0.05) && hi == disc(xs, 0.95), s"$et bounds")
+      assert(lo <= hi)
+      val sw = xs.map(x => math.max(lo, math.min(hi, x))).sum
+      val expect = math.floor(sw.toDouble / n * 10000.0 + 0.5) / 10000.0
+      assert(wmean == expect, s"$et wmean")
+    }
+  }
+
+  test("scalar_format: fixed-width, hex and money renderings replay") {
+    val rows = SparkEntry.queries("scalar_format")(spark, sf)
+      .as[(Long, String, String, String, String)].collect()
+    val vals = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), math.floor(r.getDouble(2) * 100 + 0.5).toLong)).toMap
+    rows.foreach { case (id, padded, hexId, money, tag) =>
+      val (et, cents) = vals(id)
+      assert(padded == f"$id%08d", s"$id padded")
+      assert(hexId == java.lang.Long.toHexString(id), s"$id hex")
+      assert(money == s"${cents / 100}.${"%02d".format(cents % 100)}", s"$id money")
+      assert(tag == s"ev-$id/$et", s"$id tag")
+    }
+  }
+
   test("agg_mad: both medians equal a sequential lower-median replay") {
     val rows = SparkEntry.queries("agg_mad")(spark, sf)
       .as[(String, Long, Long, Long)].collect()
