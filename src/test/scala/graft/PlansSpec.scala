@@ -218,6 +218,16 @@ class PlansSpec extends AnyFunSuite with SparkFixture {
     assert("Exchange".r.findAllIn(plan).size <= 2, plan)
   }
 
+  test("robust-stats family broadcasts its per-type moments (never sort-merges the scan)") {
+    Seq("agg_zscore", "agg_mad", "agg_winsorized").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q: moments not broadcast\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q: scan got sort-merged\n$plan")
+    }
+  }
+
   test("text_winnow plans ONE exchange (the presentation sort) — no gram shuffle") {
     val df = SparkEntry.queries("text_winnow")(spark, sf)
     df.collect()
