@@ -856,11 +856,14 @@ object SimilarityQueries {
     * row per cluster (bounded by the codebook), with kept/dropped
     * accounting the dataset card consumes. */
   def pipelineSemdedup(s: SparkSession, dir: String): DataFrame = {
+    // assignment (16 integer dots per row) feeds BOTH the centroid
+    // pass and the member pass — materialize it once
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), qint(col("embedding")).as("q"))
       .withColumn("cluster",
         element_at(iClustersRanked(col("q")), 1).getField("cid")
           .cast("long")) // BIGINT like the oracle's range(16) cid
+      .localCheckpoint(true)
     val cents = e
       .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "x")))
       .groupBy("cluster", "pos")
