@@ -1120,7 +1120,57 @@ object StreamQueries {
       .orderBy("prev_type", "event_type")
   }
 
+  /** Incremental activity heatmap — the streaming twin of
+    * agg_heatmap with the simplest possible state: the 168-row
+    * (dow, hour) count grid. Deltas are plain commutative sums, so
+    * ANY batch arrival order converges bit-identically (the same
+    * argument as stream_zscore's moments, with grid cells instead of
+    * per-type moments); the grid never grows past 7×24 regardless of
+    * corpus size, making this the cheapest possible always-on
+    * dashboard maintenance job. Oracle = agg_heatmap verbatim;
+    * StreamingSpec asserts multi-batch + idempotent re-run. */
+  def streamHeatmap(s: SparkSession, dir: String): DataFrame = {
+    val tag = contentTag(s, dir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_heat_$tag"
+    val src = t(s, dir, "events").select(col("event_id"), col("ts_s"))
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+      val chunks = src.select(expr("ts_s div 864000").as("c"))
+        .distinct().orderBy("c").collect().map(_.getLong(0))
+      chunks.foreach { c =>
+        src.filter(expr("ts_s div 864000") === c)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      }
+    }
+    val statePath = s"$base/state"
+    val q = s.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val sess = batch.sparkSession
+        val delta = batch
+          .select(expr("(ts_s div 86400 + 4) % 7").as("dow"),
+            expr("(ts_s % 86400) div 3600").as("hour"), col("event_id"))
+          .groupBy("dow", "hour")
+          .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+        val merged =
+          if (!new java.io.File(s"$statePath/_SUCCESS").exists()) delta
+          else sess.read.parquet(statePath).unionByName(delta)
+            .groupBy("dow", "hour")
+            .agg(sum("n").as("n"), sum("id_sum").as("id_sum"))
+        val out = merged.localCheckpoint(true)
+        out.write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(statePath).orderBy("dow", "hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_heatmap" -> streamHeatmap,
     "stream_transitions" -> streamTransitions,
     "stream_zscore" -> streamZscore,
     "stream_topwords" -> streamTopWords,
@@ -1155,6 +1205,7 @@ object StreamQueries {
     "stream_topwords" -> graft.operators.TextQueries.oracleSql("text_top_words"),
     // identical to agg_zscore (integer moment sums merge exactly)
     "stream_zscore" -> graft.operators.AggQueries.oracleSql("agg_zscore"),
+    "stream_heatmap" -> graft.operators.AggQueries.oracleSql("agg_heatmap"),
     // identical to agg_transitions (boundary pairs reconstructed from
     // the per-user last-event slot)
     "stream_transitions" -> graft.operators.AggQueries.oracleSql("agg_transitions"),

@@ -196,6 +196,20 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(again == inc)
   }
 
+  test("incremental stream_heatmap grid converges to the batch grid") {
+    val inc = StreamQueries.streamHeatmap(spark, sf).collect().toSeq
+    val batch = operators.AggQueries.aggHeatmap(spark, sf).collect().toSeq
+    assert(inc == batch,
+      "merged (dow, hour) counts diverged from the one-shot grid")
+    val tagDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_stream_heat_"))
+    assert(tagDirs.exists(d =>
+        Option(new java.io.File(d, "chk/commits").list()).exists(_.length >= 2)),
+      "expected at least 2 committed micro-batches")
+    val again = StreamQueries.streamHeatmap(spark, sf).collect().toSeq
+    assert(again == inc)
+  }
+
   test("incremental stream_transitions stitches chunk-boundary pairs exactly") {
     val inc = StreamQueries.streamTransitions(spark, sf).collect().toSeq
     val batch = operators.AggQueries.aggTransitions(spark, sf).collect().toSeq
