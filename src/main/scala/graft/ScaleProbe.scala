@@ -328,6 +328,52 @@ object ScaleProbe {
       println(s"""{"experiment":"ewma_formulation",${cells.mkString(",")}}""")
     }
 
+    // Experiment 8: broadcast-moments spine A/B — the robust-stats
+    // family (agg_zscore / agg_mad / agg_winsorized) joins a ≤5-row
+    // per-type moment table back onto the full event scan. With the
+    // broadcast hint the scan never shuffles; without it (threshold is
+    // -1 in this session) BOTH sides hash-partition on event_type —
+    // 5 keys, so the entire corpus funnels through 5 reducers, the
+    // worst possible skew. Shuffle bytes are the scale story.
+    {
+      val shufWrite = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            shufWrite.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def zSpine(hint: Boolean): DataFrame = {
+        val c = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        val m = c.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+            sum(col("cents") * col("cents")).as("q"))
+        val j = if (hint) c.join(broadcast(m), "event_type")
+                else c.join(m, "event_type")
+        j.withColumn("z", Fp.r4(expr(
+            "(cast(cents as double) - cast(s as double) / n)" +
+            " / sqrt((cast(q as double) - cast(s as double) * s / n) / (n - 1))")))
+          .filter(abs(col("z")) >= 3.0)
+          .select("event_id", "z")
+      }
+      def cell8(name: String, mk: () => DataFrame): String = {
+        run(mk()) // warm
+        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+        shufWrite.set(0L)
+        val secs = run(mk())
+        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+        f""""${name}_sec":$secs%.3f,"${name}_shuffle_mb":${shufWrite.get / 1e6}%.2f"""
+      }
+      val cells = Seq(
+        cell8("broadcast_moments", () => zSpine(true)),
+        cell8("shuffle_moments", () => zSpine(false)))
+      spark.sparkContext.removeSparkListener(listener)
+      println(s"""{"experiment":"moments_join",${cells.mkString(",")}}""")
+    }
+
     // Experiment 4: scan-split sizing — maxPartitionBytes controls how
     // many tasks read a file (row-group granularity). Too-large splits
     // serialize the scan on a few cores; the aggregate is scan-bound.
