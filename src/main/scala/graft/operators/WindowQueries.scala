@@ -453,7 +453,31 @@ object WindowQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** rank() vs dense_rank() on genuine ties — the one window-function
+    * pair the suite hadn't exercised, and the divergence only ties
+    * expose: after a k-way tie rank() skips k−1 positions while
+    * dense_rank() doesn't. Ranked substrate is the per-(type, day)
+    * count frame — small integers that collide reliably at every SF
+    * (raw cents turned out tie-free at the extremes) — so the skip
+    * actually fires; WindowSpec-style divergence is asserted in
+    * PropertySpec. Both ranks are functions of the COUNT alone, so no
+    * tie-break is needed for determinism, and the dense_rank ≤ 5 cut
+    * keeps every day of the top-5 distinct counts (a value-complete,
+    * engine-stable set). The events collapse map-side to the bounded
+    * daily frame before the one event_type window exchange. */
+  def winDenseRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(desc("n"))
+    t(s, dir, "events")
+      .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter(col("drnk") <= 5)
+      .orderBy("event_type", "drnk", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_dense_rank" -> winDenseRank,
     "win_cume_dist" -> winCumeDist,
     "win_ewma" -> winEwma,
     "win_rolling_quantile" -> winRollingQuantile,
@@ -474,6 +498,22 @@ object WindowQueries {
     "win_ntile" -> winNtile)
 
   val oracleSql: Map[String, String] = Map(
+    // ranks are functions of the day-count alone; ties exercised
+    "win_dense_rank" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |d AS (SELECT event_type, day, count(*) AS n
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, n,
+        |    rank() OVER (PARTITION BY event_type ORDER BY n DESC) AS rnk,
+        |    dense_rank() OVER (PARTITION BY event_type ORDER BY n DESC)
+        |      AS drnk
+        |  FROM d)
+        |SELECT event_type, day, n,
+        |  CAST(rnk AS INTEGER) AS rnk, CAST(drnk AS INTEGER) AS drnk
+        |FROM r WHERE drnk <= 5
+        |ORDER BY event_type, drnk, day""".stripMargin,
     // cume_dist counts value peers (tie-insensitive); nth_value reads
     // a totally ordered full frame — both replay exactly
     "win_cume_dist" ->

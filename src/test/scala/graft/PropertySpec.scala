@@ -293,6 +293,19 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("win_dense_rank: ties make rank skip while dense_rank stays dense") {
+    val rows = SparkEntry.queries("win_dense_rank")(spark, sf)
+      .as[(String, Long, Long, Int, Int)].collect()
+    assert(rows.exists(r => r._4 != r._5),
+      "no tie exercised the rank/dense_rank divergence — fixture changed?")
+    rows.groupBy(_._1).values.foreach { g =>
+      val dr = g.map(_._5)
+      assert(dr.distinct.sorted.sameElements(1 to dr.max),
+        "dense ranks must have no holes")
+      g.foreach(r => assert(r._4 >= r._5, "rank below dense_rank"))
+    }
+  }
+
   test("agg_heatmap: grid bounded, counts cover every event exactly once") {
     val rows = SparkEntry.queries("agg_heatmap")(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
