@@ -78,8 +78,31 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val passTotals = passes.map(_.values.filter(_ >= 0).sum)
       .map(fmt).mkString("[", ",", "]")
+    // SURVEY §2B's 50 contract queries, reported as their own subtotal
+    // next to the full-registry total: the registry has grown to ~5×
+    // the contract, so the full total scales with declared breadth
+    // while the baseline (one 97.84 s reference job) does not — both
+    // numbers are printed so the comparison can be made at either
+    // scope; nothing is excluded from "value".
+    val contract = Set(
+      "scan_parquet", "scan_pruned", "sink_roundtrip", "source_inline",
+      "proj_expr", "filter_pred", "filter_null", "join_broadcast",
+      "join_shuffle", "join_multi", "join_semi", "join_anti",
+      "join_outer", "join_theta", "join_asof", "agg_hash",
+      "agg_distinct", "agg_approx_distinct", "agg_rollup", "agg_cube",
+      "agg_pivot", "agg_accuracy", "win_rank", "win_running", "win_lag",
+      "sort_multi", "topk_global", "distinct_sort", "set_union",
+      "set_intersect", "set_except", "scalar_string", "scalar_date",
+      "scalar_math", "scalar_array", "scalar_json", "scalar_map",
+      "stream_tumbling", "stream_sliding", "stream_session",
+      "stream_dedup_late", "udf_scalar", "udaf_agg", "udtf_explode",
+      "infer_mappartitions", "dedup_exact", "dedup_minhash",
+      "sim_cosine_topk", "text_stats", "text_tfidf")
+    val contractTotal = results
+      .collect { case (k, v) if contract(k) && v >= 0 => v }.sum
+    val contractN = results.keys.count(contract)
     def line(m: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"pass_totals":$passTotals,"queries":${qsJson(m)},"failed":[${failed.mkString(",")}],"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"contract_total":${fmt(contractTotal)},"contract_n":$contractN,"pass_totals":$passTotals,"queries":${qsJson(m)},"failed":[${failed.mkString(",")}],"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     // Full per-query detail goes to a FILE: the driver captures only the
     // last ~2000 chars of stdout, and 98 entries overflow that (round-2's
     // BENCH parsed as null). Stdout keeps the contract line, with the
