@@ -8,6 +8,27 @@ object Bench {
   private def run(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  /** SURVEY §2B's 50 contract queries — the graded scope the bench
+    * reports as `contract_total`. Object-level (not main-local) so
+    * VerifySpec can pin it: exactly 50 names, every one present in
+    * SparkEntry.queries — a rename in the registry without updating
+    * this set fails the suite instead of silently shrinking the
+    * subtotal. */
+  val contract: Set[String] = Set(
+    "scan_parquet", "scan_pruned", "sink_roundtrip", "source_inline",
+    "proj_expr", "filter_pred", "filter_null", "join_broadcast",
+    "join_shuffle", "join_multi", "join_semi", "join_anti",
+    "join_outer", "join_theta", "join_asof", "agg_hash",
+    "agg_distinct", "agg_approx_distinct", "agg_rollup", "agg_cube",
+    "agg_pivot", "agg_accuracy", "win_rank", "win_running", "win_lag",
+    "sort_multi", "topk_global", "distinct_sort", "set_union",
+    "set_intersect", "set_except", "scalar_string", "scalar_date",
+    "scalar_math", "scalar_array", "scalar_json", "scalar_map",
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_dedup_late", "udf_scalar", "udaf_agg", "udtf_explode",
+    "infer_mappartitions", "dedup_exact", "dedup_minhash",
+    "sim_cosine_topk", "text_stats", "text_tfidf")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -84,20 +105,6 @@ object Bench {
     // while the baseline (one 97.84 s reference job) does not — both
     // numbers are printed so the comparison can be made at either
     // scope; nothing is excluded from "value".
-    val contract = Set(
-      "scan_parquet", "scan_pruned", "sink_roundtrip", "source_inline",
-      "proj_expr", "filter_pred", "filter_null", "join_broadcast",
-      "join_shuffle", "join_multi", "join_semi", "join_anti",
-      "join_outer", "join_theta", "join_asof", "agg_hash",
-      "agg_distinct", "agg_approx_distinct", "agg_rollup", "agg_cube",
-      "agg_pivot", "agg_accuracy", "win_rank", "win_running", "win_lag",
-      "sort_multi", "topk_global", "distinct_sort", "set_union",
-      "set_intersect", "set_except", "scalar_string", "scalar_date",
-      "scalar_math", "scalar_array", "scalar_json", "scalar_map",
-      "stream_tumbling", "stream_sliding", "stream_session",
-      "stream_dedup_late", "udf_scalar", "udaf_agg", "udtf_explode",
-      "infer_mappartitions", "dedup_exact", "dedup_minhash",
-      "sim_cosine_topk", "text_stats", "text_tfidf")
     val contractTotal = results
       .collect { case (k, v) if contract(k) && v >= 0 => v }.sum
     val contractN = results.keys.count(contract)

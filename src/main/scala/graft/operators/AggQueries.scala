@@ -40,14 +40,28 @@ object AggQueries {
         count(lit(1)).as("n_items"))
       .orderBy("l_suppkey")
 
-  /** HLL approximate distinct users — self-checked (±5% band vs exact
-    * in AggSpec); no DuckDB oracle because HLL estimates are
-    * implementation-specific. */
+  /** HLL approximate distinct users with a DRIVER-VISIBLE invariant
+    * (the agg_approx_quantile sandwich pattern): the engine-private
+    * estimate is published as `abs(approx − exact) ≤ 5% · exact`
+    * alongside the exact distinct count, both computed in the SAME
+    * single aggregate — so the oracle (which can express the exact
+    * count but not the HLL value) hash-checks a deterministically-true
+    * boolean instead of recording `no_oracle`. rsd = 0.01 puts the
+    * estimate ~1% from exact, 5 standard deviations inside the band.
+    * The exact countDistinct is verification scaffolding: at 100 TB
+    * the production call is the approx alone (one pass, bounded
+    * sketch memory, no Expand); the raw-estimate path stays covered
+    * by PropertySpec's global ±5% self-check. */
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("ap"),
+        countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n"))
+      .select(col("event_type"),
+        (abs(col("ap") - col("n_users")) <= lit(0.05) * col("n_users"))
+          .as("within_band"),
+        col("n_users"), col("n"))
       .orderBy("event_type")
 
   /** Revenue by (nation, mktsegment) with ROLLUP subtotal rows.
@@ -435,17 +449,32 @@ object AggQueries {
     * built independently, then UNIONED and estimated — the incremental
     * pattern that matters at 100 TB: daily/partition sketches persist
     * as bytes and merge without rescanning history, which
-    * approx_count_distinct (single-pass) cannot do. Estimates are
-    * implementation-specific ⇒ self-checked (±5% band vs exact,
-    * PropertySpec), like agg_approx_distinct. */
-  def aggSketchUnion(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    * approx_count_distinct (single-pass) cannot do. The merged
+    * estimate is engine-private, so (agg_approx_quantile pattern) the
+    * query publishes the INVARIANT — merged estimate within ±5% of
+    * the exact per-type distinct (default lgConfigK=12 ⇒ ~1.6%
+    * relative error, 3σ inside the band) — plus the exact count and
+    * sketch count, all DuckDB-expressible. The exact side is a
+    * broadcast join of 5 rows; at scale the production path is the
+    * sketch pipeline alone (PropertySpec keeps the raw-estimate ±5%
+    * self-check). */
+  def aggSketchUnion(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val merged = e
       .groupBy(col("event_type"), (col("event_id") % 2).as("half"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_sketches"),
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("ap"))
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    merged.join(broadcast(exact), "event_type")
+      .select(col("event_type"), col("n_sketches"),
+        (abs(col("ap") - col("n_users")) <= lit(0.05) * col("n_users"))
+          .as("union_in_band"),
+        col("n_users"))
       .orderBy("event_type")
+  }
 
   /** Column-profiling pass (the data-quality first step of any
     * training-data pipeline): per column of events — row count, null
@@ -1058,7 +1087,9 @@ object AggQueries {
         |  (ts_s % 86400) // 3600 AS hour,
         |  count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
         |FROM e GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin,
-    // lag over the bounded daily frame; first day keeps NULL pct
+    // lag over the bounded daily frame; the first observed day is
+    // DROPPED (WHERE prev_n IS NOT NULL below, matching the Spark
+    // side) to avoid NULL-vs-NaN round-trip divergence on pct
     "win_pct_change" ->
       """WITH e AS (SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT)
         |    AS ts_s FROM events),
@@ -1495,6 +1526,18 @@ object AggQueries {
         |          o_orderpriority, count(*) AS cnt
         |        FROM orders GROUP BY 1, 2) g) x
         |WHERE rn = 1 ORDER BY yr""".stripMargin,
+    // sketch-family oracles: the estimate is engine-private; each
+    // query publishes the INVARIANT (estimate within band of exact),
+    // so the oracle's expected boolean is constant-true and the
+    // exact counts replay in DuckDB directly
+    "agg_approx_distinct" ->
+      """SELECT event_type, true AS within_band,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_sketch_union" ->
+      """SELECT event_type, count(DISTINCT event_id % 2) AS n_sketches,
+        |  true AS union_in_band, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the sketch value is engine-private; the oracle checks the
     // published INVARIANT — approx p50 inside the exact [p45, p55]
     // sandwich — which must hold, so the expected column is constant

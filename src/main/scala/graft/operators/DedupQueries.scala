@@ -178,23 +178,43 @@ object DedupQueries {
   def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
     simhashPairs(simhashSketch(t(s, dir, "documents")))
 
-  /** Banded candidate join + exact Hamming verify over any
-    * (doc_id, simhash) frame — exposed for property tests. */
+  /** Banded candidate buckets + exact Hamming verify over any
+    * (doc_id, simhash) frame — exposed for property tests.
+    *
+    * Single pass like [[minhashPairsFromBands]]: group (band, chunk)
+    * buckets and emit pairs from INSIDE each bucket. The earlier band
+    * self-join re-derived the whole tokenize→explode→48-vote sketch
+    * pipeline for both join sides (and shuffled it twice) unless the
+    * optimizer happened to reuse the exchange; here the sketch is
+    * computed once and only the narrow (band, chunk, doc_id, simhash)
+    * rows — 4× docs, ~32 B each, never text — reach the one groupBy
+    * shuffle. Bucket size is bounded by design (a huge 12-bit-chunk
+    * bucket means mass exact-duplication, which dedup_exact handles
+    * first); skew is AQE-splittable since the pair explode is
+    * downstream of the aggregate. Same output contract: the same pair
+    * found via two bands carries the same hamming (it derives from
+    * the two sketches), so `distinct()` dedups identically. */
   def simhashPairs(sketches: DataFrame): DataFrame = {
     val bandMask = (1L << SimhashBandBits) - 1
     val bandCols = (0 until SimhashBands).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * SimhashBandBits)
           .bitwiseAND(bandMask).as("chunk")))
-    val bands = sketches
+    sketches
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bc"))
       .select(col("doc_id"), col("simhash"),
         col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .groupBy("band", "chunk")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), b =>
+          struct(a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b"),
+            bit_count(a.getField("simhash").bitwiseXOR(b.getField("simhash")))
+              .as("hamming")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .filter(col("hamming") <= SimhashMaxHamming)
       .distinct()
       .orderBy("doc_a", "doc_b")

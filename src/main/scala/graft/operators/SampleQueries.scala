@@ -158,12 +158,16 @@ object SampleQueries {
     * runs before release: rows whose quasi-identifier (lang, source)
     * group is smaller than k=[[AnonK]] get GENERALIZED up the lattice
     * (source → '*'), and rows still identifiable at (lang, '*') are
-    * SUPPRESSED into the ('*','*') bucket. Result: every released
-    * group carries ≥ k rows (asserted in PropertySpec), so no row's
-    * quasi-identifier pins it to fewer than k candidates. Two tiny
-    * group-size dims (|langs×sources|, |langs| rows) broadcast back
-    * onto the scan — the corpus shuffles only into the final bounded
-    * (ql, qs) aggregate. All-integer ⇒ exact oracle. */
+    * SUPPRESSED — dropped from the release entirely (standard
+    * suppression; an emitted ('*','*') bucket with its id_sum would
+    * leak the exact doc_id whenever fewer than k rows land in it).
+    * Invariant as published: EVERY row of the output belongs to a
+    * group of ≥ k rows (asserted in PropertySpec, which also replays
+    * the lattice driver-side to check released + suppressed counts
+    * conserve the corpus). Two tiny group-size dims (|langs×sources|,
+    * |langs| rows) broadcast back onto the scan — the corpus shuffles
+    * only into the final bounded (ql, qs) aggregate. All-integer ⇒
+    * exact oracle. */
   def pipelineAnonymize(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select("doc_id", "lang", "source")
     val g1 = d.groupBy("lang", "source").agg(count(lit(1)).as("n1"))
@@ -179,9 +183,10 @@ object SampleQueries {
           .otherwise(lit("*")))
       .withColumn("qs",
         when(col("n1") >= AnonK, col("source")).otherwise(lit("*")))
-    tagged.groupBy("ql", "qs")
+    tagged
+      .filter(!(col("ql") === "*" && col("qs") === "*"))
+      .groupBy("ql", "qs")
       .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
-      .withColumn("suppressed", col("ql") === "*" && col("qs") === "*")
       .orderBy("ql", "qs")
   }
 
@@ -197,7 +202,9 @@ object SampleQueries {
   private val bucketEvt = hashBucketSql("event_id")
 
   val oracleSql: Map[String, String] = Map(
-    // same two-level generalization lattice, all integer counts
+    // same two-level generalization lattice, all integer counts;
+    // suppressed ('*','*') rows are dropped from the release (their
+    // id_sum would de-anonymize a <k bucket)
     "pipeline_anonymize" ->
       """WITH d AS (SELECT doc_id, lang, source FROM documents),
         |g1 AS (SELECT lang, source, count(*) AS n1 FROM d GROUP BY 1, 2),
@@ -211,9 +218,9 @@ object SampleQueries {
         |  FROM d JOIN g1 USING (lang, source)
         |  LEFT JOIN g2 ON g2.lang = d.lang)
         |SELECT ql, qs, count(*) AS n_docs,
-        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
-        |  (ql = '*' AND qs = '*') AS suppressed
-        |FROM tagged GROUP BY ql, qs ORDER BY ql, qs""".stripMargin,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM tagged WHERE NOT (ql = '*' AND qs = '*')
+        |GROUP BY ql, qs ORDER BY ql, qs""".stripMargin,
     // α=0.5 temperature weights replayed exactly: floor(sqrt()) is
     // IEEE-correctly-rounded on both engines, the rest is integer
     "pipeline_temperature" ->

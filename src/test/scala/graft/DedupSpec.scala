@@ -76,6 +76,17 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(joined == brute)
   }
 
+  test("simhash pairs: sketch pipeline is derived exactly once in the plan") {
+    // the r6 formulation self-joined the band frame, re-deriving the
+    // tokenize→explode→48-vote sketch for both sides; the bucket
+    // collect_list emit must plan ONE md5 chain and ONE vote aggregate
+    val plan = SparkEntry.queries("dedup_simhash_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val md5Count = "md5\\(".r.findAllIn(plan).length
+    assert(md5Count == 1, s"sketch derived $md5Count times:\n$plan")
+    assert(!plan.contains("Join"), s"pair emit should not plan a join:\n$plan")
+  }
+
   test("simhash pairs: exact duplicates pair at Hamming 0; deterministic") {
     val pairs = DedupQueries.simhashPairs(DedupQueries.simhashSketch(docs))
       .as[(Long, Long, Int)].collect().toSeq

@@ -12,8 +12,7 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
   test("every declared query runs at sf0.001 and has an oracle or documented self-check") {
-    val selfChecked = Set("agg_approx_distinct",
-      "agg_sketch_union", "dedup_minhash", "dedup_simhash",
+    val selfChecked = Set("dedup_minhash", "dedup_simhash",
       "dedup_simhash_pairs", "sim_ann_lsh", "sim_ann_ivf",
       "sim_ann_ivf_trained", "sim_pq")
     SparkEntry.queries.foreach { case (name, fn) =>
