@@ -41,8 +41,55 @@ object StreamQueries {
       val r = t(s, dir, "events")
         .agg(count(lit(1)), sum("event_id"), sum("user_id")).head()
       val slug = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      s"v2_${slug}_${r.getLong(0)}_${r.getLong(1)}_${r.getLong(2)}"
+      // v3: single-pass stageChunks layout (chunkNNNNN.parquet names)
+      s"v3_${slug}_${r.getLong(0)}_${r.getLong(1)}_${r.getLong(2)}"
     })
+
+  /** Stage `src` into `base/in` as ONE parquet file per value of
+    * `chunkExpr`, in a SINGLE distributed pass. The earlier shape
+    * (driver-collected chunk list, then one filtered full scan + one
+    * write job per chunk, sleeping between writes) cost
+    * O(chunks × full-scan) and leaned on write-timing mtimes for
+    * FileStreamSource ordering — at filesystem mtime granularity two
+    * chunks can tie and then tie-break on RANDOM part-file names,
+    * silently reordering batches for the order-dependent twins
+    * (stream_scd2 / stream_funnel / stream_transitions, which need
+    * in-order first-write-wins delivery). Here: one
+    * repartition(chunk) + partitionBy write — each chunk value lands
+    * wholly in one task, so each chunk dir holds exactly one file —
+    * then the files are MOVED driver-side to `in/chunkNNNNN.parquet`
+    * in ascending chunk order with EXPLICIT 1 s-spaced mtimes.
+    * Lexicographic path order and mtime order agree by construction,
+    * making the source's (mtime, path) ordering deterministic instead
+    * of timing-dependent. Writes the `in/_SUCCESS` marker itself to
+    * preserve the cross-run reuse contract (content-tagged dirs). */
+  private def stageChunks(src: DataFrame, base: String, chunkExpr: String): Unit = {
+    val inDir = new java.io.File(s"$base/in")
+    if (new java.io.File(inDir, "_SUCCESS").exists()) return
+    val stage = s"$base/stage"
+    src.withColumn("__c", expr(chunkExpr))
+      .repartition(col("__c"))
+      .write.mode("overwrite").partitionBy("__c").parquet(stage)
+    inDir.mkdirs()
+    val chunkDirs = new java.io.File(stage).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__c="))
+      .sortBy(_.getName.stripPrefix("__c=").toLong)
+    val t0 = System.currentTimeMillis() - chunkDirs.length * 1000L
+    chunkDirs.zipWithIndex.foreach { case (d, i) =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      require(parts.length == 1,
+        s"expected one file per chunk dir, found ${parts.length} in $d")
+      val dest = new java.io.File(inDir, f"chunk$i%05d.parquet")
+      require(parts(0).renameTo(dest), s"rename failed: ${parts(0)} -> $dest")
+      dest.setLastModified(t0 + i * 1000L)
+    }
+    new java.io.File(inDir, "_SUCCESS").createNewFile()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(stage))
+  }
 
   /** 1-hour tumbling window: count + sum(value), 10-min watermark. */
   def tumblingAgg(events: DataFrame): DataFrame =
@@ -284,10 +331,11 @@ object StreamQueries {
     * slowly-changing dimension from a change stream.
     *
     * Input is the events table split into [[Scd2ChunkS]] time chunks,
-    * written sequentially as one file each and streamed with
+    * staged via [[stageChunks]] (one file per chunk, explicit
+    * ascending mtimes AND lexicographic names) and streamed with
     * maxFilesPerTrigger=1, so micro-batches arrive in event-time order
-    * (FileStreamSource processes files in modification-time order) —
-    * the precondition every incremental SCD2 merge has. Per batch:
+    * deterministically — the precondition every incremental SCD2
+    * merge has. Per batch:
     *
     *  1. batch-local SCD2 rows (the same two-window change/lead pass
     *     as pipeline_scd2, open tail has valid_to null);
@@ -310,15 +358,9 @@ object StreamQueries {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_scd2_$tag"
     val src = t(s, dir, "events")
       .select("event_id", "user_id", "event_type", "ts_s")
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
-      val chunks = src.select(expr(s"ts_s div $Scd2ChunkS").as("c"))
-        .distinct().orderBy("c").collect().map(_.getLong(0))
-      chunks.foreach { c =>
-        src.filter(expr(s"ts_s div $Scd2ChunkS") === c)
-          .coalesce(1).write.mode("append").parquet(s"$base/in")
-        Thread.sleep(50) // distinct mod-times => deterministic file order
-      }
-    }
+    // in-order delivery precondition satisfied by [[stageChunks]]'s
+    // explicit ascending (mtime, path) ordering
+    stageChunks(src, base, s"ts_s div $Scd2ChunkS")
     val statePath = s"$base/state"
     val q = s.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
@@ -434,14 +476,7 @@ object StreamQueries {
     val tag = contentTag(s, dir)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_conc_$tag"
     val sessions = graft.operators.WindowQueries.concurrencySessions(s, dir)
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
-      val chunks = sessions.select(expr(s"start_s div $ConcChunkS").as("c"))
-        .distinct().orderBy("c").collect().map(_.getLong(0))
-      chunks.foreach { c =>
-        sessions.filter(expr(s"start_s div $ConcChunkS") === c)
-          .coalesce(1).write.mode("append").parquet(s"$base/in")
-      }
-    }
+    stageChunks(sessions, base, s"start_s div $ConcChunkS")
     val statePath = s"$base/state"
     val q = s.readStream.schema(sessions.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
@@ -508,14 +543,7 @@ object StreamQueries {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_ohlc_$tag"
     val src = t(s, dir, "events")
       .select("event_type", "ts_ns", "ts_s", "event_id", "value")
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
-      val chunks = src.select(expr(s"ts_s div $OhlcChunkS").as("c"))
-        .distinct().orderBy("c").collect().map(_.getLong(0))
-      chunks.foreach { c =>
-        src.filter(expr(s"ts_s div $OhlcChunkS") === c)
-          .coalesce(1).write.mode("append").parquet(s"$base/in")
-      }
-    }
+    stageChunks(src, base, s"ts_s div $OhlcChunkS")
     val statePath = s"$base/state"
     val q = s.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
@@ -590,10 +618,7 @@ object StreamQueries {
     if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
       val maxDoc = docs.agg(max("doc_id")).head().getLong(0)
       val w = maxDoc / MinhashChunks + 1
-      (0 until MinhashChunks).foreach { c =>
-        docs.filter(expr(s"doc_id div $w") === c)
-          .coalesce(1).write.mode("append").parquet(s"$base/in")
-      }
+      stageChunks(docs, base, s"doc_id div $w")
     }
     val (sigPath, pairPath) = (s"$base/sigs", s"$base/pairs")
     val q = s.readStream.schema(docs.schema)
@@ -718,11 +743,7 @@ object StreamQueries {
     val tag = contentTag(s, dir)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_tws_$tag"
     val src = t(s, dir, "events").select("event_id", "user_id", "ts_s")
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists())
-      (0 to 3).foreach { c =>
-        src.filter(expr("event_id % 4") === c)
-          .coalesce(1).write.mode("append").parquet(s"$base/in")
-      }
+    stageChunks(src, base, "event_id % 4")
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
     s.conf.set(key,
@@ -782,14 +803,8 @@ object StreamQueries {
     val tag = contentTag(s, dir)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_funnel_$tag"
     val src = t(s, dir, "events").select("user_id", "event_type", "ts_s")
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
-      val chunks = src.select(expr(s"ts_s div $FunnelChunkS").as("c"))
-        .distinct().orderBy("c").collect().map(_.getLong(0))
-      chunks.foreach { c =>
-        src.filter(expr(s"ts_s div $FunnelChunkS") === c)
-          .coalesce(1).write.mode("append").parquet(s"$base/in")
-      }
-    }
+    // in-order first-write-wins precondition: see [[stageChunks]]
+    stageChunks(src, base, s"ts_s div $FunnelChunkS")
     val statePath = s"$base/state"
     val q = s.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
@@ -872,14 +887,7 @@ object StreamQueries {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_reten_$tag"
     val src = t(s, dir, "events")
       .select(col("user_id"), expr("ts_s div 86400").as("day"))
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
-      val chunks = src.select(expr(s"day div 10").as("c"))
-        .distinct().orderBy("c").collect().map(_.getLong(0))
-      chunks.foreach { c =>
-        src.filter(expr("day div 10") === c)
-          .coalesce(1).write.mode("append").parquet(s"$base/in")
-      }
-    }
+    stageChunks(src, base, "day div 10")
     val statePath = s"$base/state"
     val q = s.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
@@ -943,14 +951,7 @@ object StreamQueries {
     val tag = contentTag(s, dir)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_topw_$tag"
     val src = t(s, dir, "documents").select("doc_id", "text")
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
-      val chunks = src.select(expr("doc_id div 100").as("c"))
-        .distinct().orderBy("c").collect().map(_.getLong(0))
-      chunks.foreach { c =>
-        src.filter(expr("doc_id div 100") === c)
-          .coalesce(1).write.mode("append").parquet(s"$base/in")
-      }
-    }
+    stageChunks(src, base, "doc_id div 100")
     val statePath = s"$base/state"
     val q = s.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
@@ -995,14 +996,7 @@ object StreamQueries {
     val src = t(s, dir, "events")
       .select(col("event_type"), col("ts_s"),
         floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
-      val chunks = src.select(expr("ts_s div 864000").as("c"))
-        .distinct().orderBy("c").collect().map(_.getLong(0))
-      chunks.foreach { c =>
-        src.filter(expr("ts_s div 864000") === c)
-          .coalesce(1).write.mode("append").parquet(s"$base/in")
-      }
-    }
+    stageChunks(src, base, "ts_s div 864000")
     val statePath = s"$base/state"
     val q = s.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
@@ -1056,14 +1050,8 @@ object StreamQueries {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_trans_$tag"
     val src = t(s, dir, "events")
       .select("user_id", "event_type", "ts_ns", "event_id")
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
-      val chunks = src.select(expr("ts_ns div 864000000000000").as("c"))
-        .distinct().orderBy("c").collect().map(_.getLong(0))
-      chunks.foreach { c =>
-        src.filter(expr("ts_ns div 864000000000000") === c)
-          .coalesce(1).write.mode("append").parquet(s"$base/in")
-      }
-    }
+    // in-order delivery precondition: see [[stageChunks]]
+    stageChunks(src, base, "ts_ns div 864000000000000")
     val countPath = s"$base/counts"
     val lastPath = s"$base/last"
     val q = s.readStream.schema(src.schema)
@@ -1133,14 +1121,7 @@ object StreamQueries {
     val tag = contentTag(s, dir)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_heat_$tag"
     val src = t(s, dir, "events").select(col("event_id"), col("ts_s"))
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
-      val chunks = src.select(expr("ts_s div 864000").as("c"))
-        .distinct().orderBy("c").collect().map(_.getLong(0))
-      chunks.foreach { c =>
-        src.filter(expr("ts_s div 864000") === c)
-          .coalesce(1).write.mode("append").parquet(s"$base/in")
-      }
-    }
+    stageChunks(src, base, "ts_s div 864000")
     val statePath = s"$base/state"
     val q = s.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
