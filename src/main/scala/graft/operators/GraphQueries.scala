@@ -39,8 +39,15 @@ object GraphQueries {
   val PrScale = 1000000000L // rank fixed-point scale (1.0 == 1e9)
   val PrIters = 5
 
-  /** Node ids: customers ↦ 2·key, suppliers ↦ 2·key+1 (disjoint). */
-  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+  /** (src, dst, deg) edge frame, materialized ONCE — every iteration
+    * needs the out-degree next to the edge, and joining it fresh per
+    * round re-ran the groupBy 5×. Hash-partitioned on `src` BEFORE the
+    * eager checkpoint: LogicalRDD captures the physical partitioning,
+    * so each iteration's rank join sees the edges side (the 100 TB
+    * side at scale) already partitioned on the join key and plans NO
+    * exchange above it — only the |nodes|-sized rank vector moves per
+    * round (asserted in ScaleSpec on [[pagerankStep]]'s plan). */
+  private[graft] def pagerankEdgesDeg(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
       .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
@@ -48,28 +55,41 @@ object GraphQueries {
       .distinct()
     val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
       .union(pairs.select(col("p").as("src"), col("c").as("dst")))
-    // (src, dst, deg) materialized once — every iteration needs the
-    // out-degree next to the edge, and joining it fresh per round
-    // re-ran the groupBy 5×
-    val edgesDeg = edges
+    edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .repartition(col("src"))
       .localCheckpoint(true)
-    val nodes = t(s, dir, "customer").select((col("c_custkey") * 2).as("node"))
+  }
+
+  private[graft] def pagerankNodes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select((col("c_custkey") * 2).as("node"))
       .union(t(s, dir, "supplier").select((col("s_suppkey") * 2 + 1).as("node")))
       .localCheckpoint(true)
+
+  /** One damped-rank iteration (uncheckpointed — the caller owns the
+    * per-round materialization). Exposed for ScaleSpec's exchange
+    * audit. */
+  private[graft] def pagerankStep(edgesDeg: DataFrame, nodes: DataFrame,
+      ranks: DataFrame): DataFrame = {
+    val contrib = edgesDeg
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .groupBy(col("dst").as("node"))
+      .agg(sum(expr("pr div deg")).as("contrib"))
+    nodes.join(contrib, Seq("node"), "left_outer")
+      .select(col("node"),
+        (lit(PrScale * 15 / 100) +
+          expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100")).as("pr"))
+  }
+
+  /** Node ids: customers ↦ 2·key, suppliers ↦ 2·key+1 (disjoint). */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edgesDeg = pagerankEdgesDeg(s, dir)
+    val nodes = pagerankNodes(s, dir)
     var ranks = nodes.withColumn("pr", lit(PrScale))
     for (_ <- 1 to PrIters) {
-      val contrib = edgesDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(expr("pr div deg")).as("contrib"))
       // eager checkpoint: iteration i's plan starts from materialized
       // partitions, not iteration i-1's full plan
-      ranks = nodes.join(contrib, Seq("node"), "left_outer")
-        .select(col("node"),
-          (lit(PrScale * 15 / 100) +
-            expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100")).as("pr"))
-        .localCheckpoint(true)
+      ranks = pagerankStep(edgesDeg, nodes, ranks).localCheckpoint(true)
     }
     ranks.orderBy("node")
   }

@@ -67,10 +67,15 @@ object SortSetQueries {
     * portable spelling. NULLs are injected deterministically; the
     * row_number pins the produced ORDER into hashed values (a sorted
     * compare would otherwise accept any order). Bounded 200-row frame,
-    * so the single-partition rank window is safe. */
+    * so the single-partition rank window is safe; the sorted
+    * limit(200) is a no-op on these rows (the filter already keeps
+    * ≤ 200) but makes the bound STRUCTURAL — PlanSweepSpec's global-
+    * window triage accepts limit/aggregate-bounded inputs by shape,
+    * and a filter constant is not a shape. */
   def sortNulls(s: SparkSession, dir: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     t(s, dir, "customer").filter(col("c_custkey") <= 200)
+      .orderBy("c_custkey").limit(201) // keys are 0-based: 0..200
       .select(col("c_custkey"),
         when(col("c_custkey") % 7 === 0, lit(null))
           .otherwise(col("c_acctbal")).as("bal"))

@@ -3,11 +3,14 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Global anti-pattern sweep: EVERY declared query's physical plan is
-  * checked for the two shapes that kill 100 TB runs — an unkeyed
-  * CartesianProduct, and a BroadcastNestedLoopJoin outside the short
-  * list of queries where a broadcast-sized NLJ is the intended design.
-  * A regression that drops a join key or un-broadcasts a side fails
-  * here by name, not in a production run.
+  * checked for the three shapes that kill 100 TB runs — an unkeyed
+  * CartesianProduct, a BroadcastNestedLoopJoin outside the short
+  * list of queries where a broadcast-sized NLJ is the intended design,
+  * and an UNPARTITIONED WindowExec whose input is not
+  * aggregate-bounded (a global window over raw rows funnels the whole
+  * dataset through one task). A regression that drops a join key,
+  * un-broadcasts a side, or windows over row-scale input fails here
+  * by name, not in a production run.
   */
 class PlanSweepSpec extends AnyFunSuite with SparkFixture {
 
@@ -26,14 +29,53 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     "agg_chisq", // |langs|×|sources| grid from broadcast tiny aggregates
     "infer_knn") // crossJoin carries the broadcast 10-row query side
 
-  test("no query plans a CartesianProduct; BNLJ only where intended") {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.window.WindowExec
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+  import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+
+  // AQE hides subtrees behind stage/reuse wrappers; traverse through
+  // them or any structural audit silently goes vacuous
+  private def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+    case q: QueryStageExec => Seq(q.plan)
+    case r: ReusedExchangeExec => Seq(r.child)
+    case o => o.children
+  }
+  private def flatten(p: SparkPlan): Seq[SparkPlan] =
+    p +: kids(p).flatMap(flatten)
+  /** True if a LEAF (scan) is reachable without passing an aggregate
+    * or a constant limit — i.e. the subtree's row count is
+    * input-scale, not group-scale/constant-bounded. */
+  private def rawReach(p: SparkPlan): Boolean = p match {
+    case _: BaseAggregateExec => false
+    case _: org.apache.spark.sql.execution.GlobalLimitExec => false
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => false
+    case _: org.apache.spark.sql.execution.CollectLimitExec => false
+    case l if kids(l).isEmpty => true
+    case o => kids(o).exists(rawReach)
+  }
+
+  test("no CartesianProduct; BNLJ only where intended; global windows only over aggregates") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.executedPlan.toString
-        val cart = if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct") else None
+        val physical = fn(spark, sf).queryExecution.executedPlan
+        val plan = physical.toString
+        val cart = if (plan.contains("CartesianProduct"))
+          Some(s"$name: CartesianProduct") else None
         val bnlj = if (plan.contains("BroadcastNestedLoopJoin") && !bnljIntended(name))
           Some(s"$name: unexpected BroadcastNestedLoopJoin") else None
-        cart ++ bnlj
+        // shape-based global-window triage (r6 verdict item 6): the
+        // documented bounded-frame pattern ALWAYS windows over a
+        // groupBy output (#buckets/#days rows); an unpartitioned
+        // window whose child subtree reaches a scan without passing
+        // an aggregate would funnel raw rows through one task
+        val win = flatten(physical).collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && rawReach(w.child) =>
+            s"$name: unpartitioned WindowExec over non-aggregated input"
+        }
+        cart ++ bnlj ++ win
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }

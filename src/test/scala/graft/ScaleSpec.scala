@@ -93,6 +93,60 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     assert(a == b)
   }
 
+  test("pagerank iterations never re-exchange the edges side") {
+    import graft.operators.GraphQueries
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // edgesDeg is repartitioned on src once before its checkpoint; the
+    // LogicalRDD keeps that partitioning, so a per-iteration plan must
+    // shuffle only rank-vector-sized frames — an exchange ABOVE the
+    // (src, dst, deg) scan would mean the 100 TB side moves every round
+    val edgesDeg = GraphQueries.pagerankEdgesDeg(spark, sf)
+    val nodes = GraphQueries.pagerankNodes(spark, sf)
+    val ranks0 = nodes.withColumn("pr",
+      org.apache.spark.sql.functions.lit(GraphQueries.PrScale))
+      .localCheckpoint(true)
+    val step = GraphQueries.pagerankStep(edgesDeg, nodes, ranks0)
+    step.collect() // finalize any adaptive re-planning before auditing
+    // AQE buries materialized exchanges inside QueryStageExec LEAVES —
+    // a plain collect() sees zero exchanges and the audit is vacuous;
+    // flatten through stage boundaries explicitly
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val all = flatten(step.queryExecution.executedPlan)
+    val shuffles = all.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.nonEmpty,
+      "no exchange visible at all — stage traversal went vacuous")
+    // a shuffle is fine if what moves has already been combined by a
+    // (partial) aggregate — that's the inherent rank-vector-sized
+    // contribution shuffle; what must NEVER happen is RAW edge rows
+    // reaching an exchange, i.e. an edges leaf with no aggregate in
+    // between
+    val edgeCols = Set("src", "dst", "deg")
+    def rawEdgesReach(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+      case a: AdaptiveSparkPlanExec => rawEdgesReach(a.executedPlan)
+      case q: QueryStageExec => rawEdgesReach(q.plan)
+      case r: ReusedExchangeExec => rawEdgesReach(r.child)
+      case l if l.children.isEmpty =>
+        edgeCols.subsetOf(l.output.map(_.name).toSet)
+      case other => other.children.exists(rawEdgesReach)
+    }
+    val offending = shuffles.filter(e => rawEdgesReach(e.child))
+    assert(offending.isEmpty,
+      s"raw edge rows reached an exchange in an iteration:\n${offending.mkString("\n")}")
+  }
+
   test("runtime bloom filter prunes the big side of a selective join") {
     import graft.operators.JoinQueries
     // the DECLARED query's dataflow under its own conf scope — the
