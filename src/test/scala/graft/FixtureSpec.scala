@@ -88,4 +88,38 @@ class FixtureSpec extends AnyFunSuite with SparkFixture {
       assert(bad == 0, s"$dir: $bad events violate the ts_ns/ts_s/ts contract")
     }
   }
+
+  test("events loader NANOS branch: the checked-in TIMESTAMP(NANOS) fixture derives the same contract") {
+    // the driver's testdata flipped encodings once (r5: NANOS-as-long →
+    // timestamp[us]) and broke 42 queries; current testdata exercises
+    // only the MICROS branch, so the legacy branch is pinned by a
+    // 20-row genuine TIMESTAMP(NANOS) parquet (written by pyarrow,
+    // store_schema off — Spark must hit the parquet footer type, not a
+    // stored arrow schema). Both branches must agree row-for-row on
+    // (ts_ns, ts_s, ts) for the same event_ids.
+    import org.apache.spark.sql.types.LongType
+    val fixture = getClass.getResource("/fixtures/events_nanos.parquet")
+    assert(fixture != null, "events_nanos.parquet fixture missing from resources")
+    val dir = java.nio.file.Files.createTempDirectory("graft_nanos_fix")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(fixture.toURI),
+      dir.resolve("events.parquet"))
+    val viaNanos = Tables.events(spark, dir.toString)
+    // the branch actually taken is the LongType one: nanosAsLong maps
+    // TIMESTAMP(NANOS) to LONG at the reader
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType,
+      "fixture no longer exercises the NANOS-as-long branch")
+    val got = viaNanos.select("event_id", "ts_ns", "ts_s", "ts")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getTimestamp(3)))
+      .toMap
+    val want = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_id").isin(got.keys.toSeq: _*))
+      .select("event_id", "ts_ns", "ts_s", "ts")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getTimestamp(3)))
+      .toMap
+    assert(got.size == 20, s"expected 20 fixture rows, got ${got.size}")
+    assert(got == want,
+      "NANOS and MICROS branches derived different ts contracts for the same events")
+  }
 }
