@@ -928,7 +928,29 @@ object SimilarityQueries {
       .orderBy("q_id")
   }
 
+  /** Recall@3 EVALUATION of the IVF index against exact brute-force
+    * ground truth — the index-quality harness every ANN deployment
+    * needs as a first-class job, not a notebook afterthought. Exact
+    * side = [[simCosineTopk]] truncated to rank ≤ 3 (same rounded
+    * cosine + n_id tie-break as the index, so "hit" means the index
+    * returned a TRUE top-3 neighbor, not a tie artifact); n_hit ∈
+    * 0..3 is pure integer. At 100 TB the exact side runs over a
+    * SAMPLE of queries (here the same 10-query set every sim_* query
+    * uses) — recall estimation never needs the full query load. */
+  def simRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val exact = simCosineTopk(s, dir).filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"))
+    val ann = simAnnIvf(s, dir)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    exact.join(ann, Seq("q_id", "n_id"), "left_outer")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum("hit"), lit(0L)).as("n_hit"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_recall_eval" -> simRecallEval,
     "infer_knn" -> inferKnn,
     "pipeline_semdedup" -> pipelineSemdedup,
     "sim_radius" -> simRadius,
@@ -1091,7 +1113,25 @@ object SimilarityQueries {
         |  CAST(list_max(qv) AS BIGINT) AS q_max,
         |  CAST(list_min(qv) AS BIGINT) AS q_min
         |FROM q ORDER BY vec_id""".stripMargin,
-    "sim_cosine_topk" ->
+    "sim_recall_eval" ->
+      // recall@3 of the IVF index vs exact: both sides are existing
+      // oracle queries (wrapped as subqueries), so the eval replays
+      // the ENTIRE two-sided pipeline — a mismatch in either index or
+      // ground truth surfaces here too
+      s"""WITH exact AS (SELECT q_id, n_id FROM ($cosineTopkOracleSql) x
+         |  WHERE rank <= 3),
+         |ann AS (SELECT q_id, n_id FROM ($annIvfOracleSql) y)
+         |SELECT e.q_id, count(*) AS n_exact,
+         |  CAST(coalesce(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 END), 0)
+         |    AS BIGINT) AS n_hit
+         |FROM exact e LEFT JOIN ann a
+         |  ON e.q_id = a.q_id AND e.n_id = a.n_id
+         |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
+    "sim_cosine_topk" -> cosineTopkOracleSql)
+
+  /** Exact top-5 cosine oracle, shared verbatim by sim_cosine_topk and
+    * (as the ground-truth subquery) sim_recall_eval. */
+  private def cosineTopkOracleSql: String =
       """WITH qe AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
         |              CAST(unnest(embedding) AS DOUBLE) AS x
         |            FROM embeddings WHERE vec_id < 10),
@@ -1117,5 +1157,5 @@ object SimilarityQueries {
         |          ORDER BY cos DESC, n_id) AS rn
         |      FROM cosv)
         |SELECT q_id, CAST(rn AS INTEGER) AS rank, n_id, cos
-        |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin)
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin
 }

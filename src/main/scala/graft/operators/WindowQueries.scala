@@ -476,7 +476,33 @@ object WindowQueries {
       .orderBy("event_type", "drnk", "day")
   }
 
+  /** Maximum DRAWDOWN per user — the peak-to-trough analytic every
+    * metrics/trading stack ships: over the time-ordered series of
+    * centered integer deltas (cents − 50, a signed random walk since
+    * `value` is uniform on [0,1)), track the running sum, its running
+    * peak, and report the deepest peak-to-current gap. Two stacked
+    * running windows + the final per-user aggregate all share ONE
+    * user_id exchange (the window's partitioning satisfies the
+    * groupBy); all-integer arithmetic ⇒ exact oracle. Ties on ts_ns
+    * broken by event_id, so the walk order is engine-deterministic. */
+  def winDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val run = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        (floor(col("value") * 100 + lit(0.5)).cast("long") - 50).as("delta"))
+      .withColumn("cum", sum("delta").over(run))
+      .withColumn("peak", max("cum").over(run))
+      .groupBy("user_id")
+      .agg(max(col("peak") - col("cum")).as("max_drawdown"),
+        max("peak").as("max_peak"),
+        sum("delta").as("final_sum"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_drawdown" -> winDrawdown,
     "win_dense_rank" -> winDenseRank,
     "win_cume_dist" -> winCumeDist,
     "win_ewma" -> winEwma,
@@ -498,6 +524,26 @@ object WindowQueries {
     "win_ntile" -> winNtile)
 
   val oracleSql: Map[String, String] = Map(
+    // same two stacked running windows over the integer walk
+    "win_drawdown" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) - 50 AS delta
+        |  FROM events),
+        |c AS (SELECT user_id, ts_ns, event_id, delta,
+        |    CAST(sum(delta) OVER w AS BIGINT) AS cum
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |r AS (SELECT user_id, delta, cum,
+        |    CAST(max(cum) OVER w AS BIGINT) AS peak
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, CAST(max(peak - cum) AS BIGINT) AS max_drawdown,
+        |  CAST(max(peak) AS BIGINT) AS max_peak,
+        |  CAST(sum(delta) AS BIGINT) AS final_sum,
+        |  count(*) AS n
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
     // ranks are functions of the day-count alone; ties exercised
     "win_dense_rank" ->
       """WITH e AS (SELECT event_type,
