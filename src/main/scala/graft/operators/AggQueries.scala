@@ -512,6 +512,56 @@ object AggQueries {
       .orderBy("cname")
   }
 
+  /** One-pass pairwise Pearson CORRELATION MATRIX over the four
+    * lineitem measures — the profiling step that decides which
+    * features are redundant before a model ever trains. Each row
+    * fans out to its 6 column PAIRS (a partition-local array
+    * explode), so ONE scan + one bounded aggregate (6 rows) yields
+    * every moment the matrix needs — the naive alternative runs a
+    * separate corr() pass per pair and scans 6×.
+    *
+    * Exactness (vs [[aggCorr]], which accepts last-ulp co-moment
+    * noise and rounds it away): measures convert to integer CENTS
+    * first and all five moments accumulate as DECIMAL(38,0) — exact
+    * at any row count and partition order; int64 sums of squared
+    * price cents overflow past ~10⁵ rows. The closed-form
+    *   corr = (n·Σxy − ΣxΣy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+    * then evaluates in ONE double expression with the identical op
+    * sequence in DuckDB (whose HUGEINT sums cast to the same
+    * doubles), so the result is bit-identical before Fp.r4 even
+    * applies. */
+  def profileCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val colOf = Map(
+      "qty" -> "l_quantity", "price" -> "l_extendedprice",
+      "disc" -> "l_discount", "tax" -> "l_tax")
+    def cents(n: String) =
+      expr(s"CAST(floor(${colOf(n)} * 100 + 0.5) AS BIGINT)")
+    val pairs = Seq("qty" -> "price", "qty" -> "disc", "qty" -> "tax",
+      "price" -> "disc", "price" -> "tax", "disc" -> "tax")
+    val kvs = pairs.map { case (a, b) =>
+      struct(lit(s"${a}_$b").as("pair"),
+        cents(a).as("x"), cents(b).as("y")) }
+    val dec = "decimal(38,0)"
+    val m = t(s, dir, "lineitem")
+      .select(explode(array(kvs: _*)).as("kv"))
+      .select(col("kv.pair").as("pair"), col("kv.x").as("x"),
+        col("kv.y").as("y"))
+      .groupBy("pair")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"),
+        sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    val den = sqrt((nD * col("sxx") - col("sx") * col("sx")) *
+      (nD * col("syy") - col("sy") * col("sy")))
+    m.select(col("pair"), col("n"), Fp.r4(num / den).as("corr"))
+      .orderBy("pair")
+  }
+
   /** Per-group ordinary-least-squares aggregates (regr_slope /
     * regr_intercept / regr_r2 / regr_count — price vs quantity per
     * returnflag): the built-in regression family rides the same
@@ -1032,6 +1082,7 @@ object AggQueries {
     "agg_regression" -> aggRegression,
     "profile_histogram" -> profileHistogram,
     "profile_stats" -> profileStats,
+    "profile_corr_matrix" -> profileCorrMatrix,
     "agg_sketch_union" -> aggSketchUnion,
     "agg_ohlc" -> aggOhlc,
     "agg_retention" -> aggRetention,
@@ -1059,6 +1110,34 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    // same 6-pair unpivot; HUGEINT sums cast to the same doubles and
+    // the corr closed form evaluates with the identical op sequence
+    "profile_corr_matrix" ->
+      """WITH c AS (SELECT
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc,
+        |    CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT 'qty_price' AS pair, qty AS x, price AS y FROM c
+        |  UNION ALL SELECT 'qty_disc', qty, disc FROM c
+        |  UNION ALL SELECT 'qty_tax', qty, tax FROM c
+        |  UNION ALL SELECT 'price_disc', price, disc FROM c
+        |  UNION ALL SELECT 'price_tax', price, tax FROM c
+        |  UNION ALL SELECT 'disc_tax', disc, tax FROM c),
+        |m AS (SELECT pair, count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  FROM p GROUP BY pair)
+        |SELECT pair, n,
+        |  floor(((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |           * (CAST(n AS DOUBLE) * syy - sy * sy)))
+        |    * 10000.0 + 0.5) / 10000.0 AS corr
+        |FROM m ORDER BY pair""".stripMargin,
     // discrete p05/p95 bounds stay exact BIGINT; clamp + sum exact,
     // one double division
     "agg_winsorized" ->

@@ -222,7 +222,102 @@ object GraphQueries {
       .orderBy("degree")
   }
 
+  val LpIters = 3
+
+  /** Synchronous majority-vote LABEL PROPAGATION (Raghavan et al.'s
+    * LPA) — community detection over the bipartite trading graph, the
+    * fourth iterative-graph primitive next to pagerank (value
+    * iteration), components (min-label propagation) and BFS (frontier
+    * expansion). Differs from components in the UPDATE RULE: a node
+    * adopts the label held by the MOST of its neighbors (tie-break:
+    * smallest label), so dense clusters converge to one community
+    * while sparse bridges don't bleed labels across — min-label would
+    * flood everything reachable into one component.
+    *
+    * Scale: reuses [[pagerankEdgesDeg]] (materialized once,
+    * hash-partitioned on `src`, so every round's label join plans no
+    * exchange on the edge side — only the |nodes|-sized label vector
+    * moves). Each of the [[LpIters]] synchronized rounds is one
+    * equi-join + one (dst, label) count + one per-dst argmax window —
+    * the window partitions on dst, so no global funnel. Labels are
+    * localCheckpointed per round (the shared lineage discipline).
+    * Output: the 20 largest communities with an id-sum checksum
+    * pinning exact membership. Nodes are edge endpoints (isolated
+    * customers never trade, so have no community). All-integer ⇒
+    * exact oracle, generated from [[LpIters]] so the round count
+    * can't drift. */
+  def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val edges = pagerankEdgesDeg(s, dir).select("src", "dst")
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to LpIters) {
+      val votes = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = W.partitionBy("node").orderBy(desc("c"), asc("label"))
+      labels = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("node", "label")
+        .localCheckpoint(true)
+    }
+    labels.groupBy("label")
+      .agg(count(lit(1)).as("n_members"), sum("node").as("id_sum"),
+        min("node").as("min_node"))
+      .orderBy(desc("n_members"), asc("label")).limit(20)
+  }
+
+  /** Hub-degree cap for [[graphJaccard]]'s wedge join: customers
+    * trading with more suppliers than this are dropped before pairing
+    * (the Adamic–Adar insight — a neighbor shared with everyone
+    * carries no similarity signal — applied as a hard cut so the
+    * wedge count is ≤ cap·|edges| instead of Σ deg², the skew bound
+    * that matters at 100 TB). */
+  val JacMaxDeg = 32
+  val JacTopK = 20
+
+  /** Neighbor-set JACCARD similarity between suppliers (co-purchase
+    * link prediction): sim(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)| over the
+    * customer-neighbor sets of the bipartite trading graph — the
+    * classic "entities that share audiences" signal.
+    *
+    * Scale: candidate pairs come from a WEDGE JOIN through shared
+    * customers (suppliers with no common customer never materialize —
+    * the all-pairs matrix is never formed), with customer hubs capped
+    * at [[JacMaxDeg]] first. Degrees and the union size are computed
+    * on the SAME capped graph so the similarity is exact for the
+    * graph actually analyzed. jac_pct = (100·common) div (da+db−common)
+    * — all-integer, exact oracle; top-[[JacTopK]] with full
+    * deterministic tie-break compiles to TakeOrderedAndProject. */
+  def graphJaccard(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+      .distinct()
+    val custDeg = pairs.groupBy("c").agg(count(lit(1)).as("dc"))
+    val capped = pairs.join(custDeg.filter(col("dc") <= JacMaxDeg), "c")
+      .select("c", "p").localCheckpoint(true)
+    val suppDeg = capped.groupBy("p").agg(count(lit(1)).as("d"))
+    val common = capped.as("a")
+      .join(capped.as("b"),
+        col("a.c") === col("b.c") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(suppDeg.select(col("p").as("pa"), col("d").as("da")), "pa")
+      .join(suppDeg.select(col("p").as("pb"), col("d").as("db")), "pb")
+      .withColumn("jac_pct",
+        expr("(100 * common) div (da + db - common)"))
+      .select("pa", "pb", "common", "da", "db", "jac_pct")
+      .orderBy(desc("jac_pct"), desc("common"), asc("pa"), asc("pb"))
+      .limit(JacTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_label_prop" -> graphLabelProp,
+    "graph_jaccard" -> graphJaccard,
     "graph_bfs" -> graphBfs,
     "graph_triangles" -> graphTriangles,
     "graph_degrees" -> graphDegrees,
@@ -326,7 +421,53 @@ object GraphQueries {
        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Unrolled from [[LpIters]]; same majority/min-label argmax per
+    * round (row_number with the identical ORDER BY). */
+  private def labelPropOracle(iters: Int): String = {
+    val head =
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
+        |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT c AS src, p AS dst FROM pairs
+        |      UNION ALL SELECT p, c FROM pairs),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""v$i AS (SELECT e.dst AS node, l.label, count(*) AS c
+         |      FROM e JOIN l${i - 1} l ON l.node = e.src GROUP BY 1, 2),
+         |l$i AS (SELECT node, label FROM (
+         |        SELECT node, label,
+         |          row_number() OVER (PARTITION BY node
+         |            ORDER BY c DESC, label) AS rn
+         |        FROM v$i) x WHERE rn = 1)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT label, count(*) AS n_members,
+         |  CAST(sum(node) AS BIGINT) AS id_sum, min(node) AS min_node
+         |FROM l$iters GROUP BY label
+         |ORDER BY n_members DESC, label LIMIT 20""".stripMargin
+  }
+
+  private def jaccardOracle: String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |cd AS (SELECT c, count(*) AS dc FROM pairs GROUP BY c),
+       |capped AS (SELECT pairs.c, pairs.p FROM pairs
+       |           JOIN cd USING (c) WHERE cd.dc <= $JacMaxDeg),
+       |sd AS (SELECT p, count(*) AS d FROM capped GROUP BY p),
+       |com AS (SELECT a.p AS pa, b.p AS pb, count(*) AS common
+       |        FROM capped a JOIN capped b
+       |          ON a.c = b.c AND a.p < b.p GROUP BY 1, 2)
+       |SELECT pa, pb, common, da.d AS da, db.d AS db,
+       |  (100 * common) // (da.d + db.d - common) AS jac_pct
+       |FROM com JOIN sd da ON da.p = com.pa JOIN sd db ON db.p = com.pb
+       |ORDER BY jac_pct DESC, common DESC, pa, pb LIMIT $JacTopK""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "graph_label_prop" -> labelPropOracle(LpIters),
+    "graph_jaccard" -> jaccardOracle,
     "graph_bfs" -> bfsOracle(BfsMaxHops),
     "graph_triangles" -> trianglesOracle,
     "graph_degrees" -> degreesOracle,

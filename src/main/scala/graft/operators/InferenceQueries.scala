@@ -489,7 +489,63 @@ object InferenceQueries {
       .orderBy("bin")
   }
 
+  /** Multinomial NAIVE BAYES language classifier, trained and
+    * evaluated distributed — the count-based third member of the
+    * training family next to infer_train (gradient descent) and
+    * infer_train_perceptron (mistake-driven updates): NB training IS
+    * one aggregation, the canonical "learning as a groupBy" shape
+    * that scales embarrassingly (map-side combinable token counts,
+    * never an iteration).
+    *
+    * Fixed-point Laplace-smoothed likelihood so the oracle replays
+    * training bit-exactly: w(tok,lang) = (10⁶·(c+1)) div (tot_lang+V),
+    * score(doc,lang) = Σ_tok w — integer sums, deterministic argmax
+    * (score desc, lang asc). Train/test split by the shared
+    * SampleQueries doc_id hash (80/20), so the eval never sees
+    * training rows regardless of engine or partitioning. Output is
+    * the test confusion matrix with id-sum checksums.
+    *
+    * Scale: token counts shuffle hashed tokens, never text; the
+    * model (vocab×langs weights) joins test tokens on (tok, lang) —
+    * a narrow shuffle join that stays balanced because token hash
+    * keys are high-cardinality; the per-language dim (|langs| rows)
+    * broadcasts. The per-doc argmax windows on doc_id — partitioned,
+    * bounded by |langs| rows per doc. */
+  val NbTrainPct = 80
+  def inferNaiveBayes(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val tk = t(s, dir, "documents")
+      .withColumn("bkt", expr("((doc_id * 40503 + 17) % 65521) % 100"))
+      .select(col("doc_id"), col("lang"), col("bkt"),
+        explode(split(col("text"), " ")).as("tok"))
+    val tc = tk.filter(col("bkt") < NbTrainPct)
+      .groupBy("tok", "lang").agg(count(lit(1)).as("c"))
+    val lt = tc.groupBy("lang").agg(sum("c").as("tot"))
+    val v = tc.select("tok").distinct().agg(count(lit(1)).as("v"))
+    val ld = lt.crossJoin(broadcast(v))
+      .withColumn("denom", col("tot") + col("v"))
+      .withColumn("wdef", expr("1000000 div denom"))
+      .select("lang", "denom", "wdef")
+    val w = tc.join(broadcast(ld), "lang")
+      .select(col("tok"), col("lang"),
+        expr("(1000000 * (c + 1)) div denom").as("w"))
+    val tt = tk.filter(col("bkt") >= NbTrainPct)
+      .select(col("doc_id"), col("lang").as("true_lang"), col("tok"))
+    val scored = tt.crossJoin(broadcast(ld.select("lang", "wdef")))
+      .join(w, Seq("tok", "lang"), "left")
+      .groupBy(col("doc_id"), col("true_lang"), col("lang"))
+      .agg(sum(coalesce(col("w"), col("wdef"))).as("score"))
+    val win = W.partitionBy("doc_id").orderBy(desc("score"), asc("lang"))
+    scored.withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("true_lang"), col("lang").as("pred_lang"), col("doc_id"))
+      .groupBy("true_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "infer_naive_bayes" -> inferNaiveBayes,
     "infer_calibration" -> inferCalibration,
     "infer_train" -> inferTrain,
     "infer_train_perceptron" -> inferTrainPerceptron,
@@ -510,7 +566,37 @@ object InferenceQueries {
   // lazy: the infer_mean_xml entry forces the reference-XML parse —
   // eager init would crash EVERY query at object load on a machine
   // without the artifact, not just infer_mean_xml
+  /** Full training + scoring replay — every step integer. */
+  private def naiveBayesOracleSql: String =
+    s"""WITH tok0 AS (SELECT doc_id, lang,
+       |    ((doc_id * 40503 + 17) % 65521) % 100 AS bkt,
+       |    unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |tc AS (SELECT tok, lang, count(*) AS c FROM tok0
+       |       WHERE bkt < $NbTrainPct GROUP BY 1, 2),
+       |lt AS (SELECT lang, sum(c) AS tot FROM tc GROUP BY 1),
+       |v AS (SELECT count(DISTINCT tok) AS v FROM tc),
+       |ld AS (SELECT lang, tot + v.v AS denom,
+       |         1000000 // (tot + v.v) AS wdef FROM lt, v),
+       |w AS (SELECT tok, tc.lang, (1000000 * (c + 1)) // ld.denom AS w
+       |      FROM tc JOIN ld ON ld.lang = tc.lang),
+       |tt AS (SELECT doc_id, lang AS true_lang, tok FROM tok0
+       |       WHERE bkt >= $NbTrainPct),
+       |sc AS (SELECT tt.doc_id, tt.true_lang, ld.lang,
+       |         sum(coalesce(w.w, ld.wdef)) AS score
+       |       FROM tt CROSS JOIN ld
+       |       LEFT JOIN w ON w.tok = tt.tok AND w.lang = ld.lang
+       |       GROUP BY 1, 2, 3),
+       |pr AS (SELECT doc_id, true_lang, lang AS pred_lang FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY score DESC, lang) AS rn FROM sc) x
+       |       WHERE rn = 1)
+       |SELECT true_lang, pred_lang, count(*) AS n,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   lazy val oracleSql: Map[String, String] = Map(
+    "infer_naive_bayes" -> naiveBayesOracleSql,
     // same integer score/fixed-width bins; DuckDB // truncates toward
     // zero exactly like Spark div (middle bin double-width on both)
     "infer_calibration" ->

@@ -190,7 +190,90 @@ object SampleQueries {
       .orderBy("ql", "qs")
   }
 
+  /** Distributed RESERVOIR sample: a uniform-without-replacement
+    * K-subset via global hash-priority top-K — the deterministic
+    * equivalent of Vitter's reservoir algorithm (each row draws a
+    * "random" priority, the K smallest win; here the draw is the key
+    * hash, so the sample is reproducible across engines and retries).
+    * Mergeable by construction: each partition keeps its local top-K
+    * and the driver merges K-sized heaps — exactly what Spark's
+    * TakeOrderedAndProject physical operator does, so the plan never
+    * sorts or shuffles the full input. The rank window after the limit
+    * runs over K=[[ReservoirK]] rows, not input-scale (PlanSweep's
+    * bounded-frame shape). Tie-break on event_id makes the order total
+    * — 65521 priority buckets collide long before sf0.1. */
+  val ReservoirK = 100
+  def sampleReservoir(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"))
+      .withColumn("prio", (col("event_id") * 40503L + 17L) % 65521L)
+      .orderBy(col("prio"), col("event_id")).limit(ReservoirK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("prio"), col("event_id"))
+    base.withColumn("rn", row_number().over(w))
+      .select("rn", "event_id", "user_id", "prio")
+      .orderBy("rn")
+  }
+
+  /** WEIGHTED priority sampling (Ohlsson/Rosén order sampling, the
+    * fixed-point analogue of the exponential-keys A-ES scheme): each
+    * document draws priority u/w where u is its key hash and w its
+    * weight (n_chars — longer documents carry more training tokens),
+    * and the K smallest priorities win. P(selected) increases with w,
+    * so the sample is length-biased exactly the way token-budget
+    * corpus sampling wants, yet fully deterministic and mergeable
+    * (same TakeOrderedAndProject single-pass shape as
+    * [[sampleReservoir]]). Integer arithmetic throughout: priority =
+    * (u · 10⁶) div w, max 65520·10⁶ ≪ 2⁶³. */
+  val WeightedK = 50
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("prio", expr(
+        "(((doc_id * 40503 + 17) % 65521) * 1000000) div greatest(n_chars, 1)"))
+      .orderBy(col("prio"), col("doc_id")).limit(WeightedK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("prio"), col("doc_id"))
+    base.withColumn("rn", row_number().over(w))
+      .select("rn", "doc_id", "n_chars", "prio")
+      .orderBy("rn")
+  }
+
+  /** Differentially-private histogram release — the privacy mechanism
+    * a corpus card publishes instead of exact counts: per-language
+    * document counts perturbed with DISCRETE two-sided geometric noise
+    * (α = 1/2), the integer analogue of the Laplace mechanism, giving
+    * ε = ln 2 for the unit-sensitivity count query. The noise draw is
+    * deterministic: u = hash(group id-sum) mod 65521 feeds the exact
+    * inverse-CDF ladder (P(0) = 1/3, P(±j) = (1/3)·2⁻ʲ, tail clamped
+    * at ±5), so both engines replay the identical release. True
+    * counts ride along for the oracle comparison; a production
+    * release would publish only (lang, noisy_n). One bounded groupBy
+    * — no data-sized shuffle beyond the count itself. */
+  def pipelineDpHistogram(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+    val u = ((col("id_sum") * 40503L + 17L) % 65521L)
+    // inverse CDF of the two-sided geometric on 65521 buckets:
+    // cumulative thresholds 21840 |+10920 ±1 |+5460 ±2 |+2730 ±3
+    // |+1365 ±4 |+683 +5, remainder -5 (the clamped tail)
+    val noise = when(u < 21840L, 0L)
+      .when(u < 32760L, 1L).when(u < 43680L, -1L)
+      .when(u < 49140L, 2L).when(u < 54600L, -2L)
+      .when(u < 57330L, 3L).when(u < 60060L, -3L)
+      .when(u < 61425L, 4L).when(u < 62790L, -4L)
+      .when(u < 64155L, 5L).otherwise(-5L)
+    g.withColumn("noise", noise)
+      .withColumn("noisy_n", col("n_docs") + col("noise"))
+      .select("lang", "n_docs", "noise", "noisy_n")
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dp_histogram" -> pipelineDpHistogram,
+    "sample_reservoir" -> sampleReservoir,
+    "sample_weighted" -> sampleWeighted,
     "pipeline_anonymize" -> pipelineAnonymize,
     "pipeline_temperature" -> pipelineTemperature,
     "pipeline_mixture" -> pipelineMixture,
@@ -202,6 +285,44 @@ object SampleQueries {
   private val bucketEvt = hashBucketSql("event_id")
 
   val oracleSql: Map[String, String] = Map(
+    // hash-priority top-K replayed exactly; same total order
+    "sample_reservoir" ->
+      s"""WITH p AS (SELECT event_id, user_id,
+         |    (event_id * 40503 + 17) % 65521 AS prio FROM events),
+         |t AS (SELECT * FROM p ORDER BY prio, event_id LIMIT $ReservoirK)
+         |SELECT CAST(row_number() OVER (ORDER BY prio, event_id) AS INTEGER)
+         |    AS rn,
+         |  event_id, user_id, CAST(prio AS BIGINT) AS prio
+         |FROM t ORDER BY rn""".stripMargin,
+    // u·10⁶ // w priority — all-integer, bit-identical
+    "sample_weighted" ->
+      s"""WITH p AS (SELECT doc_id, n_chars,
+         |    (((doc_id * 40503 + 17) % 65521) * 1000000)
+         |      // greatest(n_chars, 1) AS prio
+         |  FROM documents),
+         |t AS (SELECT * FROM p ORDER BY prio, doc_id LIMIT $WeightedK)
+         |SELECT CAST(row_number() OVER (ORDER BY prio, doc_id) AS INTEGER)
+         |    AS rn,
+         |  doc_id, n_chars, CAST(prio AS BIGINT) AS prio
+         |FROM t ORDER BY rn""".stripMargin,
+    // the same inverse-CDF ladder over the same deterministic u
+    "pipeline_dp_histogram" ->
+      """WITH g AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |  FROM documents GROUP BY lang),
+        |n AS (SELECT lang, n_docs,
+        |    (id_sum * 40503 + 17) % 65521 AS u FROM g),
+        |d AS (SELECT lang, n_docs,
+        |    CASE WHEN u < 21840 THEN 0
+        |         WHEN u < 32760 THEN 1 WHEN u < 43680 THEN -1
+        |         WHEN u < 49140 THEN 2 WHEN u < 54600 THEN -2
+        |         WHEN u < 57330 THEN 3 WHEN u < 60060 THEN -3
+        |         WHEN u < 61425 THEN 4 WHEN u < 62790 THEN -4
+        |         WHEN u < 64155 THEN 5 ELSE -5 END AS noise
+        |  FROM n)
+        |SELECT lang, n_docs, CAST(noise AS BIGINT) AS noise,
+        |  CAST(n_docs + noise AS BIGINT) AS noisy_n
+        |FROM d ORDER BY lang""".stripMargin,
     // same two-level generalization lattice, all integer counts;
     // suppressed ('*','*') rows are dropped from the release (their
     // id_sum would de-anonymize a <k bucket)

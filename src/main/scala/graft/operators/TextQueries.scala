@@ -426,6 +426,47 @@ object TextQueries {
       .orderBy("w1", "rank")
   }
 
+  /** COLLOCATION mining — bigrams ranked by pointwise association
+    * (lift = P(w1w2) / (P(w1·)·P(·w2)), the monotone integer core of
+    * PMI), the phrase-detection pass (word2vec's phrase step, spaCy's
+    * collocation finder) a corpus pipeline runs to merge "new york"
+    * into one token. Differs from text_bigrams (raw counts rank
+    * frequent-but-independent pairs first) and text_bigram_lm (the
+    * conditional P(w₂|w₁)): lift normalizes BOTH marginals, so rare
+    * strongly-bound pairs surface.
+    *
+    * All counts derive from the one bigram table (left/right
+    * marginals + total), materialized ONCE — three re-derivations of
+    * the tokenize+explode otherwise. lift_bp = (10⁴·n·N) div (c1·c2)
+    * stays in int64 up to ~10⁷ bigram tokens (sf1); beyond that the
+    * two factors move to DECIMAL(38,0). Min-support [[ColMinCount]]
+    * kills the 1-count noise floor first, so the ranked join is
+    * support-pruned before any marginal joins. Marginals are
+    * vocab-sized; the 1-row total broadcasts (intended BNLJ). */
+  val ColMinCount = 5
+  val ColTopK = 20
+  def textCollocations(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val bigrams = zip_with(
+      slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bc = t(s, dir, "documents")
+      .select(explode(bigrams).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val left = bc.groupBy("w1").agg(sum("n").as("c1"))
+    val right = bc.groupBy("w2").agg(sum("n").as("c2"))
+    val tot = bc.agg(sum("n").as("nn"))
+    bc.filter(col("n") >= ColMinCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_bp", expr("(10000 * n * nn) div (c1 * c2)"))
+      .select("w1", "w2", "n", "c1", "c2", "lift_bp")
+      .orderBy(desc("lift_bp"), asc("w1"), asc("w2")).limit(ColTopK)
+  }
+
   def textBigrams(s: SparkSession, dir: String): DataFrame = {
     val w = words(col("text"))
     val bigrams = zip_with(
@@ -745,6 +786,7 @@ object TextQueries {
     "pipeline_contamination" -> pipelineContamination,
     "text_bigrams" -> textBigrams,
     "text_bigram_lm" -> textBigramLm,
+    "text_collocations" -> textCollocations,
     "udtf_posexplode_outer" -> udtfPosexplodeOuter,
     "pipeline_pack_bins" -> pipelinePackBins,
     "pipeline_pack_sequences" -> pipelinePackSequences,
@@ -993,6 +1035,22 @@ object TextQueries {
         |  floor((CAST(n AS DOUBLE) / ctx_total) * 10000.0 + 0.5)
         |    / 10000.0 AS p
         |FROM r WHERE rank <= 3 ORDER BY w1, rank""".stripMargin,
+    // same single bigram table; marginals and total CAST to BIGINT so
+    // DuckDB's HUGEINT sum can't leak into the hashed output
+    "text_collocations" ->
+      s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+         |    i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b FROM w),
+         |bc AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS n
+         |  FROM bg GROUP BY 1, 2),
+         |l AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+         |r AS (SELECT w2, CAST(sum(n) AS BIGINT) AS c2 FROM bc GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM bc)
+         |SELECT bc.w1, bc.w2, bc.n, l.c1, r.c2,
+         |  CAST((10000 * bc.n * tt.nn) // (l.c1 * r.c2) AS BIGINT) AS lift_bp
+         |FROM bc JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tt
+         |WHERE bc.n >= $ColMinCount
+         |ORDER BY lift_bp DESC, bc.w1, bc.w2 LIMIT $ColTopK""".stripMargin,
     "text_bigrams" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
         |b AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),

@@ -99,4 +99,37 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       assert(nodes.contains(minNode), s"degree $deg witness not a node")
     }
   }
+
+  test("graph_label_prop: communities bounded by the node set, labels are nodes") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("graph_label_prop")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val nNodes = graft.operators.GraphQueries
+      .pagerankEdgesDeg(spark, sf).select("src").distinct().count()
+    // top-20 communities can't hold more members than nodes exist
+    assert(rows.map(_._2).sum <= nNodes, "membership exceeds node count")
+    // sizes are emitted largest-first with a label tie-break
+    assert(rows.map(_._2).sameElements(rows.map(_._2).sortBy(-_)), "not size-sorted")
+    rows.foreach { case (label, n, idSum, minNode) =>
+      assert(n >= 1)
+      // a community's label was propagated from some member's initial
+      // label — always a node id; min member ≤ id-sum average
+      assert(minNode * n <= idSum, s"label $label: checksum below min bound")
+    }
+  }
+
+  test("graph_jaccard: similarity bounds and common ≤ min degree") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("graph_jaccard")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= graft.operators.GraphQueries.JacTopK)
+    rows.foreach { case (pa, pb, common, da, db, jac) =>
+      assert(pa < pb, "pair not canonical")
+      assert(common >= 1 && common <= math.min(da, db), "common exceeds a degree")
+      assert(jac >= 0 && jac <= 100, s"jac_pct $jac out of range")
+      // exact integer replay of the percentage
+      assert(jac == 100 * common / (da + db - common), "jac_pct formula drift")
+    }
+  }
 }

@@ -27,7 +27,10 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     "pipeline_curriculum", // crossJoin carries a broadcast 1-row n_total
     "agg_ttest", // a<b theta self-join of the broadcast 5-row moment table
     "agg_chisq", // |langs|×|sources| grid from broadcast tiny aggregates
-    "infer_knn") // crossJoin carries the broadcast 10-row query side
+    "infer_knn", // crossJoin carries the broadcast 10-row query side
+    "sim_recall_eval", // inherits sim_cosine_topk's broadcast query crossJoin as its ground-truth side
+    "infer_naive_bayes", // crossJoins carry the broadcast 1-row vocab size / |langs|-row dim
+    "text_collocations") // crossJoin carries the broadcast 1-row bigram total
 
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.window.WindowExec

@@ -457,4 +457,82 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       if (o == 0) assert(contrib > 0, s"$l/$src zero cell must still contribute")
     }
   }
+
+  test("sample_reservoir: exactly K rows, ranked by priority, drawn from events") {
+    val rows = SparkEntry.queries("sample_reservoir")(spark, sf)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(rows.length == graft.operators.SampleQueries.ReservoirK)
+    assert(rows.map(_._1).toSeq == (1 to rows.length), "rank gap")
+    val prios = rows.map(_._4)
+    assert(prios.sameElements(prios.sorted), "not priority-ordered")
+    rows.foreach { case (_, eid, _, prio) =>
+      assert(prio == ((eid * 40503L + 17L) % 65521L), "priority not the key hash")
+    }
+  }
+
+  test("sample_weighted: length-biased — sample mean n_chars beats corpus mean") {
+    val rows = SparkEntry.queries("sample_weighted")(spark, sf)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(rows.length == graft.operators.SampleQueries.WeightedK)
+    val corpusAvg = Tables.t(spark, sf, "documents")
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).as[Double].head()
+    val sampleAvg = rows.map(_._3).sum.toDouble / rows.length
+    assert(sampleAvg > corpusAvg,
+      s"weighted sample avg $sampleAvg not above corpus avg $corpusAvg")
+  }
+
+  test("pipeline_dp_histogram: bounded noise, release = truth + noise") {
+    val rows = SparkEntry.queries("pipeline_dp_histogram")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, n, noise, noisy) =>
+      assert(math.abs(noise) <= 5, s"$lang: noise $noise outside the clamp")
+      assert(noisy == n + noise, s"$lang: release drifted from truth+noise")
+    }
+  }
+
+  test("infer_naive_bayes: confusion matrix covers exactly the test split") {
+    val rows = SparkEntry.queries("infer_naive_bayes")(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val testDocs = Tables.t(spark, sf, "documents")
+      .where("((doc_id * 40503 + 17) % 65521) % 100 >= " +
+        graft.operators.InferenceQueries.NbTrainPct)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("doc_id"))
+      .as[(Long, Long)].head()
+    assert(rows.map(_._3).sum == testDocs._1, "confusion counts ≠ test docs")
+    assert(rows.map(_._4).sum == testDocs._2, "id-sum conservation broken")
+    // the classifier must beat chance: diagonal mass over total above
+    // 1/|langs| (the languages are near-balanced in the fixture)
+    val diag = rows.filter(r => r._1 == r._2).map(_._3).sum
+    val nLangs = rows.map(_._1).distinct.length
+    assert(diag.toDouble / testDocs._1 > 1.0 / nLangs,
+      s"NB accuracy ${diag.toDouble / testDocs._1} no better than chance")
+  }
+
+  test("profile_corr_matrix: full 6-pair matrix, bounds, constant n") {
+    val rows = SparkEntry.queries("profile_corr_matrix")(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(rows.length == 6, "pair matrix has holes")
+    assert(rows.map(_._2).distinct.length == 1, "pairs saw different row counts")
+    rows.foreach { case (pair, _, corr) =>
+      assert(corr >= -1.0 && corr <= 1.0, s"$pair corr $corr out of [-1,1]")
+    }
+  }
+
+  test("text_collocations: support floor holds and lift is positive") {
+    val rows = SparkEntry.queries("text_collocations")(spark, sf)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty &&
+      rows.length <= graft.operators.TextQueries.ColTopK)
+    val lifts = rows.map(_._6)
+    assert(lifts.sameElements(lifts.sorted.reverse), "not lift-ranked")
+    rows.foreach { case (w1, w2, n, c1, c2, lift) =>
+      assert(n >= graft.operators.TextQueries.ColMinCount, s"$w1 $w2 below support")
+      assert(n <= math.min(c1, c2), s"$w1 $w2: joint count exceeds a marginal")
+      assert(lift > 0, s"$w1 $w2: nonpositive lift")
+    }
+  }
 }
