@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Fp
 import graft.Tables.t
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Aggregations (SURVEY §2B; reference ops R20/R22/R25 —
@@ -52,12 +52,21 @@ object AggQueries {
     * the production call is the approx alone (one pass, bounded
     * sketch memory, no Expand); the raw-estimate path stays covered
     * by PropertySpec's global ±5% self-check. */
+  /** HLL estimate next to the exact count, published as the sandwich
+    * invariant. Mixing a distinct agg (the exact count) with
+    * non-distinct aggs in ONE aggregate plans an Expand — the input
+    * fans ×2 through the shuffle. HLL is insensitive to duplicates,
+    * so pre-aggregating to (event_type, user_id) pairs first yields
+    * the IDENTICAL estimate while replacing the Expand with two
+    * narrow hash aggregates (the first map-side-combined on the pair
+    * key): n_users = pair count, n = Σ per-pair counts. */
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.01).as("ap"),
-        countDistinct(col("user_id")).as("n_users"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n_users"),
+        sum("cnt").as("n"))
       .select(col("event_type"),
         (abs(col("ap") - col("n_users")) <= lit(0.05) * col("n_users"))
           .as("within_band"),
@@ -514,11 +523,13 @@ object AggQueries {
 
   /** One-pass pairwise Pearson CORRELATION MATRIX over the four
     * lineitem measures — the profiling step that decides which
-    * features are redundant before a model ever trains. Each row
-    * fans out to its 6 column PAIRS (a partition-local array
-    * explode), so ONE scan + one bounded aggregate (6 rows) yields
-    * every moment the matrix needs — the naive alternative runs a
-    * separate corr() pass per pair and scans 6×.
+    * features are redundant before a model ever trains. ONE scan +
+    * one SINGLE-ROW aggregate computes all 14 shared moments (4 sums,
+    * 4 sum-of-squares, 6 cross-products, map-side combined to one row
+    * per partition), then a 1-row array explode reshapes them into
+    * the 6 (pair, corr) rows — the naive alternative runs a separate
+    * corr() pass per pair and scans 6×, and even a pair-unpivot
+    * shuffles 6×|T| rows where this shuffles 14 numbers.
     *
     * Exactness (vs [[aggCorr]], which accepts last-ulp co-moment
     * noise and rounds it away): measures convert to integer CENTS
@@ -531,6 +542,7 @@ object AggQueries {
     * doubles), so the result is bit-identical before Fp.r4 even
     * applies. */
   def profileCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val names = Seq("qty", "price", "disc", "tax")
     val colOf = Map(
       "qty" -> "l_quantity", "price" -> "l_extendedprice",
       "disc" -> "l_discount", "tax" -> "l_tax")
@@ -538,27 +550,30 @@ object AggQueries {
       expr(s"CAST(floor(${colOf(n)} * 100 + 0.5) AS BIGINT)")
     val pairs = Seq("qty" -> "price", "qty" -> "disc", "qty" -> "tax",
       "price" -> "disc", "price" -> "tax", "disc" -> "tax")
-    val kvs = pairs.map { case (a, b) =>
-      struct(lit(s"${a}_$b").as("pair"),
-        cents(a).as("x"), cents(b).as("y")) }
     val dec = "decimal(38,0)"
-    val m = t(s, dir, "lineitem")
-      .select(explode(array(kvs: _*)).as("kv"))
-      .select(col("kv.pair").as("pair"), col("kv.x").as("x"),
-        col("kv.y").as("y"))
-      .groupBy("pair")
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("x").cast(dec)).cast("double").as("sx"),
-        sum(col("y").cast(dec)).cast("double").as("sy"),
-        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
-        sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"),
-        sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"))
+    // every moment the 6 pairs need, in ONE single-row aggregate over
+    // one scan — nothing input-sized ever shuffles (the first cut of
+    // this query exploded each row to its 6 pairs and shuffled 6×|T|
+    // rows into a 6-key aggregate; the moments are shared, so compute
+    // them once and reshape the 1-row result instead)
+    val base = t(s, dir, "lineitem")
+      .select(names.map(n => cents(n).as(n)): _*)
+    val moments: Seq[Column] =
+      names.flatMap(n => Seq(
+        sum(col(n).cast(dec)).cast("double").as(s"s_$n"),
+        sum((col(n) * col(n)).cast(dec)).cast("double").as(s"ss_$n"))) ++
+        pairs.map { case (a, b) =>
+          sum((col(a) * col(b)).cast(dec)).cast("double").as(s"sp_${a}_$b") }
+    val m = base.agg(count(lit(1)).as("n"), moments: _*)
     val nD = col("n").cast("double")
-    val num = nD * col("sxy") - col("sx") * col("sy")
-    val den = sqrt((nD * col("sxx") - col("sx") * col("sx")) *
-      (nD * col("syy") - col("sy") * col("sy")))
-    m.select(col("pair"), col("n"), Fp.r4(num / den).as("corr"))
+    val rows = pairs.map { case (a, b) =>
+      val num = nD * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+      val den = sqrt((nD * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+        (nD * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")))
+      struct(lit(s"${a}_$b").as("pair"), Fp.r4(num / den).as("corr"))
+    }
+    m.select(col("n"), explode(array(rows: _*)).as("kv"))
+      .select(col("kv.pair").as("pair"), col("n"), col("kv.corr").as("corr"))
       .orderBy("pair")
   }
 

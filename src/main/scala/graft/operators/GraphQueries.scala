@@ -238,8 +238,8 @@ object GraphQueries {
     * hash-partitioned on `src`, so every round's label join plans no
     * exchange on the edge side — only the |nodes|-sized label vector
     * moves). Each of the [[LpIters]] synchronized rounds is one
-    * equi-join + one (dst, label) count + one per-dst argmax window —
-    * the window partitions on dst, so no global funnel. Labels are
+    * equi-join + one (dst, label) count + one max_by hash-aggregate
+    * argmax — never a sort. Labels are
     * localCheckpointed per round (the shared lineage discipline).
     * Output: the 20 largest communities with an id-sum checksum
     * pinning exact membership. Nodes are edge endpoints (isolated
@@ -247,7 +247,6 @@ object GraphQueries {
     * exact oracle, generated from [[LpIters]] so the round count
     * can't drift. */
   def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
     val edges = pagerankEdgesDeg(s, dir).select("src", "dst")
     val nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
@@ -257,9 +256,13 @@ object GraphQueries {
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val w = W.partitionBy("node").orderBy(desc("c"), asc("label"))
-      labels = votes.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select("node", "label")
+      // argmax by (count desc, label asc) as ONE hash aggregate:
+      // max_by on the (c, -label) struct — a rank window here would
+      // SORT the round-1 vote frame (≈|edges| rows before labels
+      // collapse) three times over
+      labels = votes.groupBy("node")
+        .agg(max_by(col("label"), struct(col("c"), -col("label")))
+          .as("label"))
         .localCheckpoint(true)
     }
     labels.groupBy("label")
