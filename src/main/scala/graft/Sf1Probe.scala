@@ -95,8 +95,13 @@ object Sf1Probe {
     }
     spark.sparkContext.addSparkListener(listener)
 
-    val families = Seq("graph_pagerank", "dedup_minhash",
-      "win_rolling_quantile", "pipeline_pack_sequences", "pipeline_end_to_end")
+    // default: the five shuffle-heaviest r6 families; extra args
+    // select other registry queries (r7: the new iterative-graph and
+    // distributed-training additions)
+    val families =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("graph_pagerank", "dedup_minhash",
+        "win_rolling_quantile", "pipeline_pack_sequences", "pipeline_end_to_end")
     families.foreach { name =>
       val q = SparkEntry.queries(name)
       def cell(dir: String): (Double, Double) = {
