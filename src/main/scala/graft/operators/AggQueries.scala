@@ -577,6 +577,60 @@ object AggQueries {
       .orderBy("pair")
   }
 
+  /** Higher-moment distribution profile per event_type: mean,
+    * variance, SKEWNESS and EXCESS KURTOSIS — the shape statistics a
+    * data-quality monitor alarms on (a kurtosis jump = heavy-tail
+    * corruption long before the mean moves). Spark's built-in
+    * skewness/kurtosis and DuckDB's disagree on the estimator
+    * (population vs sample-adjusted) AND on co-moment accumulation
+    * order, so neither is oracle-stable; instead the four raw power
+    * sums Σx..Σx⁴ accumulate EXACTLY (integer cents; x³ ≤ ~10¹⁵
+    * stays in int64 for cent values ≤ ~10⁵, x⁴ goes through
+    * DECIMAL(38,0) — HUGEINT on the DuckDB side), and the central-
+    * moment formulas evaluate in ONE double expression with
+    * identical text on both engines ([[momentsFormula]]), making the
+    * result bit-exact before Fp.r4. One map-side-combinable hash
+    * aggregate; nothing input-sized shuffles. */
+  def aggMoments(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val m = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("x"))
+      .withColumn("x2", col("x") * col("x"))
+      .withColumn("x3", col("x2") * col("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(col("x2").cast(dec)).cast("double").as("sxx"),
+        sum(col("x3").cast(dec)).cast("double").as("sx3"),
+        sum((col("x2").cast("decimal(19,0)") *
+          col("x2").cast("decimal(19,0)")).cast(dec))
+          .cast("double").as("sx4"))
+    m.select(Seq(col("event_type"), col("n_rows")) ++
+        momentsFormula.map { case (name, f) => Fp.r4(expr(f)).as(name) }: _*)
+      .orderBy("event_type")
+  }
+
+  /** The central-moment formulas, shared VERBATIM between the Spark
+    * projection and the DuckDB oracle so every double op runs in the
+    * same order on both engines. Inputs are the double-cast exact
+    * power sums (sx..sx4) and the double row count n. Kurtosis is
+    * excess (normal = 0). */
+  private val momentsFormula: Seq[(String, String)] = {
+    val mean = "(sx / n)"
+    val m2 = s"(sxx / n - $mean * $mean)"
+    val m3 = s"(sx3 / n - 3.0 * $mean * (sxx / n) + 2.0 * $mean * $mean * $mean)"
+    val m4 = s"(sx4 / n - 4.0 * $mean * (sx3 / n) " +
+      s"+ 6.0 * $mean * $mean * (sxx / n) " +
+      s"- 3.0 * $mean * $mean * $mean * $mean)"
+    Seq(
+      "mean_cents" -> mean,
+      "var_cents" -> m2,
+      "skew" -> s"($m3 / ($m2 * sqrt($m2)))",
+      "kurt" -> s"($m4 / ($m2 * $m2) - 3.0)")
+  }
+
   /** Per-group ordinary-least-squares aggregates (regr_slope /
     * regr_intercept / regr_r2 / regr_count — price vs quantity per
     * returnflag): the built-in regression family rides the same
@@ -1098,6 +1152,7 @@ object AggQueries {
     "profile_histogram" -> profileHistogram,
     "profile_stats" -> profileStats,
     "profile_corr_matrix" -> profileCorrMatrix,
+    "agg_moments" -> aggMoments,
     "agg_sketch_union" -> aggSketchUnion,
     "agg_ohlc" -> aggOhlc,
     "agg_retention" -> aggRetention,
@@ -1125,6 +1180,25 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    // exact HUGEINT power sums -> the shared momentsFormula text
+    "agg_moments" -> {
+      val cols = momentsFormula.map { case (name, f) =>
+        s"${Fp.r4Sql(f)} AS $name" }.mkString(",\n|  ")
+      s"""WITH c AS (SELECT event_type,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+         |  FROM events),
+         |p AS (SELECT event_type, x, x * x AS x2, x * x * x AS x3 FROM c),
+         |m AS (SELECT event_type, count(*) AS n_rows,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(x) AS DOUBLE) AS sx,
+         |    CAST(sum(x2) AS DOUBLE) AS sxx,
+         |    CAST(sum(x3) AS DOUBLE) AS sx3,
+         |    CAST(sum(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS sx4
+         |  FROM p GROUP BY event_type)
+         |SELECT event_type, n_rows,
+         |  $cols
+         |FROM m ORDER BY event_type""".stripMargin
+    },
     // same 6-pair unpivot; HUGEINT sums cast to the same doubles and
     // the corr closed form evaluates with the identical op sequence
     "profile_corr_matrix" ->

@@ -42,11 +42,19 @@ object GraphQueries {
   /** (src, dst, deg) edge frame, materialized ONCE — every iteration
     * needs the out-degree next to the edge, and joining it fresh per
     * round re-ran the groupBy 5×. Hash-partitioned on `src` BEFORE the
-    * eager checkpoint: LogicalRDD captures the physical partitioning,
-    * so each iteration's rank join sees the edges side (the 100 TB
-    * side at scale) already partitioned on the join key and plans NO
-    * exchange above it — only the |nodes|-sized rank vector moves per
-    * round (asserted in ScaleSpec on [[pagerankStep]]'s plan). */
+    * eager checkpoint, and — critically — materialized with AQE OFF
+    * for this one build: under AQE the checkpoint's LogicalRDD
+    * captures UnknownPartitioning (the adaptive root hides the final
+    * exchange's partitioning), so every iteration silently re-planned
+    * an edges-side exchange that only runtime broadcast-conversion
+    * papered over — the shuffle was still written each round. With
+    * the non-adaptive build the LogicalRDD carries hash(src), each
+    * iteration's join sees the edges side (the 100 TB side at scale)
+    * already partitioned on the join key and plans NO exchange above
+    * it — only the |nodes|-sized label/rank vector moves per round
+    * (asserted in ScaleSpec on [[pagerankStep]] and [[labelPropStep]]
+    * plans). One bounded materialization loses adaptive coalescing;
+    * five-plus rounds stop shuffling the big side. */
   private[graft] def pagerankEdgesDeg(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
       .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
@@ -55,10 +63,13 @@ object GraphQueries {
       .distinct()
     val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
       .union(pairs.select(col("p").as("src"), col("c").as("dst")))
-    edges
+    val joined = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .repartition(col("src"))
-      .localCheckpoint(true)
+    val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try joined.localCheckpoint(true)
+    finally s.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   private[graft] def pagerankNodes(s: SparkSession, dir: String): DataFrame =
@@ -246,24 +257,29 @@ object GraphQueries {
     * customers never trade, so have no community). All-integer ⇒
     * exact oracle, generated from [[LpIters]] so the round count
     * can't drift. */
+  /** One synchronized majority-vote round (uncheckpointed — the
+    * caller owns per-round materialization). Argmax by (count desc,
+    * label asc) runs as ONE max_by hash aggregate on the (c, -label)
+    * struct — a rank window here would SORT the round-1 vote frame
+    * (≈|edges| rows before labels collapse) every round. Exposed for
+    * ScaleSpec's exchange audit (the edges side must never
+    * re-shuffle). */
+  private[graft] def labelPropStep(edges: DataFrame,
+      labels: DataFrame): DataFrame =
+    edges.join(labels.withColumnRenamed("node", "src"), "src")
+      .groupBy(col("dst").as("node"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("node")
+      .agg(max_by(col("label"), struct(col("c"), -col("label")))
+        .as("label"))
+
   def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
     val edges = pagerankEdgesDeg(s, dir).select("src", "dst")
     val nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
     var labels = nodes.withColumn("label", col("node"))
     for (_ <- 1 to LpIters) {
-      val votes = edges
-        .join(labels.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"), col("label"))
-        .agg(count(lit(1)).as("c"))
-      // argmax by (count desc, label asc) as ONE hash aggregate:
-      // max_by on the (c, -label) struct — a rank window here would
-      // SORT the round-1 vote frame (≈|edges| rows before labels
-      // collapse) three times over
-      labels = votes.groupBy("node")
-        .agg(max_by(col("label"), struct(col("c"), -col("label")))
-          .as("label"))
-        .localCheckpoint(true)
+      labels = labelPropStep(edges, labels).localCheckpoint(true)
     }
     labels.groupBy("label")
       .agg(count(lit(1)).as("n_members"), sum("node").as("id_sum"),

@@ -949,7 +949,41 @@ object SimilarityQueries {
       .orderBy("q_id")
   }
 
+  /** RECIPROCAL RANK FUSION of two independent ANN rankings (the
+    * LSH index and the IVF index) — the standard hybrid-retrieval
+    * combiner (Cormack et al.'s RRF, what search stacks use to merge
+    * lexical + vector hits): score(q,n) = Σ_sources 1/(k + rank),
+    * here in exact integer form 10⁶ div (60 + rank) so both engines
+    * replay it bit-identically. Candidates either index missed score
+    * only from the other (full outer join), which is the whole point
+    * — fusion recovers neighbors a single index's bucketing dropped.
+    *
+    * Scale: both inputs are already top-3-per-query frames (|queries|
+    * × 3 rows), so the fusion join, scoring, and re-rank window all
+    * run on ranking-sized data — the expensive part is the two index
+    * probes, each of which keeps its own bucketed no-all-pairs shape.
+    * The oracle wraps both indexes' full oracle pipelines as
+    * subqueries, so a drift in EITHER index surfaces here too. */
+  val RrfK = 60
+  def simRankFusion(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("rrf"), asc("n_id"))
+    val lsh = simAnnLsh(s, dir)
+      .select(col("q_id"), col("n_id"), col("rank").as("lsh_rank"))
+    val ivf = simAnnIvf(s, dir)
+      .select(col("q_id"), col("n_id"), col("rank").as("ivf_rank"))
+    lsh.join(ivf, Seq("q_id", "n_id"), "full_outer")
+      .withColumn("rrf", expr(
+        s"CAST(coalesce(1000000 div ($RrfK + lsh_rank), 0) " +
+          s"+ coalesce(1000000 div ($RrfK + ivf_rank), 0) AS BIGINT)"))
+      .withColumn("frank", row_number().over(w))
+      .filter(col("frank") <= 3)
+      .select("q_id", "frank", "n_id", "rrf", "lsh_rank", "ivf_rank")
+      .orderBy("q_id", "frank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_rank_fusion" -> simRankFusion,
     "sim_recall_eval" -> simRecallEval,
     "infer_knn" -> inferKnn,
     "pipeline_semdedup" -> pipelineSemdedup,
@@ -1113,6 +1147,27 @@ object SimilarityQueries {
         |  CAST(list_max(qv) AS BIGINT) AS q_max,
         |  CAST(list_min(qv) AS BIGINT) AS q_min
         |FROM q ORDER BY vec_id""".stripMargin,
+    // both index pipelines replayed as subqueries, fused with the
+    // same integer RRF and re-ranked with the identical tie-break
+    "sim_rank_fusion" ->
+      s"""WITH lsh AS (SELECT q_id, n_id, rank AS lsh_rank
+         |  FROM ($annLshOracleSql) l),
+         |ivf AS (SELECT q_id, n_id, rank AS ivf_rank
+         |  FROM ($annIvfOracleSql) i),
+         |f AS (SELECT coalesce(lsh.q_id, ivf.q_id) AS q_id,
+         |        coalesce(lsh.n_id, ivf.n_id) AS n_id,
+         |        lsh.lsh_rank, ivf.ivf_rank,
+         |        CAST(coalesce(1000000 // (60 + lsh.lsh_rank), 0)
+         |           + coalesce(1000000 // (60 + ivf.ivf_rank), 0)
+         |          AS BIGINT) AS rrf
+         |      FROM lsh FULL JOIN ivf
+         |        ON lsh.q_id = ivf.q_id AND lsh.n_id = ivf.n_id),
+         |r AS (SELECT q_id, n_id, rrf, lsh_rank, ivf_rank,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |          ORDER BY rrf DESC, n_id) AS INTEGER) AS frank
+         |      FROM f)
+         |SELECT q_id, frank, n_id, rrf, lsh_rank, ivf_rank
+         |FROM r WHERE frank <= 3 ORDER BY q_id, frank""".stripMargin,
     "sim_recall_eval" ->
       // recall@3 of the IVF index vs exact: both sides are existing
       // oracle queries (wrapped as subqueries), so the eval replays

@@ -443,6 +443,39 @@ object TextQueries {
     * kills the 1-count noise floor first, so the ranked join is
     * support-pruned before any marginal joins. Marginals are
     * vocab-sized; the 1-row total broadcasts (intended BNLJ). */
+  /** RAG-style CHUNKING with overlap — the retrieval-prep pass that
+    * splits every document into fixed-size overlapping windows
+    * ([[ChunkLen]] chars, stride [[ChunkStride]], so consecutive
+    * chunks share ChunkLen−ChunkStride chars and no sentence is lost
+    * at a boundary). Emits the per-document chunking manifest with
+    * two verifiable invariants as columns: total chunk chars and a
+    * coverage flag (the last chunk ends exactly at n_chars) — so the
+    * oracle pins not just how many chunks but that they tile the
+    * document.
+    *
+    * Scale: the offset fan-out is a per-row `sequence` + explode —
+    * partition-local, never a shuffle; the only shuffle is the
+    * per-doc aggregate, keyed on doc_id (unique ⇒ perfectly
+    * balanced). Chunk COUNT per doc is ⌈(n_chars−len)/stride⌉+1, so
+    * the fan-out is ~n_chars/stride ≈ 7× rows of offsets for 1 kB
+    * docs — metadata-sized, the chunk text itself is never
+    * materialized here (a downstream consumer substrings on demand). */
+  val ChunkLen = 200
+  val ChunkStride = 150
+  def pipelineChunk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("nc"))
+      .withColumn("k", expr(
+        s"1 + greatest(0, (nc - $ChunkLen + ${ChunkStride - 1}) div $ChunkStride)"))
+      .withColumn("i", explode(sequence(lit(0), col("k") - 1)))
+      .withColumn("off", lit(1) + col("i") * ChunkStride)
+      .withColumn("len", length(expr(s"substring(text, off, $ChunkLen)")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("len").as("chunk_chars"),
+        (max(col("off") + col("len") - 1) === max(col("nc"))).as("covered"))
+      .orderBy("doc_id")
+
   val ColMinCount = 5
   val ColTopK = 20
   def textCollocations(s: SparkSession, dir: String): DataFrame = {
@@ -787,6 +820,7 @@ object TextQueries {
     "text_bigrams" -> textBigrams,
     "text_bigram_lm" -> textBigramLm,
     "text_collocations" -> textCollocations,
+    "pipeline_chunk" -> pipelineChunk,
     "udtf_posexplode_outer" -> udtfPosexplodeOuter,
     "pipeline_pack_bins" -> pipelinePackBins,
     "pipeline_pack_sequences" -> pipelinePackSequences,
@@ -1035,6 +1069,21 @@ object TextQueries {
         |  floor((CAST(n AS DOUBLE) / ctx_total) * 10000.0 + 0.5)
         |    / 10000.0 AS p
         |FROM r WHERE rank <= 3 ORDER BY w1, rank""".stripMargin,
+    // the same offset ladder via generate_series; substr length caps
+    // identically, so coverage and char totals replay exactly
+    "pipeline_chunk" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS nc FROM documents),
+        |k AS (SELECT doc_id, text, nc,
+        |    1 + greatest(0, (nc - 200 + 149) // 150) AS k FROM d),
+        |c AS (SELECT doc_id, nc, text,
+        |    unnest(generate_series(0, k - 1)) AS i FROM k),
+        |ch AS (SELECT doc_id, nc, 1 + i * 150 AS off,
+        |    length(substr(text, CAST(1 + i * 150 AS INTEGER), 200)) AS len
+        |  FROM c)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(len) AS BIGINT) AS chunk_chars,
+        |  max(off + len - 1) = max(nc) AS covered
+        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same single bigram table; marginals and total CAST to BIGINT so
     // DuckDB's HUGEINT sum can't leak into the hashed output
     "text_collocations" ->

@@ -522,6 +522,60 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("agg_moments: variance nonnegative, kurtosis above its algebraic floor") {
+    val rows = SparkEntry.queries("agg_moments")(spark, sf)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, n, mean, variance, skew, kurt) =>
+      assert(n > 0 && variance >= 0.0, s"$et negative variance")
+      assert(mean >= 0.0, s"$et negative mean of nonnegative cents")
+      // Pearson's inequality: kurtosis >= skew^2 + 1, so excess
+      // kurtosis >= skew^2 - 2 for ANY distribution (r4 slack)
+      assert(kurt >= skew * skew - 2.0 - 1e-3,
+        s"$et kurt $kurt below the skew^2-2 floor")
+    }
+  }
+
+  test("sim_rank_fusion: every fused hit comes from an index, rrf replays") {
+    val fused = SparkEntry.queries("sim_rank_fusion")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)),
+        if (r.isNullAt(5)) None else Some(r.getInt(5))))
+    assert(fused.nonEmpty)
+    val lsh = graft.operators.SimilarityQueries.simAnnLsh(spark, sf)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = graft.operators.SimilarityQueries.simAnnIvf(spark, sf)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    fused.foreach { case (q, frank, n, rrf, lshR, ivfR) =>
+      assert(frank >= 1 && frank <= 3)
+      assert(lshR.isDefined == lsh((q, n)), s"($q,$n) lsh membership drift")
+      assert(ivfR.isDefined == ivf((q, n)), s"($q,$n) ivf membership drift")
+      val expect = lshR.map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        ivfR.map(r => 1000000L / (60 + r)).getOrElse(0L)
+      assert(rrf == expect, s"($q,$n) rrf $rrf != $expect")
+    }
+  }
+
+  test("pipeline_chunk: chunks tile every document with exact overlap accounting") {
+    val rows = SparkEntry.queries("pipeline_chunk")(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val nChars = Tables.t(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows.length == nChars.size, "a document lost its chunk manifest")
+    val overlap = graft.operators.TextQueries.ChunkLen -
+      graft.operators.TextQueries.ChunkStride
+    rows.foreach { case (doc, k, chars, covered) =>
+      assert(covered, s"doc $doc not fully covered")
+      // overlapping tiles: total chunk chars = n_chars + overlap*(k-1)
+      assert(chars == nChars(doc) + overlap * (k - 1),
+        s"doc $doc: chunk chars $chars don't tile ${nChars(doc)}")
+    }
+  }
+
   test("text_collocations: support floor holds and lift is positive") {
     val rows = SparkEntry.queries("text_collocations")(spark, sf)
       .as[(String, String, Long, Long, Long, Long)].collect()

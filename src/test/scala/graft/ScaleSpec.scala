@@ -147,6 +147,52 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
       s"raw edge rows reached an exchange in an iteration:\n${offending.mkString("\n")}")
   }
 
+  test("label propagation rounds never re-exchange the edges side") {
+    import graft.operators.GraphQueries
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // same contract as the pagerank audit: pagerankEdgesDeg is
+    // hash-partitioned on src before its checkpoint, so a vote round
+    // must shuffle only label-vector/vote-count frames — raw edge rows
+    // reaching an exchange means the 100 TB side moves every round
+    val edges = GraphQueries.pagerankEdgesDeg(spark, sf).select("src", "dst")
+    val labels0 = edges.select(
+      org.apache.spark.sql.functions.col("src").as("node")).distinct()
+      .withColumn("label", org.apache.spark.sql.functions.col("node"))
+      .localCheckpoint(true)
+    val step = GraphQueries.labelPropStep(edges, labels0)
+    step.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val all = flatten(step.queryExecution.executedPlan)
+    val shuffles = all.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.nonEmpty,
+      "no exchange visible at all — stage traversal went vacuous")
+    val edgeCols = Set("src", "dst")
+    def rawEdgesReach(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+      case a: AdaptiveSparkPlanExec => rawEdgesReach(a.executedPlan)
+      case q: QueryStageExec => rawEdgesReach(q.plan)
+      case r: ReusedExchangeExec => rawEdgesReach(r.child)
+      case l if l.children.isEmpty =>
+        edgeCols.subsetOf(l.output.map(_.name).toSet)
+      case other => other.children.exists(rawEdgesReach)
+    }
+    val offending = shuffles.filter(e => rawEdgesReach(e.child))
+    assert(offending.isEmpty,
+      s"raw edge rows reached an exchange in a vote round:\n${offending.mkString("\n")}")
+  }
+
   test("runtime bloom filter prunes the big side of a selective join") {
     import graft.operators.JoinQueries
     // the DECLARED query's dataflow under its own conf scope — the
