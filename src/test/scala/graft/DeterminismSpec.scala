@@ -33,7 +33,14 @@ class DeterminismSpec extends AnyFunSuite with SparkFixture {
     "infer_knn",         // rounded-cosine vote
     "graph_degrees",     // two-level degree census
     "text_stats",        // per-doc scalar stats
-    "scalar_format")     // pure projection
+    "scalar_format",     // pure projection
+    // r7 additions — the FP-bearing and argmax-bearing newcomers
+    "agg_moments",       // shared-formula doubles over exact power sums
+    "profile_corr_matrix", // corr closed form over exact decimal moments
+    "infer_naive_bayes", // integer weights + (score desc, lang) argmax
+    "graph_label_prop",  // max_by struct argmax per vote round
+    "sim_rank_fusion",   // integer RRF over two index rankings
+    "sample_weighted")   // integer priority order sampling
 
   test("sampled queries are bit-identical under different shuffle partitioning") {
     val conf = spark.conf
