@@ -577,6 +577,75 @@ object AggQueries {
       .orderBy("pair")
   }
 
+  /** COUNT-MIN SKETCH frequency estimation — the mergeable
+    * heavy-hitter sketch (Cormode–Muthukrishnan) every streaming
+    * frequency pipeline runs: [[CmsDepth]] hash rows × [[CmsWidth]]
+    * counters, estimate(key) = min over rows of its counter. Width is
+    * deliberately SMALLER than the key cardinality so collisions are
+    * real and the min-over-rows actually earns its keep; the CMS
+    * one-sided-error invariant (never underestimates) rides along as
+    * a column. Unlike the HLL queries (engine-private register
+    * layout ⇒ sandwich oracle), a CMS with pinned integer hash seeds
+    * is REPLAYABLE — the oracle rebuilds the identical sketch and the
+    * estimates hash-match bit-exactly.
+    *
+    * Scale: the build is ONE (row, bucket) groupBy — ≤ depth·width
+    * cells on the shuffle regardless of input size, map-side combined;
+    * cell-wise addition makes sketches mergeable across partitions,
+    * days, or streams. The probe joins the broadcast cell table. */
+  val CmsDepth = 4
+  val CmsWidth = 64
+  val CmsP = 2147483647L // 2³¹−1, Mersenne
+  private val cmsSeeds: Seq[(Long, Long)] =
+    Seq((40503L, 17L), (104729L, 97L), (65521L, 1009L), (48611L, 8191L))
+  private def cmsBucket(i: Int, key: String): String = {
+    val (a, b) = cmsSeeds(i)
+    s"((($key) * $a + $b) % $CmsP) % $CmsWidth"
+  }
+  def aggCmsEstimate(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"))
+    def cells(key: String) = (0 until CmsDepth).map(i =>
+      struct(lit(i).as("r"), expr(cmsBucket(i, key)).as("b")))
+    val sketch = e
+      .select(explode(array(cells("user_id"): _*)).as("c"))
+      .groupBy(col("c.r").as("r"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = e.filter(col("user_id") < 10)
+    val est = probes.distinct()
+      .select(col("user_id"), explode(array(cells("user_id"): _*)).as("c"))
+      .select(col("user_id"), col("c.r").as("r"), col("c.b").as("b"))
+      .join(broadcast(sketch), Seq("r", "b"))
+      .groupBy("user_id").agg(min("cnt").as("est"))
+    val exact = probes.groupBy("user_id").agg(count(lit(1)).as("exact"))
+    est.join(exact, "user_id")
+      .select(col("user_id"), col("est"), col("exact"),
+        (col("est") >= col("exact")).as("never_under"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle generated from the same seed table — the constants can't
+    * drift between engines. */
+  private def cmsOracleSql: String = {
+    def cellUnion(src: String, key: String, withKey: Boolean): String =
+      (0 until CmsDepth).map { i =>
+        val k = if (withKey) s"$key, " else ""
+        s"SELECT $k$i AS r, ${cmsBucket(i, key)} AS b FROM $src"
+      }.mkString("\n|  UNION ALL ")
+    s"""WITH u AS (SELECT user_id FROM events),
+       |cells AS (
+       |  ${cellUnion("u", "user_id", withKey = false)}),
+       |sketch AS (SELECT r, b, count(*) AS cnt FROM cells GROUP BY 1, 2),
+       |p AS (SELECT DISTINCT user_id FROM u WHERE user_id < 10),
+       |pc AS (
+       |  ${cellUnion("p", "user_id", withKey = true)}),
+       |est AS (SELECT user_id, CAST(min(cnt) AS BIGINT) AS est
+       |        FROM pc JOIN sketch USING (r, b) GROUP BY 1),
+       |ex AS (SELECT user_id, count(*) AS exact
+       |       FROM u WHERE user_id < 10 GROUP BY 1)
+       |SELECT user_id, est, exact, est >= exact AS never_under
+       |FROM est JOIN ex USING (user_id) ORDER BY user_id""".stripMargin
+  }
+
   /** Higher-moment distribution profile per event_type: mean,
     * variance, SKEWNESS and EXCESS KURTOSIS — the shape statistics a
     * data-quality monitor alarms on (a kurtosis jump = heavy-tail
@@ -1153,6 +1222,7 @@ object AggQueries {
     "profile_stats" -> profileStats,
     "profile_corr_matrix" -> profileCorrMatrix,
     "agg_moments" -> aggMoments,
+    "agg_cms_estimate" -> aggCmsEstimate,
     "agg_sketch_union" -> aggSketchUnion,
     "agg_ohlc" -> aggOhlc,
     "agg_retention" -> aggRetention,
@@ -1180,6 +1250,7 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    "agg_cms_estimate" -> cmsOracleSql,
     // exact HUGEINT power sums -> the shared momentsFormula text
     "agg_moments" -> {
       val cols = momentsFormula.map { case (name, f) =>

@@ -522,6 +522,21 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("agg_cms_estimate: one-sided error — estimates never fall below exact") {
+    val rows = SparkEntry.queries("agg_cms_estimate")(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val exact = Tables.t(spark, sf, "events")
+      .where("user_id < 10").groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(rows.length == exact.size, "a probe user lost its estimate")
+    rows.foreach { case (u, est, ex, neverUnder) =>
+      assert(ex == exact(u), s"user $u exact count drifted")
+      assert(est >= ex, s"user $u: CMS underestimated ($est < $ex)")
+      assert(neverUnder, s"user $u: invariant column wrong")
+    }
+  }
+
   test("agg_moments: variance nonnegative, kurtosis above its algebraic floor") {
     val rows = SparkEntry.queries("agg_moments")(spark, sf)
       .as[(String, Long, Double, Double, Double, Double)].collect()
