@@ -63,12 +63,17 @@ object GraphQueries {
       .distinct()
     val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
       .union(pairs.select(col("p").as("src"), col("c").as("dst")))
-    val joined = edges
+    // two-step materialization: the expensive joins run ADAPTIVELY
+    // (runtime broadcast of the degree side) into a first checkpoint;
+    // only the final hash exchange runs non-adaptively, so the
+    // partition-pinning costs one extra shuffle of the materialized
+    // edges, not an unbroadcast join build
+    val base = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .repartition(col("src"))
+      .localCheckpoint(true)
     val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
     s.conf.set("spark.sql.adaptive.enabled", "false")
-    try joined.localCheckpoint(true)
+    try base.repartition(col("src")).localCheckpoint(true)
     finally s.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
