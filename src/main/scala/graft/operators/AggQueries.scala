@@ -598,21 +598,27 @@ object AggQueries {
   val CmsP = 2147483647L // 2³¹−1, Mersenne
   private val cmsSeeds: Seq[(Long, Long)] =
     Seq((40503L, 17L), (104729L, 97L), (65521L, 1009L), (48611L, 8191L))
-  private def cmsBucket(i: Int, key: String): String = {
+  private[graft] def cmsBucket(i: Int, key: String): String = {
     val (a, b) = cmsSeeds(i)
     s"((($key) * $a + $b) % $CmsP) % $CmsWidth"
   }
-  def aggCmsEstimate(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events").select(col("user_id"))
-    def cells(key: String) = (0 until CmsDepth).map(i =>
-      struct(lit(i).as("r"), expr(cmsBucket(i, key)).as("b")))
-    val sketch = e
-      .select(explode(array(cells("user_id"): _*)).as("c"))
+  private[graft] def cmsCells(key: String) = (0 until CmsDepth).map(i =>
+    struct(lit(i).as("r"), expr(cmsBucket(i, key)).as("b")))
+
+  /** Per-batch (or whole-input) sketch cell counts. */
+  private[graft] def cmsSketch(keyed: DataFrame): DataFrame =
+    keyed.select(explode(array(cmsCells("user_id"): _*)).as("c"))
       .groupBy(col("c.r").as("r"), col("c.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
-    val probes = e.filter(col("user_id") < 10)
+
+  /** Probe a (r, b, cnt) sketch for the user_id < 10 keys and attach
+    * the exact counts + the one-sided-error invariant — shared by the
+    * batch query and stream_cms (whose merged state must probe
+    * identically). */
+  private[graft] def cmsProbe(sketch: DataFrame, events: DataFrame): DataFrame = {
+    val probes = events.filter(col("user_id") < 10)
     val est = probes.distinct()
-      .select(col("user_id"), explode(array(cells("user_id"): _*)).as("c"))
+      .select(col("user_id"), explode(array(cmsCells("user_id"): _*)).as("c"))
       .select(col("user_id"), col("c.r").as("r"), col("c.b").as("b"))
       .join(broadcast(sketch), Seq("r", "b"))
       .groupBy("user_id").agg(min("cnt").as("est"))
@@ -623,9 +629,14 @@ object AggQueries {
       .orderBy("user_id")
   }
 
+  def aggCmsEstimate(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"))
+    cmsProbe(cmsSketch(e), e)
+  }
+
   /** Oracle generated from the same seed table — the constants can't
     * drift between engines. */
-  private def cmsOracleSql: String = {
+  private[graft] def cmsOracleSql: String = {
     def cellUnion(src: String, key: String, withKey: Boolean): String =
       (0 until CmsDepth).map { i =>
         val k = if (withKey) s"$key, " else ""

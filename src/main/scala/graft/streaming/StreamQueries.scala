@@ -658,6 +658,53 @@ object StreamQueries {
     s.read.parquet(pairPath).orderBy("doc_a", "doc_b")
   }
 
+  /** INCREMENTAL Count-Min sketch — the streaming twin of
+    * agg_cms_estimate (the stream_minhash pattern applied to the
+    * frequency sketch): each micro-batch computes its own (row,
+    * bucket) cell counts and MERGES them cell-wise (sum) into the
+    * parquet state store — the mergeability that makes CMS the
+    * production streaming frequency sketch; the state is always
+    * ≤ depth·width rows regardless of stream length. Because integer
+    * cell sums are associative, the merged sketch is bit-identical to
+    * the batch sketch over the same rows, so the final probe reuses
+    * the batch query's shared probe AND its oracle verbatim — the
+    * strongest possible incremental-equals-batch check. */
+  val CmsChunks = 4
+  def streamCms(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggQueries
+    val tag = contentTag(s, dir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_cms_$tag"
+    val events = t(s, dir, "events").select("event_id", "user_id")
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+      val maxId = events.agg(max("event_id")).head().getLong(0)
+      val w = maxId / CmsChunks + 1
+      stageChunks(events, base, s"event_id div $w")
+    }
+    val statePath = s"$base/sketch"
+    val q = s.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val sess = batch.sparkSession
+        val bs = AggQueries.cmsSketch(batch.select("user_id"))
+        val merged =
+          if (new java.io.File(s"$statePath/_SUCCESS").exists())
+            sess.read.parquet(statePath).unionByName(bs)
+              .groupBy("r", "b").agg(sum("cnt").as("cnt"))
+          else bs
+        // eager checkpoint BEFORE the overwrite — the merge reads the
+        // same files the write replaces (the streamForeachBatch pattern)
+        merged.localCheckpoint(true).write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AggQueries.cmsProbe(s.read.parquet(statePath), events.select("user_id"))
+  }
+
   /** Static dimension for stream_enrich: event_type → (weight,
     * category). Broadcast-joined against the stream — the standard
     * stream-static enrichment, STATELESS on the stream side (no
@@ -1161,6 +1208,7 @@ object StreamQueries {
     "stream_ohlc" -> streamOhlc,
     "stream_concurrency" -> streamConcurrency,
     "stream_minhash" -> streamMinhash,
+    "stream_cms" -> streamCms,
     "stream_scd2" -> streamScd2,
     "stream_foreachbatch" -> streamForeachBatch,
     "stream_enrich" -> streamEnrich,
@@ -1254,6 +1302,9 @@ object StreamQueries {
     // the incrementally-accumulated pair state must equal the one-shot
     // batch LSH — dedup_minhash's generated oracle verbatim
     "stream_minhash" -> graft.operators.DedupQueries.minhashOracleSql,
+    // cell-wise integer sums are associative: the merged streaming
+    // sketch is bit-identical to the batch sketch, same oracle
+    "stream_cms" -> graft.operators.AggQueries.cmsOracleSql,
     // the incrementally-merged endpoint state must reproduce the
     // ONE-SHOT single-global-window sweep — win_concurrency's SQL
     // verbatim; the hash proves batch-split + compaction invariance

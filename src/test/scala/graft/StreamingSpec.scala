@@ -423,4 +423,15 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .agg(sum("n_kept"), sum("n_seen")).head()
     assert(tot.getLong(0) > 0 && tot.getLong(0) < tot.getLong(1))
   }
+
+  test("stream_cms: cell-wise merged sketch probes identically to the batch sketch") {
+    // integer cell sums are associative, so the incremental state must
+    // reproduce the batch query BIT-exactly — the incremental=batch
+    // contract the scaladoc claims
+    val streamed = SparkEntry.queries("stream_cms")(spark, sf)
+      .collect().toSeq.map(_.toString)
+    val batch = SparkEntry.queries("agg_cms_estimate")(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(streamed == batch, "incremental CMS diverged from batch CMS")
+  }
 }
