@@ -657,6 +657,189 @@ object AggQueries {
        |FROM est JOIN ex USING (user_id) ORDER BY user_id""".stripMargin
   }
 
+  /** K-MINIMUM-VALUES (bottom-k) distinct sketch — the third
+    * cardinality sketch next to HLL (agg_approx_distinct) and bitmap
+    * (agg_bitmap_distinct), and the one with a property the others
+    * lack here: with a PINNED integer hash the whole sketch is
+    * REPLAYABLE, so the oracle hash-checks the estimate itself, not a
+    * sandwich band (Bar-Yossef et al.'s KMV / Beyer et al.'s
+    * "distinct sampling" estimator: keep the K smallest hash values;
+    * est = (K−1)·M ∕ h₍K₎ for hash space [0, M)).
+    *
+    * The sketched key is the (user_id, epoch-day) ACTIVITY PAIR per
+    * event type — per-type daily-active cardinalities, the metric HLL
+    * dashboards track. ak = user_id·10⁵ + day is injective (epoch
+    * days < 10⁵ until year 2243), and because [[KmvM]] is prime with
+    * multiplier coprime to it and ak < M, distinct keys map to
+    * DISTINCT hashes — the bottom-k multiset is a true set, no dedup
+    * pass needed.
+    *
+    * Scale: the distinct on (type, ak) pairs is the only data-scale
+    * shuffle (narrow pair rows, map-side combined); per-type bottom-K
+    * is a rank window that Spark 4's InferWindowGroupLimit rewrites
+    * to a per-partition group limit — each map task keeps K rows per
+    * type, never a full sort (the same native rewrite win_rank
+    * documents). The K·|types| sketch rows then aggregate to one row
+    * per type. Mergeability (union of bottom-k sets → re-take
+    * bottom-k) is exercised pairwise by [[aggKmvJaccard]]. */
+  val KmvK = 64
+  val KmvM = 2147483647L // 2³¹−1 prime hash space
+  val KmvA = 1103515245L // coprime to KmvM ⇒ injective on [0, M)
+  val KmvB = 12345L
+  private[graft] val kmvHashSqlSpark =
+    s"(ak * $KmvA + $KmvB) % $KmvM"
+  /** Distinct (event_type, activity-key) pairs — the sketched set. */
+  private[graft] def kmvKeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        expr("user_id * 100000 + (ts_s div 86400)").as("ak"))
+      .distinct()
+  /** Per-type bottom-K hash sketch (event_type, h). */
+  private[graft] def kmvBottom(keys: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("h")
+    keys.withColumn("h", expr(kmvHashSqlSpark))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+      .select("event_type", "h")
+  }
+
+  def aggKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val keys = kmvKeys(s, dir).localCheckpoint(true)
+    val num = (KmvK - 1).toLong * KmvM // (K−1)·M, precomputed: 63·(2³¹−1)
+    val sk = kmvBottom(keys).groupBy("event_type")
+      .agg(count(lit(1)).as("k_in"), max("h").as("kth"))
+    val ex = keys.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+    sk.join(ex, "event_type")
+      // a sketch holding fewer than K values saw the WHOLE set — the
+      // estimate is exact by construction
+      .withColumn("est", when(col("k_in") < KmvK, col("k_in"))
+        .otherwise(expr(s"CAST($num AS BIGINT) div kth")))
+      .select("event_type", "k_in", "kth", "est", "n_exact")
+      .orderBy("event_type")
+  }
+
+  /** KMV JACCARD between every event-type pair — sketch-space set
+    * overlap (Broder's classic resemblance estimator on bottom-k
+    * sketches): merge two types' sketches, re-take the K smallest of
+    * the union (bottom-k is closed under union — the mergeability
+    * that lets 1000 executors sketch independently), and count how
+    * many of those K live in BOTH input sketches; Ĵ = n_both ∕ K.
+    * The exact Jaccard over the same activity sets rides along for
+    * comparison — at 100 TB only the sketch path runs (K·|types|
+    * rows), the exact path here is verification scaffolding like
+    * agg_approx_distinct's exact count. All-integer and pinned-hash
+    * ⇒ the estimate itself hash-checks against the DuckDB replay.
+    *
+    * Plan shape: the type-pair grid is a theta self-join of the
+    * |types|-row distinct frame (broadcast BNLJ on a 5-row side — the
+    * agg_ttest pattern, allow-listed); the sketch/exact sides then
+    * attach via equi-joins only. */
+  def aggKmvJaccard(s: SparkSession, dir: String): DataFrame = {
+    val keys = kmvKeys(s, dir).localCheckpoint(true)
+    val bot = kmvBottom(keys).localCheckpoint(true) // K·|types| rows
+    val types = bot.select("event_type").distinct()
+    val tp = broadcast(types.withColumnRenamed("event_type", "ta"))
+      .join(types.withColumnRenamed("event_type", "tb"),
+        col("ta") < col("tb"))
+    // union-of-sketches with membership flags, dedup'd per hash
+    val inA = tp.join(bot.withColumnRenamed("event_type", "ta"), "ta")
+      .select(col("ta"), col("tb"), col("h"),
+        lit(1L).as("fa"), lit(0L).as("fb"))
+    val inB = tp.join(bot.withColumnRenamed("event_type", "tb"), "tb")
+      .select(col("ta"), col("tb"), col("h"),
+        lit(0L).as("fa"), lit(1L).as("fb"))
+    val u = inA.unionByName(inB)
+      .groupBy("ta", "tb", "h")
+      .agg(max("fa").as("fa"), max("fb").as("fb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ta", "tb").orderBy("h")
+    val est = u.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("k_merged"),
+        sum(col("fa") * col("fb")).as("n_both"))
+      .withColumn("jac_est_pct",
+        expr("(100 * n_both) div k_merged"))
+    // exact overlap on the same activity sets (agg_overlap's shape)
+    val nAll = keys.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val common = keys.as("x")
+      .join(keys.as("y"),
+        col("x.ak") === col("y.ak") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"),
+        col("y.event_type").as("tb"))
+      .agg(count(lit(1)).as("common"))
+    est.join(common, Seq("ta", "tb"))
+      .join(nAll.select(col("event_type").as("ta"), col("n").as("na")), "ta")
+      .join(nAll.select(col("event_type").as("tb"), col("n").as("nb")), "tb")
+      .withColumn("jac_exact_pct",
+        expr("(100 * common) div (na + nb - common)"))
+      .select("ta", "tb", "k_merged", "n_both", "jac_est_pct",
+        "common", "jac_exact_pct")
+      .orderBy("ta", "tb")
+  }
+
+  /** Shared oracle fragments: the DuckDB replay of [[kmvKeys]] and
+    * [[kmvBottom]] (`//` ≡ Spark's `div` — both truncate toward
+    * zero; ak and h are nonnegative anyway). */
+  private def kmvKeysCte: String =
+    s"""k AS (SELECT DISTINCT event_type,
+       |    user_id * 100000 +
+       |      (CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 86400) AS ak
+       |  FROM events),
+       |b AS (SELECT event_type, h FROM (
+       |    SELECT event_type, (ak * $KmvA + $KmvB) % $KmvM AS h,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY
+       |        (ak * $KmvA + $KmvB) % $KmvM) AS rn
+       |    FROM k) x WHERE rn <= $KmvK)""".stripMargin
+  private[graft] def kmvDistinctOracleSql: String =
+    s"""WITH ${kmvKeysCte},
+       |sk AS (SELECT event_type, count(*) AS k_in, max(h) AS kth
+       |       FROM b GROUP BY 1),
+       |ex AS (SELECT event_type, count(*) AS n_exact FROM k GROUP BY 1)
+       |SELECT event_type, k_in, kth,
+       |  CAST(CASE WHEN k_in < $KmvK THEN k_in
+       |    ELSE ${(KmvK - 1).toLong * KmvM} // kth END AS BIGINT) AS est,
+       |  n_exact
+       |FROM sk JOIN ex USING (event_type) ORDER BY event_type""".stripMargin
+  private[graft] def kmvJaccardOracleSql: String =
+    s"""WITH ${kmvKeysCte},
+       |tp AS (SELECT x.event_type AS ta, y.event_type AS tb
+       |       FROM (SELECT DISTINCT event_type FROM b) x,
+       |            (SELECT DISTINCT event_type FROM b) y
+       |       WHERE x.event_type < y.event_type),
+       |u AS (SELECT ta, tb, h,
+       |    max(CASE WHEN src = 'a' THEN 1 ELSE 0 END) AS fa,
+       |    max(CASE WHEN src = 'b' THEN 1 ELSE 0 END) AS fb
+       |  FROM (
+       |    SELECT tp.ta, tp.tb, b.h, 'a' AS src
+       |      FROM tp JOIN b ON b.event_type = tp.ta
+       |    UNION ALL
+       |    SELECT tp.ta, tp.tb, b.h, 'b' AS src
+       |      FROM tp JOIN b ON b.event_type = tp.tb) s
+       |  GROUP BY 1, 2, 3),
+       |m AS (SELECT ta, tb, count(*) AS k_merged,
+       |    CAST(sum(fa * fb) AS BIGINT) AS n_both
+       |  FROM (SELECT ta, tb, h, fa, fb,
+       |      row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+       |    FROM u) x WHERE rn <= $KmvK GROUP BY 1, 2),
+       |nall AS (SELECT event_type, count(*) AS n FROM k GROUP BY 1),
+       |cmn AS (SELECT x.event_type AS ta, y.event_type AS tb,
+       |    count(*) AS common
+       |  FROM k x JOIN k y ON x.ak = y.ak
+       |    AND x.event_type < y.event_type
+       |  GROUP BY 1, 2)
+       |SELECT m.ta, m.tb, m.k_merged,
+       |  m.n_both, (100 * m.n_both) // m.k_merged AS jac_est_pct,
+       |  cmn.common,
+       |  (100 * cmn.common) // (a.n + bb.n - cmn.common) AS jac_exact_pct
+       |FROM m
+       |JOIN cmn ON cmn.ta = m.ta AND cmn.tb = m.tb
+       |JOIN nall a ON a.event_type = m.ta
+       |JOIN nall bb ON bb.event_type = m.tb
+       |ORDER BY m.ta, m.tb""".stripMargin
+
   /** Higher-moment distribution profile per event_type: mean,
     * variance, SKEWNESS and EXCESS KURTOSIS — the shape statistics a
     * data-quality monitor alarms on (a kurtosis jump = heavy-tail
@@ -1234,6 +1417,8 @@ object AggQueries {
     "profile_corr_matrix" -> profileCorrMatrix,
     "agg_moments" -> aggMoments,
     "agg_cms_estimate" -> aggCmsEstimate,
+    "agg_kmv_distinct" -> aggKmvDistinct,
+    "agg_kmv_jaccard" -> aggKmvJaccard,
     "agg_sketch_union" -> aggSketchUnion,
     "agg_ohlc" -> aggOhlc,
     "agg_retention" -> aggRetention,
@@ -1262,6 +1447,9 @@ object AggQueries {
 
   val oracleSql: Map[String, String] = Map(
     "agg_cms_estimate" -> cmsOracleSql,
+    // pinned-hash bottom-k sketches: the estimates REPLAY bit-exactly
+    "agg_kmv_distinct" -> kmvDistinctOracleSql,
+    "agg_kmv_jaccard" -> kmvJaccardOracleSql,
     // exact HUGEINT power sums -> the shared momentsFormula text
     "agg_moments" -> {
       val cols = momentsFormula.map { case (name, f) =>

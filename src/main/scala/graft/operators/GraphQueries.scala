@@ -339,7 +339,96 @@ object GraphQueries {
       .limit(JacTopK)
   }
 
+  val CoreRounds = 3
+
+  /** K-CORE decomposition by iterative peeling (Matula–Beck) — the
+    * fifth iterative-graph primitive: repeatedly delete nodes of
+    * degree < K; what survives is the K-core, the standard "dense
+    * backbone" extraction (spam-ring detection, community cores,
+    * boilerplate-cluster isolation on a dedup graph). K is not a
+    * magic number: it is the DISCRETE MEDIAN of the initial degree
+    * distribution, so the query self-scales — at any SF roughly half
+    * the nodes start below the bar (percentile_disc semantics shared
+    * with DuckDB, proven by agg_quantile_disc).
+    *
+    * Scale: the edge frame is [[pagerankEdgesDeg]]'s checkpoint —
+    * hash-partitioned on src, built once. Each peel round is two
+    * semi-joins of the edges against the current alive set (the
+    * |nodes|-sized side — AQE broadcasts it while it fits, exactly
+    * the pagerank rank-vector economics; the edges side, partitioned
+    * on src, never re-shuffles for the src-side probe) plus one
+    * degree groupBy. Alive sets are NESTED (a node removed never
+    * returns), so every round induces against the ORIGINAL edges and
+    * only the bounded alive vector is localCheckpointed per round —
+    * the edge set is never re-materialized. The K-scalar is the one
+    * driver-held value (the model-state pattern).
+    *
+    * Output: one row per peel round — survivor count, Σdeg (their
+    * degree in the PREVIOUS round's induced graph, i.e. the degrees
+    * the ≥K test saw), and an id-sum membership checksum — pinning
+    * the whole peeling trajectory, not just the fixed point. */
+  def graphCore(s: SparkSession, dir: String): DataFrame = {
+    val edges = pagerankEdgesDeg(s, dir).select("src", "dst")
+    val deg0 = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val k = deg0.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY deg)")
+        .cast("long")).head().getLong(0)
+    var deg = deg0
+    val summaries = Seq.newBuilder[DataFrame]
+    for (r <- 1 to CoreRounds) {
+      // a_r = survivors of this round's >= K test on deg(e_{r-1})
+      val alive = deg.filter(col("deg") >= k)
+        .select(col("src").as("node")).localCheckpoint(true)
+      summaries += deg.filter(col("deg") >= k)
+        .agg(count(lit(1)).as("n_alive"), sum("deg").as("deg_sum"),
+          sum("src").as("id_sum"))
+        .select(lit(r).as("round"), lit(k).as("k"), col("n_alive"),
+          col("deg_sum"), col("id_sum"))
+      // degrees in the graph induced on a_r, for the next round's test
+      if (r < CoreRounds)
+        deg = edges
+          .join(alive.withColumnRenamed("node", "src"), Seq("src"),
+            "left_semi")
+          .join(alive.withColumnRenamed("node", "dst"), Seq("dst"),
+            "left_semi")
+          .groupBy("src").agg(count(lit(1)).as("deg"))
+          .localCheckpoint(true)
+    }
+    summaries.result().reduce(_ unionByName _).orderBy("round")
+  }
+
+  /** Unrolled-CTE replay of [[graphCore]], generated from
+    * [[CoreRounds]] so the round count cannot drift. */
+  private def coreOracle: String = {
+    val rounds = (1 to CoreRounds).map { r =>
+      val prev = if (r == 1) "d0" else s"d${r - 1}"
+      val induce = if (r == CoreRounds) "" else
+        s""",
+           |a$r AS (SELECT src AS node FROM $prev, kq WHERE deg >= kq.k),
+           |d$r AS (SELECT e.src, count(*) AS deg FROM edges e
+           |  JOIN a$r x ON e.src = x.node
+           |  JOIN a$r y ON e.dst = y.node GROUP BY e.src)""".stripMargin
+      s"""s$r AS (SELECT $r AS round, kq.k AS k, count(*) AS n_alive,
+         |  CAST(sum(deg) AS BIGINT) AS deg_sum,
+         |  CAST(sum(src) AS BIGINT) AS id_sum
+         |  FROM $prev, kq WHERE deg >= kq.k GROUP BY kq.k)$induce""".stripMargin
+    }.mkString(",\n|")
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c,
+       |    l_suppkey * 2 + 1 AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS src, p AS dst FROM pairs
+       |  UNION ALL SELECT p, c FROM pairs),
+       |d0 AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |kq AS (SELECT CAST(quantile_disc(deg, 0.5) AS BIGINT) AS k FROM d0),
+       |$rounds
+       |${(1 to CoreRounds).map(r => s"SELECT * FROM s$r")
+          .mkString("\n|UNION ALL ")}
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_core" -> graphCore,
     "graph_label_prop" -> graphLabelProp,
     "graph_jaccard" -> graphJaccard,
     "graph_bfs" -> graphBfs,
@@ -490,6 +579,7 @@ object GraphQueries {
        |ORDER BY jac_pct DESC, common DESC, pa, pb LIMIT $JacTopK""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "graph_core" -> coreOracle,
     "graph_label_prop" -> labelPropOracle(LpIters),
     "graph_jaccard" -> jaccardOracle,
     "graph_bfs" -> bfsOracle(BfsMaxHops),

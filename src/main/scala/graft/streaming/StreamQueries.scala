@@ -705,6 +705,63 @@ object StreamQueries {
     AggQueries.cmsProbe(s.read.parquet(statePath), events.select("user_id"))
   }
 
+  /** INCREMENTAL reservoir sample — the streaming twin of
+    * sample_reservoir: hash-priority bottom-K is a MERGEABLE sketch
+    * (the min-K of a union is the min-K of the two min-Ks), so the
+    * state is always exactly ≤ K rows no matter how long the stream
+    * runs; each micro-batch takes its own bottom-K and re-merges with
+    * the stored K — the distributed-reservoir maintenance every
+    * always-on corpus sampler runs. Deterministic priorities make the
+    * final sample identical to the one-shot batch query, so the
+    * oracle is sample_reservoir's SQL verbatim. The final rank window
+    * runs behind an explicit limit(K) on the K-row state — plan-
+    * bounded, never input-scale. */
+  def streamReservoir(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SampleQueries.ReservoirK
+    val tag = contentTag(s, dir)
+    val base =
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_reservoir_$tag"
+    val events = t(s, dir, "events").select("event_id", "user_id")
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+      val maxId = events.agg(max("event_id")).head().getLong(0)
+      val w = maxId / 4 + 1
+      stageChunks(events, base, s"event_id div $w")
+    }
+    val statePath = s"$base/state"
+    def bottomK(df: DataFrame): DataFrame =
+      df.withColumn("prio", (col("event_id") * 40503L + 17L) % 65521L)
+        .select("event_id", "user_id", "prio")
+        .orderBy(col("prio"), col("event_id")).limit(ReservoirK)
+    val q = s.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val sess = batch.sparkSession
+        val bk = bottomK(batch.toDF())
+        val merged =
+          if (new java.io.File(s"$statePath/_SUCCESS").exists())
+            sess.read.parquet(statePath).unionByName(bk)
+              .orderBy(col("prio"), col("event_id")).limit(ReservoirK)
+          else bk
+        // eager checkpoint BEFORE the overwrite — the merge reads the
+        // same files the write replaces
+        merged.localCheckpoint(true).write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("prio"), col("event_id"))
+    s.read.parquet(statePath)
+      .orderBy(col("prio"), col("event_id")).limit(ReservoirK)
+      .withColumn("rn", row_number().over(w))
+      .select("rn", "event_id", "user_id", "prio")
+      .orderBy("rn")
+  }
+
   /** Static dimension for stream_enrich: event_type → (weight,
     * category). Broadcast-joined against the stream — the standard
     * stream-static enrichment, STATELESS on the stream side (no
@@ -1209,6 +1266,7 @@ object StreamQueries {
     "stream_concurrency" -> streamConcurrency,
     "stream_minhash" -> streamMinhash,
     "stream_cms" -> streamCms,
+    "stream_reservoir" -> streamReservoir,
     "stream_scd2" -> streamScd2,
     "stream_foreachbatch" -> streamForeachBatch,
     "stream_enrich" -> streamEnrich,
@@ -1305,6 +1363,11 @@ object StreamQueries {
     // cell-wise integer sums are associative: the merged streaming
     // sketch is bit-identical to the batch sketch, same oracle
     "stream_cms" -> graft.operators.AggQueries.cmsOracleSql,
+    // bottom-K under deterministic priorities is merge-invariant:
+    // the incrementally-maintained reservoir equals the one-shot
+    // sample — sample_reservoir's SQL verbatim
+    "stream_reservoir" ->
+      graft.operators.SampleQueries.oracleSql("sample_reservoir"),
     // the incrementally-merged endpoint state must reproduce the
     // ONE-SHOT single-global-window sweep — win_concurrency's SQL
     // verbatim; the hash proves batch-split + compaction invariance

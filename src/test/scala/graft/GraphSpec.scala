@@ -119,6 +119,34 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("graph_core: driver-side peel replay matches, trajectory monotone") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("graph_core")(spark, sf)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(rows.length == graft.operators.GraphQueries.CoreRounds)
+    // survivor counts never grow (alive sets are nested)
+    val alive = rows.map(_._3)
+    assert(alive.sameElements(alive.sorted.reverse), "peeling grew the core")
+    // sequential replay: collect the pair graph and peel in plain Scala
+    val pairs = graft.operators.GraphQueries.pagerankEdgesDeg(spark, sf)
+      .select("src", "dst").as[(Long, Long)].collect()
+    var edges = (pairs ++ Array.empty[(Long, Long)]).toSet // both dirs already
+    def degrees(e: Set[(Long, Long)]): Map[Long, Int] =
+      e.groupBy(_._1).map { case (n, es) => n -> es.size }
+    val d0 = degrees(edges).values.toSeq.sorted
+    val k = d0((d0.size - 1) / 2) // percentile_disc(0.5): lower middle
+    assert(k == rows.head._2, "median-degree threshold drifted")
+    var deg = degrees(edges)
+    rows.foreach { case (_, _, nAlive, degSum, idSum) =>
+      val a = deg.filter(_._2 >= k)
+      assert(a.size.toLong == nAlive)
+      assert(a.values.map(_.toLong).sum == degSum)
+      assert(a.keys.sum == idSum)
+      edges = edges.filter { case (s, d) => a.contains(s) && a.contains(d) }
+      deg = degrees(edges)
+    }
+  }
+
   test("graph_jaccard: similarity bounds and common ≤ min degree") {
     import spark.implicits._
     val rows = SparkEntry.queries("graph_jaccard")(spark, sf)

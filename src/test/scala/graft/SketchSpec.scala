@@ -55,6 +55,41 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("KMV bottom-k is mergeable: bottom-K of halves re-merged == one-shot bottom-K") {
+    import org.apache.spark.sql.functions._
+    val keys = graft.operators.AggQueries.kmvKeys(spark, sf)
+    val one = graft.operators.AggQueries.kmvBottom(keys)
+      .as[(String, Long)].collect().toSeq.sorted
+    // split the key space arbitrarily, sketch each half, merge by
+    // union + re-take bottom-K — the 1000-executor independence claim
+    val k = graft.operators.AggQueries.KmvK
+    val lo = graft.operators.AggQueries.kmvBottom(keys.filter(col("ak") % 2 === 0))
+    val hi = graft.operators.AggQueries.kmvBottom(keys.filter(col("ak") % 2 === 1))
+    val merged = lo.unionByName(hi)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= k).select("event_type", "h")
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(merged == one, "bottom-k union-merge diverged from the one-shot sketch")
+  }
+
+  test("KMV estimate lands within the 4-sigma band of the exact cardinality") {
+    val rows = SparkEntry.queries("agg_kmv_distinct")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, kIn, _, est, exact) =>
+      if (kIn < graft.operators.AggQueries.KmvK)
+        assert(est == exact, s"$t: sub-K sketch must be exact")
+      else {
+        // relative sigma of the KMV estimator is 1/sqrt(K-2)
+        val sigma = exact / math.sqrt(graft.operators.AggQueries.KmvK - 2.0)
+        assert(math.abs(est - exact) <= 4 * sigma,
+          s"$t: est $est vs exact $exact outside 4 sigma")
+      }
+    }
+  }
+
   test("text_heavy_hitters equals the exact heavy-hitter set (sketch+verify is deterministic)") {
     val got = SparkEntry.queries("text_heavy_hitters")(spark, sf)
       .as[(String, Long)].collect().toSeq

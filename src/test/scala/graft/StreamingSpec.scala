@@ -424,6 +424,22 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(tot.getLong(0) > 0 && tot.getLong(0) < tot.getLong(1))
   }
 
+  test("incremental stream_reservoir equals one-shot sample_reservoir and is idempotent") {
+    val inc = StreamQueries.streamReservoir(spark, sf).collect().toSeq
+    val batch = operators.SampleQueries.sampleReservoir(spark, sf).collect().toSeq
+    assert(inc == batch, "merged bottom-K state diverged from the one-shot sample")
+    assert(inc.size == operators.SampleQueries.ReservoirK)
+    // the merge genuinely ran across micro-batches
+    val tagDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_stream_reservoir_"))
+    assert(tagDirs.exists(d =>
+        Option(new java.io.File(d, "chk/commits").list()).exists(_.length >= 2)),
+      "expected at least 2 committed micro-batches")
+    // re-run with the same checkpoint processes nothing and is stable
+    val again = StreamQueries.streamReservoir(spark, sf).collect().toSeq
+    assert(again == inc)
+  }
+
   test("stream_cms: cell-wise merged sketch probes identically to the batch sketch") {
     // integer cell sums are associative, so the incremental state must
     // reproduce the batch query BIT-exactly — the incremental=batch
