@@ -688,11 +688,13 @@ object AggQueries {
   val KmvB = 12345L
   private[graft] val kmvHashSqlSpark =
     s"(ak * $KmvA + $KmvB) % $KmvM"
+  /** The activity key: (user, epoch-day) packed injectively. Shared
+    * with stream_kmv's per-batch sketching. */
+  private[graft] val kmvAkSqlSpark = "user_id * 100000 + (ts_s div 86400)"
   /** Distinct (event_type, activity-key) pairs — the sketched set. */
   private[graft] def kmvKeys(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .select(col("event_type"),
-        expr("user_id * 100000 + (ts_s div 86400)").as("ak"))
+      .select(col("event_type"), expr(kmvAkSqlSpark).as("ak"))
       .distinct()
   /** Per-type bottom-K hash sketch (event_type, h). */
   private[graft] def kmvBottom(keys: DataFrame): DataFrame = {
@@ -704,10 +706,13 @@ object AggQueries {
       .select("event_type", "h")
   }
 
-  def aggKmvDistinct(s: SparkSession, dir: String): DataFrame = {
-    val keys = kmvKeys(s, dir).localCheckpoint(true)
+  /** Turn a per-type bottom-K sketch into the published estimate row,
+    * with exact counts from `keys` as verification scaffolding —
+    * shared by the batch query and stream_kmv (whose merged state
+    * must assemble identically). */
+  private[graft] def kmvAssemble(bottom: DataFrame, keys: DataFrame): DataFrame = {
     val num = (KmvK - 1).toLong * KmvM // (K−1)·M, precomputed: 63·(2³¹−1)
-    val sk = kmvBottom(keys).groupBy("event_type")
+    val sk = bottom.groupBy("event_type")
       .agg(count(lit(1)).as("k_in"), max("h").as("kth"))
     val ex = keys.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
     sk.join(ex, "event_type")
@@ -717,6 +722,11 @@ object AggQueries {
         .otherwise(expr(s"CAST($num AS BIGINT) div kth")))
       .select("event_type", "k_in", "kth", "est", "n_exact")
       .orderBy("event_type")
+  }
+
+  def aggKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val keys = kmvKeys(s, dir).localCheckpoint(true)
+    kmvAssemble(kmvBottom(keys), keys)
   }
 
   /** KMV JACCARD between every event-type pair — sketch-space set

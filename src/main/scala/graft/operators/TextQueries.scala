@@ -809,7 +809,92 @@ object TextQueries {
         (col("es.distinct_bigrams") * 3L < col("es.n_chars")).as("low_diversity"))
       .orderBy("doc_id")
 
+  /** BPE VOCABULARY TRAINING — [[BpeRounds]] byte-pair-encoding merge
+    * rounds over the corpus, the tokenizer-training primitive every
+    * LLM data pipeline runs before anything else (Sennrich et al.
+    * 2016). Each round: count all adjacent character pairs, merge the
+    * globally most frequent pair (tie → lexicographically smallest)
+    * into a fresh symbol, repeat on the rewritten corpus. Merge
+    * symbols are 'A','B','C'… — uppercase is provably absent from the
+    * corpus (FixtureSpec pins the charset), so a merged token can
+    * itself participate in later pairs exactly like real BPE.
+    *
+    * The merge REWRITE is `replace(text, pair, sym)` — both engines
+    * scan left-to-right non-overlapping, so the rewritten corpora are
+    * bit-identical and the unrolled-CTE oracle replays all rounds
+    * (the reported pair_n is the OVERLAPPING gram count — the
+    * standard BPE statistic; 'aaa' counts 'aa' twice but merges
+    * once, which is why chars_after is reported from the actual
+    * rewrite, not derived from pair_n).
+    *
+    * Scale: per round ONE gram count (2-char keys, map-side combined
+    * — the only shuffle), ONE TakeOrdered(1) argmax (the driver
+    * holds just the winning pair — the model-state pattern; the
+    * vocabulary IS the model), and ONE narrow per-row replace; the
+    * rewritten text is localCheckpointed per round so round r's plan
+    * starts from materialized partitions, the same lineage
+    * discipline as the iterative graph loops. Output: one row per
+    * merge rule — the learned vocabulary plus the corpus-compression
+    * trajectory. */
+  val BpeRounds = 3
+  def pipelineBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    var docs = t(s, dir, "documents").select("doc_id", "text")
+    var charsBefore =
+      docs.agg(sum(length(col("text")))).head().getLong(0)
+    val rows = Seq.newBuilder[(Int, String, Long, String, Long, Long)]
+    for (r <- 1 to BpeRounds) {
+      val top = docs.filter(length(col("text")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(text) - 1)," +
+            " i -> substring(text, i, 2))")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("g")).limit(1).head()
+      val pair = top.getString(0)
+      val sym = ('A' + (r - 1)).toChar.toString
+      docs = docs
+        .withColumn("text", expr(s"replace(text, '$pair', '$sym')"))
+        .localCheckpoint(true)
+      val charsAfter =
+        docs.agg(sum(length(col("text")))).head().getLong(0)
+      rows += ((r, pair, top.getLong(1), sym, charsBefore, charsAfter))
+      charsBefore = charsAfter
+    }
+    import s.implicits._
+    rows.result().toDF("round", "pair", "pair_n", "merge_sym",
+      "chars_before", "chars_after").orderBy("round")
+  }
+
+  /** Unrolled-CTE replay of [[pipelineBpeTrain]], generated from
+    * [[BpeRounds]]. */
+  private def bpeOracle: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val sym = ('A' + (r - 1)).toChar
+      s"""g$r AS (SELECT substring(text, CAST(i AS INTEGER), 2) AS g
+         |  FROM (SELECT text, unnest(generate_series(1, length(text) - 1)) AS i
+         |        FROM d${r - 1} WHERE length(text) >= 2)),
+         |p$r AS (SELECT g, count(*) AS c FROM g$r GROUP BY g
+         |  ORDER BY c DESC, g LIMIT 1),
+         |d$r AS (SELECT doc_id,
+         |  replace(text, (SELECT g FROM p$r), '$sym') AS text FROM d${r - 1}),
+         |l$r AS (SELECT CAST(sum(length(text)) AS BIGINT) AS chars FROM d$r)""".stripMargin
+    }.mkString(",\n|")
+    val selects = (1 to BpeRounds).map { r =>
+      val sym = ('A' + (r - 1)).toChar
+      s"""SELECT $r AS round, (SELECT g FROM p$r) AS pair,
+         |  (SELECT CAST(c AS BIGINT) FROM p$r) AS pair_n,
+         |  '$sym' AS merge_sym,
+         |  (SELECT chars FROM l${r - 1}) AS chars_before,
+         |  (SELECT chars FROM l$r) AS chars_after""".stripMargin
+    }.mkString("\n|UNION ALL ")
+    s"""WITH d0 AS (SELECT doc_id, text FROM documents),
+       |l0 AS (SELECT CAST(sum(length(text)) AS BIGINT) AS chars FROM d0),
+       |$rounds
+       |$selects
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_bpe_train" -> pipelineBpeTrain,
     "text_entropy" -> textEntropy,
     "text_repetition" -> textRepetition,
     "text_winnow" -> textWinnow,
@@ -841,6 +926,9 @@ object TextQueries {
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    // both engines' replace() is left-to-right non-overlapping, so
+    // the unrolled merge rounds replay bit-exactly
+    "pipeline_bpe_train" -> bpeOracle,
     // per-doc char frequency map + adjacent-pair distinct set replayed
     // relationally; regexp '.' char split is the corpus-wide ASCII /
     // newline-free assumption FixtureSpec asserts (same as multimodal)

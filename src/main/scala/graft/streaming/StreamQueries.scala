@@ -705,6 +705,61 @@ object StreamQueries {
     AggQueries.cmsProbe(s.read.parquet(statePath), events.select("user_id"))
   }
 
+  /** INCREMENTAL KMV distinct sketch — the streaming twin of
+    * agg_kmv_distinct: per-type bottom-K over DISTINCT hashes is a
+    * mergeable sketch (union the hash sets, dedup, re-take the K
+    * smallest — closed under union because the K smallest of A∪B can
+    * only come from the K smallest of A and of B), so the daily-active
+    * cardinality estimator maintains itself on ≤ K·|types| rows of
+    * state forever. Deterministic hashing makes the merged state
+    * IDENTICAL to the one-shot sketch, so the final assembly reuses
+    * the batch query's shared code AND its oracle verbatim (the exact
+    * n_exact column is verification scaffolding computed from the
+    * static table at read time, exactly like stream_cms's probe). */
+  def streamKmv(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggQueries
+    val tag = contentTag(s, dir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_kmv_$tag"
+    val events = t(s, dir, "events")
+      .select("event_id", "event_type", "user_id", "ts_s")
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+      val maxId = events.agg(max("event_id")).head().getLong(0)
+      val w = maxId / 4 + 1
+      stageChunks(events, base, s"event_id div $w")
+    }
+    val statePath = s"$base/sketch"
+    val q = s.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val sess = batch.sparkSession
+        val keysB = batch
+          .select(col("event_type"), expr(AggQueries.kmvAkSqlSpark).as("ak"))
+          .distinct()
+        val bk = AggQueries.kmvBottom(keysB)
+        val merged0 =
+          if (new java.io.File(s"$statePath/_SUCCESS").exists())
+            sess.read.parquet(statePath).unionByName(bk)
+              .distinct() // same activity key can recur across batches
+          else bk
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("h")
+        val merged = merged0.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= AggQueries.KmvK).select("event_type", "h")
+        // eager checkpoint BEFORE the overwrite — the merge reads the
+        // same files the write replaces
+        merged.localCheckpoint(true).write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AggQueries.kmvAssemble(s.read.parquet(statePath),
+      AggQueries.kmvKeys(s, dir))
+  }
+
   /** INCREMENTAL reservoir sample — the streaming twin of
     * sample_reservoir: hash-priority bottom-K is a MERGEABLE sketch
     * (the min-K of a union is the min-K of the two min-Ks), so the
@@ -1266,6 +1321,7 @@ object StreamQueries {
     "stream_concurrency" -> streamConcurrency,
     "stream_minhash" -> streamMinhash,
     "stream_cms" -> streamCms,
+    "stream_kmv" -> streamKmv,
     "stream_reservoir" -> streamReservoir,
     "stream_scd2" -> streamScd2,
     "stream_foreachbatch" -> streamForeachBatch,
@@ -1363,6 +1419,9 @@ object StreamQueries {
     // cell-wise integer sums are associative: the merged streaming
     // sketch is bit-identical to the batch sketch, same oracle
     "stream_cms" -> graft.operators.AggQueries.cmsOracleSql,
+    // bottom-k over distinct hashes is closed under union: the merged
+    // streaming sketch equals the one-shot sketch, same oracle
+    "stream_kmv" -> graft.operators.AggQueries.kmvDistinctOracleSql,
     // bottom-K under deterministic priorities is merge-invariant:
     // the incrementally-maintained reservoir equals the one-shot
     // sample — sample_reservoir's SQL verbatim

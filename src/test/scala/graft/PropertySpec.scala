@@ -591,6 +591,33 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("pipeline_bpe_train: sequential Scala replay reproduces every merge rule") {
+    val got = SparkEntry.queries("pipeline_bpe_train")(spark, sf)
+      .as[(Int, String, Long, String, Long, Long)].collect().toSeq
+    assert(got.length == graft.operators.TextQueries.BpeRounds)
+    // plain-Scala BPE trainer over the collected corpus
+    var texts = Tables.t(spark, sf, "documents")
+      .select("text").as[String].collect().toSeq
+    got.foreach { case (r, pair, pairN, sym, before, after) =>
+      assert(before == texts.map(_.length.toLong).sum, s"round $r: chars_before")
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      texts.foreach { t =>
+        (0 until t.length - 1).foreach { i =>
+          val g = t.substring(i, i + 2)
+          counts(g) = counts.getOrElse(g, 0L) + 1
+        }
+      }
+      val (bestG, bestC) = counts.toSeq.minBy { case (g, c) => (-c, g) }
+      assert(bestG == pair && bestC == pairN, s"round $r: merge rule drift")
+      texts = texts.map(_.replace(pair, sym)) // Java replace: L-to-R non-overlap
+      assert(after == texts.map(_.length.toLong).sum, s"round $r: chars_after")
+      // each merge shrinks by (len(pair) - 1) == 1 char per applied merge,
+      // and overlapping grams mean applied merges <= counted pairs
+      assert(before - after <= pairN, s"round $r: merged more than counted")
+      assert(before - after > 0, s"round $r: merge applied nothing")
+    }
+  }
+
   test("text_collocations: support floor holds and lift is positive") {
     val rows = SparkEntry.queries("text_collocations")(spark, sf)
       .as[(String, String, Long, Long, Long, Long)].collect()

@@ -424,6 +424,19 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(tot.getLong(0) > 0 && tot.getLong(0) < tot.getLong(1))
   }
 
+  test("incremental stream_kmv equals one-shot agg_kmv_distinct and is idempotent") {
+    val inc = StreamQueries.streamKmv(spark, sf).collect().toSeq
+    val batch = SparkEntry.queries("agg_kmv_distinct")(spark, sf).collect().toSeq
+    assert(inc == batch, "merged bottom-k sketch diverged from the one-shot sketch")
+    val tagDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_stream_kmv_"))
+    assert(tagDirs.exists(d =>
+        Option(new java.io.File(d, "chk/commits").list()).exists(_.length >= 2)),
+      "expected at least 2 committed micro-batches")
+    val again = StreamQueries.streamKmv(spark, sf).collect().toSeq
+    assert(again == inc)
+  }
+
   test("incremental stream_reservoir equals one-shot sample_reservoir and is idempotent") {
     val inc = StreamQueries.streamReservoir(spark, sf).collect().toSeq
     val batch = operators.SampleQueries.sampleReservoir(spark, sf).collect().toSeq
