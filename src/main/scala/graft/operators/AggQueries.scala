@@ -850,6 +850,83 @@ object AggQueries {
        |JOIN nall bb ON bb.event_type = m.tb
        |ORDER BY m.ta, m.tb""".stripMargin
 
+  /** DECLARATIVE DATA-QUALITY RULE EVALUATION (the Deequ/Great-
+    * Expectations pattern): a rule set — completeness, uniqueness,
+    * domain membership, range conformance — evaluated against the
+    * event stream in ONE pass, each rule published as (metric,
+    * threshold, passed). This is the admission gate a 100 TB ingest
+    * runs before data reaches training: checks must share a single
+    * scan, never one pass per rule.
+    *
+    * Metrics are integer BASIS POINTS (10000·hits div n) — exact on
+    * both engines, no FP ratios. All non-distinct rules fold into one
+    * map-side-combined aggregate; uniqueness pre-deduplicates
+    * event_id first (count-distinct via a narrow distinct, avoiding
+    * the Expand a mixed distinct/non-distinct aggregate plans — the
+    * agg_approx_distinct lesson). The two 1-row results meet in a
+    * broadcast crossJoin (allow-listed BNLJ, the pipeline_temperature
+    * pattern) and a constant-width explode reshapes to one row per
+    * rule. The strict 100-range rule is deliberately calibrated to
+    * FAIL on the driver corpus — a rule engine that only ever passes
+    * demonstrates nothing. */
+  def profileDqRules(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val m = e.agg(
+      count(lit(1)).as("n"),
+      count(col("props")).as("n_props"),
+      sum(when(col("value") >= 0, 1L).otherwise(0L)).as("n_nonneg"),
+      sum(when(col("value") >= 0 && col("value") < 100, 1L)
+        .otherwise(0L)).as("n_r100"),
+      sum(when(col("event_type").isin(
+        "click", "view", "purchase", "signup", "error"), 1L)
+        .otherwise(0L)).as("n_domain"))
+    val u = e.select("event_id").distinct()
+      .agg(count(lit(1)).as("n_uniq"))
+    def rule(name: String, hits: Column, thresholdBp: Long) =
+      struct(lit(name).as("rule"),
+        (lit(10000L) * hits / col("n")).cast("long").as("metric_bp"),
+        lit(thresholdBp).as("threshold_bp"))
+    m.crossJoin(broadcast(u))
+      .select(explode(array(
+        rule("completeness_props", col("n_props"), 9999L),
+        rule("uniqueness_event_id", col("n_uniq"), 10000L),
+        rule("domain_event_type", col("n_domain"), 10000L),
+        rule("range_value_nonneg", col("n_nonneg"), 10000L),
+        rule("range_value_lt100", col("n_r100"), 9500L))).as("r"))
+      .select(col("r.rule").as("rule"), col("r.metric_bp").as("metric_bp"),
+        col("r.threshold_bp").as("threshold_bp"),
+        (col("r.metric_bp") >= col("r.threshold_bp")).as("passed"))
+      .orderBy("rule")
+  }
+
+  private[graft] def dqRulesOracleSql: String =
+    """WITH m AS (SELECT count(*) AS n,
+      |    count(props) AS n_props,
+      |    CAST(sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_nonneg,
+      |    CAST(sum(CASE WHEN value >= 0 AND value < 100 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_r100,
+      |    CAST(sum(CASE WHEN event_type IN
+      |      ('click','view','purchase','signup','error') THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_domain
+      |  FROM events),
+      |u AS (SELECT count(DISTINCT event_id) AS n_uniq FROM events),
+      |r AS (
+      |  SELECT 'completeness_props' AS rule,
+      |    (10000 * n_props) // n AS metric_bp,
+      |    CAST(9999 AS BIGINT) AS threshold_bp FROM m
+      |  UNION ALL SELECT 'uniqueness_event_id',
+      |    (10000 * n_uniq) // n, 10000 FROM m, u
+      |  UNION ALL SELECT 'domain_event_type',
+      |    (10000 * n_domain) // n, 10000 FROM m
+      |  UNION ALL SELECT 'range_value_nonneg',
+      |    (10000 * n_nonneg) // n, 10000 FROM m
+      |  UNION ALL SELECT 'range_value_lt100',
+      |    (10000 * n_r100) // n, 9500 FROM m)
+      |SELECT rule, metric_bp, threshold_bp,
+      |  metric_bp >= threshold_bp AS passed
+      |FROM r ORDER BY rule""".stripMargin
+
   /** Higher-moment distribution profile per event_type: mean,
     * variance, SKEWNESS and EXCESS KURTOSIS — the shape statistics a
     * data-quality monitor alarms on (a kurtosis jump = heavy-tail
@@ -1429,6 +1506,7 @@ object AggQueries {
     "agg_cms_estimate" -> aggCmsEstimate,
     "agg_kmv_distinct" -> aggKmvDistinct,
     "agg_kmv_jaccard" -> aggKmvJaccard,
+    "profile_dq_rules" -> profileDqRules,
     "agg_sketch_union" -> aggSketchUnion,
     "agg_ohlc" -> aggOhlc,
     "agg_retention" -> aggRetention,
@@ -1460,6 +1538,7 @@ object AggQueries {
     // pinned-hash bottom-k sketches: the estimates REPLAY bit-exactly
     "agg_kmv_distinct" -> kmvDistinctOracleSql,
     "agg_kmv_jaccard" -> kmvJaccardOracleSql,
+    "profile_dq_rules" -> dqRulesOracleSql,
     // exact HUGEINT power sums -> the shared momentsFormula text
     "agg_moments" -> {
       val cols = momentsFormula.map { case (name, f) =>

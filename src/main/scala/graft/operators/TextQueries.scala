@@ -837,10 +837,15 @@ object TextQueries {
     * merge rule — the learned vocabulary plus the corpus-compression
     * trajectory. */
   val BpeRounds = 3
-  def pipelineBpeTrain(s: SparkSession, dir: String): DataFrame = {
-    var docs = t(s, dir, "documents").select("doc_id", "text")
+  /** The shared merge-round loop: returns the per-round merge records
+    * and the final rewritten corpus (with the original length carried
+    * as n0) — train publishes the former, apply the latter. */
+  private def bpeTrainLoop(s: SparkSession, dir: String)
+      : (Seq[(Int, String, Long, String, Long, Long)], DataFrame) = {
+    var docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("n0"))
     var charsBefore =
-      docs.agg(sum(length(col("text")))).head().getLong(0)
+      docs.agg(sum(col("n0")).cast("long")).head().getLong(0)
     val rows = Seq.newBuilder[(Int, String, Long, String, Long, Long)]
     for (r <- 1 to BpeRounds) {
       val top = docs.filter(length(col("text")) >= 2)
@@ -855,18 +860,37 @@ object TextQueries {
         .withColumn("text", expr(s"replace(text, '$pair', '$sym')"))
         .localCheckpoint(true)
       val charsAfter =
-        docs.agg(sum(length(col("text")))).head().getLong(0)
+        docs.agg(sum(length(col("text"))).cast("long")).head().getLong(0)
       rows += ((r, pair, top.getLong(1), sym, charsBefore, charsAfter))
       charsBefore = charsAfter
     }
+    (rows.result(), docs)
+  }
+
+  def pipelineBpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    rows.result().toDF("round", "pair", "pair_n", "merge_sym",
+    bpeTrainLoop(s, dir)._1.toDF("round", "pair", "pair_n", "merge_sym",
       "chars_before", "chars_after").orderBy("round")
   }
 
-  /** Unrolled-CTE replay of [[pipelineBpeTrain]], generated from
-    * [[BpeRounds]]. */
-  private def bpeOracle: String = {
+  /** BPE TOKENIZATION APPLY — the downstream half of the tokenizer
+    * story: run the [[BpeRounds]] learned merge rules over every
+    * document and report its per-doc compression (a merged symbol is
+    * one token, so token count = rewritten length when the base vocab
+    * is characters). This is the per-document token-budget accounting
+    * a curriculum/packing stage consumes. Same loop as training (the
+    * rules are derived, then applied corpus-wide — one narrow replace
+    * chain per doc); output is per-doc and integer-exact. */
+  def pipelineBpeApply(s: SparkSession, dir: String): DataFrame =
+    bpeTrainLoop(s, dir)._2
+      .select(col("doc_id"), col("n0").cast("long").as("n_chars"),
+        length(col("text")).cast("long").as("n_tokens_bpe"),
+        expr("(100 * (n0 - length(text))) div n0").as("saved_pct"))
+      .orderBy("doc_id")
+
+  /** Shared unrolled-CTE replay of [[bpeTrainLoop]], generated from
+    * [[BpeRounds]] so the round count cannot drift. */
+  private def bpeRoundsCtes: String = {
     val rounds = (1 to BpeRounds).map { r =>
       val sym = ('A' + (r - 1)).toChar
       s"""g$r AS (SELECT substring(text, CAST(i AS INTEGER), 2) AS g
@@ -878,6 +902,11 @@ object TextQueries {
          |  replace(text, (SELECT g FROM p$r), '$sym') AS text FROM d${r - 1}),
          |l$r AS (SELECT CAST(sum(length(text)) AS BIGINT) AS chars FROM d$r)""".stripMargin
     }.mkString(",\n|")
+    s"""d0 AS (SELECT doc_id, text FROM documents),
+       |l0 AS (SELECT CAST(sum(length(text)) AS BIGINT) AS chars FROM d0),
+       |$rounds""".stripMargin
+  }
+  private def bpeOracle: String = {
     val selects = (1 to BpeRounds).map { r =>
       val sym = ('A' + (r - 1)).toChar
       s"""SELECT $r AS round, (SELECT g FROM p$r) AS pair,
@@ -886,15 +915,22 @@ object TextQueries {
          |  (SELECT chars FROM l${r - 1}) AS chars_before,
          |  (SELECT chars FROM l$r) AS chars_after""".stripMargin
     }.mkString("\n|UNION ALL ")
-    s"""WITH d0 AS (SELECT doc_id, text FROM documents),
-       |l0 AS (SELECT CAST(sum(length(text)) AS BIGINT) AS chars FROM d0),
-       |$rounds
+    s"""WITH $bpeRoundsCtes
        |$selects
        |ORDER BY round""".stripMargin
   }
+  private def bpeApplyOracle: String =
+    s"""WITH $bpeRoundsCtes
+       |SELECT d0.doc_id, length(d0.text) AS n_chars,
+       |  length(f.text) AS n_tokens_bpe,
+       |  (100 * (length(d0.text) - length(f.text))) // length(d0.text)
+       |    AS saved_pct
+       |FROM d0 JOIN d$BpeRounds f USING (doc_id)
+       |ORDER BY d0.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_bpe_train" -> pipelineBpeTrain,
+    "pipeline_bpe_apply" -> pipelineBpeApply,
     "text_entropy" -> textEntropy,
     "text_repetition" -> textRepetition,
     "text_winnow" -> textWinnow,
@@ -929,6 +965,7 @@ object TextQueries {
     // both engines' replace() is left-to-right non-overlapping, so
     // the unrolled merge rounds replay bit-exactly
     "pipeline_bpe_train" -> bpeOracle,
+    "pipeline_bpe_apply" -> bpeApplyOracle,
     // per-doc char frequency map + adjacent-pair distinct set replayed
     // relationally; regexp '.' char split is the corpus-wide ASCII /
     // newline-free assumption FixtureSpec asserts (same as multimodal)

@@ -31,7 +31,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     "sim_recall_eval", // inherits sim_cosine_topk's broadcast query crossJoin as its ground-truth side
     "infer_naive_bayes", // crossJoins carry the broadcast 1-row vocab size / |langs|-row dim
     "text_collocations", // crossJoin carries the broadcast 1-row bigram total
-    "agg_kmv_jaccard") // ta<tb theta self-join of the broadcast |types|-row frame (the agg_ttest pattern)
+    "agg_kmv_jaccard", // ta<tb theta self-join of the broadcast |types|-row frame (the agg_ttest pattern)
+    "profile_dq_rules") // crossJoin of the two broadcast 1-row metric aggregates
 
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.window.WindowExec

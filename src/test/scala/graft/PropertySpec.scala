@@ -618,6 +618,33 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("pipeline_bpe_apply conserves the trained corpus totals per doc") {
+    val apply = SparkEntry.queries("pipeline_bpe_apply")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val train = SparkEntry.queries("pipeline_bpe_train")(spark, sf)
+      .as[(Int, String, Long, String, Long, Long)].collect()
+    // the corpus the rules compress is the corpus the manifest sums to
+    assert(apply.map(_._2).sum == train.head._5, "orig chars drift")
+    assert(apply.map(_._3).sum == train.last._6, "rewritten chars drift")
+    apply.foreach { case (doc, nc, nt, pct) =>
+      assert(nt <= nc, s"doc $doc grew under BPE")
+      assert(pct == 100 * (nc - nt) / nc, s"doc $doc: saved_pct formula drift")
+    }
+  }
+
+  test("profile_dq_rules: pass flags replay and the strict rule fails") {
+    val rows = SparkEntry.queries("profile_dq_rules")(spark, sf)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (r, m, t, p) =>
+      assert(m >= 0 && m <= 10000, s"$r metric out of basis-point range")
+      assert(p == (m >= t), s"$r: passed flag contradicts metric")
+    }
+    // the deliberately-strict range rule must demonstrate a failure
+    assert(rows.collect { case (r, _, _, false) => r }.toSeq ==
+      Seq("range_value_lt100"))
+  }
+
   test("text_collocations: support floor holds and lift is positive") {
     val rows = SparkEntry.queries("text_collocations")(spark, sf)
       .as[(String, String, Long, Long, Long, Long)].collect()
