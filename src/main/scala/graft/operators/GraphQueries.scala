@@ -367,8 +367,30 @@ object GraphQueries {
     * degree in the PREVIOUS round's induced graph, i.e. the degrees
     * the ≥K test saw), and an id-sum membership checksum — pinning
     * the whole peeling trajectory, not just the fixed point. */
+  /** Core-specific edge build: the same bipartite trading edges as
+    * [[pagerankEdgesDeg]] but WITHOUT the out-degree join the rank
+    * queries need — k-core recomputes degrees every round anyway, so
+    * paying the degree join + its extra materialization in the build
+    * would be pure waste. Same two-step AQE-off partition pin so every
+    * peel round's src-side semi-join plans no exchange over the edge
+    * frame. */
+  private def coreEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+      .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+      .localCheckpoint(true)
+    val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try edges.repartition(col("src")).localCheckpoint(true)
+    finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   def graphCore(s: SparkSession, dir: String): DataFrame = {
-    val edges = pagerankEdgesDeg(s, dir).select("src", "dst")
+    val edges = coreEdges(s, dir)
     val deg0 = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     val k = deg0.agg(

