@@ -869,9 +869,11 @@ object AggQueries {
     * rule. The strict 100-range rule is deliberately calibrated to
     * FAIL on the driver corpus — a rule engine that only ever passes
     * demonstrates nothing. */
-  def profileDqRules(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-    val m = e.agg(
+  /** The sum-style rule counters — a single row, each counter a plain
+    * commutative sum, so per-batch counter rows MERGE by addition
+    * (shared with stream_dq_gate, whose whole state is this one row). */
+  private[graft] def dqMetrics(e: DataFrame): DataFrame =
+    e.agg(
       count(lit(1)).as("n"),
       count(col("props")).as("n_props"),
       sum(when(col("value") >= 0, 1L).otherwise(0L)).as("n_nonneg"),
@@ -880,8 +882,10 @@ object AggQueries {
       sum(when(col("event_type").isin(
         "click", "view", "purchase", "signup", "error"), 1L)
         .otherwise(0L)).as("n_domain"))
-    val u = e.select("event_id").distinct()
-      .agg(count(lit(1)).as("n_uniq"))
+
+  /** Assemble the published rule rows from the counter row `m` and the
+    * 1-row distinct count `u` — shared with stream_dq_gate. */
+  private[graft] def dqAssemble(m: DataFrame, u: DataFrame): DataFrame = {
     def rule(name: String, hits: Column, thresholdBp: Long) =
       struct(lit(name).as("rule"),
         (lit(10000L) * hits / col("n")).cast("long").as("metric_bp"),
@@ -897,6 +901,16 @@ object AggQueries {
         col("r.threshold_bp").as("threshold_bp"),
         (col("r.metric_bp") >= col("r.threshold_bp")).as("passed"))
       .orderBy("rule")
+  }
+
+  /** Exact distinct event_id count via a narrow pre-dedup (avoids the
+    * mixed-distinct Expand). */
+  private[graft] def dqUniq(e: DataFrame): DataFrame =
+    e.select("event_id").distinct().agg(count(lit(1)).as("n_uniq"))
+
+  def profileDqRules(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    dqAssemble(dqMetrics(e), dqUniq(e))
   }
 
   private[graft] def dqRulesOracleSql: String =

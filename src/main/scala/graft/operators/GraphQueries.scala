@@ -374,7 +374,7 @@ object GraphQueries {
     * would be pure waste. Same two-step AQE-off partition pin so every
     * peel round's src-side semi-join plans no exchange over the edge
     * frame. */
-  private def coreEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coreEdges(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
       .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
@@ -388,6 +388,16 @@ object GraphQueries {
     try edges.repartition(col("src")).localCheckpoint(true)
     finally s.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  /** One peel round's degree recount: edges induced on `alive` (two
+    * semi-joins; src side rides the pinned hash(src) partitioning, the
+    * alive vector is the only thing that moves) → per-src degree.
+    * Exposed for ScaleSpec's exchange audit. */
+  private[graft] def corePeelStep(edges: DataFrame, alive: DataFrame): DataFrame =
+    edges
+      .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .groupBy("src").agg(count(lit(1)).as("deg"))
 
   def graphCore(s: SparkSession, dir: String): DataFrame = {
     val edges = coreEdges(s, dir)
@@ -409,13 +419,7 @@ object GraphQueries {
           col("deg_sum"), col("id_sum"))
       // degrees in the graph induced on a_r, for the next round's test
       if (r < CoreRounds)
-        deg = edges
-          .join(alive.withColumnRenamed("node", "src"), Seq("src"),
-            "left_semi")
-          .join(alive.withColumnRenamed("node", "dst"), Seq("dst"),
-            "left_semi")
-          .groupBy("src").agg(count(lit(1)).as("deg"))
-          .localCheckpoint(true)
+        deg = corePeelStep(edges, alive).localCheckpoint(true)
     }
     summaries.result().reduce(_ unionByName _).orderBy("round")
   }

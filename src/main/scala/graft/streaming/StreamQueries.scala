@@ -705,6 +705,55 @@ object StreamQueries {
     AggQueries.cmsProbe(s.read.parquet(statePath), events.select("user_id"))
   }
 
+  /** INCREMENTAL data-quality gate — the streaming twin of
+    * profile_dq_rules, the shape every always-on ingest monitor runs:
+    * the sum-style rule counters (completeness / domain / range hits)
+    * are plain commutative sums, so the WHOLE state is one 5-counter
+    * row merged by addition per micro-batch — the cheapest possible
+    * quality dashboard maintenance. The uniqueness rule's exact
+    * distinct count is verification scaffolding computed from the
+    * static table at read time (the stream_cms probe pattern; a
+    * production gate would maintain it as a KMV/HLL sketch — see
+    * stream_kmv for exactly that state). Counter sums are associative
+    * ⇒ the merged counters equal the one-shot aggregate bit-exactly;
+    * assembly and oracle shared verbatim with the batch query. */
+  def streamDqGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggQueries
+    val tag = contentTag(s, dir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_dq_$tag"
+    val events = t(s, dir, "events")
+      .select("event_id", "event_type", "value", "props")
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+      val maxId = events.agg(max("event_id")).head().getLong(0)
+      val w = maxId / 4 + 1
+      stageChunks(events, base, s"event_id div $w")
+    }
+    val statePath = s"$base/counters"
+    val q = s.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val sess = batch.sparkSession
+        val bm = AggQueries.dqMetrics(batch.toDF())
+        val merged =
+          if (new java.io.File(s"$statePath/_SUCCESS").exists())
+            sess.read.parquet(statePath).unionByName(bm)
+              .agg(sum("n").as("n"), sum("n_props").as("n_props"),
+                sum("n_nonneg").as("n_nonneg"), sum("n_r100").as("n_r100"),
+                sum("n_domain").as("n_domain"))
+          else bm
+        merged.localCheckpoint(true).write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AggQueries.dqAssemble(s.read.parquet(statePath),
+      AggQueries.dqUniq(t(s, dir, "events")))
+  }
+
   /** INCREMENTAL KMV distinct sketch — the streaming twin of
     * agg_kmv_distinct: per-type bottom-K over DISTINCT hashes is a
     * mergeable sketch (union the hash sets, dedup, re-take the K
@@ -1322,6 +1371,7 @@ object StreamQueries {
     "stream_minhash" -> streamMinhash,
     "stream_cms" -> streamCms,
     "stream_kmv" -> streamKmv,
+    "stream_dq_gate" -> streamDqGate,
     "stream_reservoir" -> streamReservoir,
     "stream_scd2" -> streamScd2,
     "stream_foreachbatch" -> streamForeachBatch,
@@ -1422,6 +1472,9 @@ object StreamQueries {
     // bottom-k over distinct hashes is closed under union: the merged
     // streaming sketch equals the one-shot sketch, same oracle
     "stream_kmv" -> graft.operators.AggQueries.kmvDistinctOracleSql,
+    // counter sums are associative: the merged 1-row state assembles
+    // identically to the one-shot rule evaluation, same oracle
+    "stream_dq_gate" -> graft.operators.AggQueries.dqRulesOracleSql,
     // bottom-K under deterministic priorities is merge-invariant:
     // the incrementally-maintained reservoir equals the one-shot
     // sample — sample_reservoir's SQL verbatim

@@ -32,7 +32,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     "infer_naive_bayes", // crossJoins carry the broadcast 1-row vocab size / |langs|-row dim
     "text_collocations", // crossJoin carries the broadcast 1-row bigram total
     "agg_kmv_jaccard", // ta<tb theta self-join of the broadcast |types|-row frame (the agg_ttest pattern)
-    "profile_dq_rules") // crossJoin of the two broadcast 1-row metric aggregates
+    "profile_dq_rules", // crossJoin of the two broadcast 1-row metric aggregates
+    "stream_dq_gate") // same assembly as profile_dq_rules over the merged counter state
 
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.window.WindowExec

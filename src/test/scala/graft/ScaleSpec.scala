@@ -193,6 +193,47 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
       s"raw edge rows reached an exchange in a vote round:\n${offending.mkString("\n")}")
   }
 
+  test("k-core peel rounds never re-exchange the edges side") {
+    import graft.operators.GraphQueries
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.SparkPlan
+    // the edge frame is pinned to hash(src) before its checkpoint; a
+    // peel round may move the bounded alive vector (and the dst-side
+    // induced rows AFTER aggregation), but raw edge rows must never
+    // reach an exchange
+    val e = GraphQueries.coreEdges(spark, sf)
+    val alive = e.select(org.apache.spark.sql.functions.col("src").as("node"))
+      .distinct().localCheckpoint(true)
+    val step = GraphQueries.corePeelStep(e, alive)
+    step.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val all = flatten(step.queryExecution.executedPlan)
+    val shuffles = all.collect { case ex: ShuffleExchangeLike => ex }
+    val edgeCols = Set("src", "dst")
+    def rawEdgesReach(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+      case a: AdaptiveSparkPlanExec => rawEdgesReach(a.executedPlan)
+      case q: QueryStageExec => rawEdgesReach(q.plan)
+      case r: ReusedExchangeExec => rawEdgesReach(r.child)
+      case l if l.children.isEmpty =>
+        edgeCols.subsetOf(l.output.map(_.name).toSet)
+      case other => other.children.exists(rawEdgesReach)
+    }
+    val offending = shuffles.filter(ex => rawEdgesReach(ex.child))
+    assert(offending.isEmpty,
+      s"raw edge rows reached an exchange in a peel round:\n${offending.mkString("\n")}")
+  }
+
   test("runtime bloom filter prunes the big side of a selective join") {
     import graft.operators.JoinQueries
     // the DECLARED query's dataflow under its own conf scope — the

@@ -424,6 +424,19 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(tot.getLong(0) > 0 && tot.getLong(0) < tot.getLong(1))
   }
 
+  test("incremental stream_dq_gate equals one-shot profile_dq_rules and is idempotent") {
+    val inc = StreamQueries.streamDqGate(spark, sf).collect().toSeq
+    val batch = SparkEntry.queries("profile_dq_rules")(spark, sf).collect().toSeq
+    assert(inc == batch, "merged counter state diverged from the one-shot rules")
+    val tagDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_stream_dq_"))
+    assert(tagDirs.exists(d =>
+        Option(new java.io.File(d, "chk/commits").list()).exists(_.length >= 2)),
+      "expected at least 2 committed micro-batches")
+    val again = StreamQueries.streamDqGate(spark, sf).collect().toSeq
+    assert(again == inc)
+  }
+
   test("incremental stream_kmv equals one-shot agg_kmv_distinct and is idempotent") {
     val inc = StreamQueries.streamKmv(spark, sf).collect().toSeq
     val batch = SparkEntry.queries("agg_kmv_distinct")(spark, sf).collect().toSeq
