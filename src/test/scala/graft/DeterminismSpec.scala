@@ -40,7 +40,13 @@ class DeterminismSpec extends AnyFunSuite with SparkFixture {
     "infer_naive_bayes", // integer weights + (score desc, lang) argmax
     "graph_label_prop",  // max_by struct argmax per vote round
     "sim_rank_fusion",   // integer RRF over two index rankings
-    "sample_weighted")   // integer priority order sampling
+    "sample_weighted",   // integer priority order sampling
+    // late-r7 additions — sketch ranks and global argmaxes
+    "agg_kmv_distinct",  // bottom-k rank window + kth-hash estimator
+    "agg_kmv_jaccard",   // merged-sketch rank + membership flags
+    "pipeline_bpe_train", // per-round global argmax with tie-break
+    "graph_core",        // median threshold + nested peel rounds
+    "profile_dq_rules")  // basis-point counters + pass flags
 
   test("sampled queries are bit-identical under different shuffle partitioning") {
     val conf = spark.conf
