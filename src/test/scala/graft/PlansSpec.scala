@@ -218,6 +218,26 @@ class PlansSpec extends AnyFunSuite with SparkFixture {
     assert("Exchange".r.findAllIn(plan).size <= 2, plan)
   }
 
+  test("KMV bottom-k rides the native group-limit rewrite (partial + final)") {
+    // the scaladoc's scale claim: map tasks keep K rows per type
+    // BEFORE the shuffle — InferWindowGroupLimit must plan a Partial
+    // WindowGroupLimit under the rank window, or the full distinct
+    // pair set sorts through one task per type
+    Seq("agg_kmv_distinct", "agg_kmv_jaccard").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"), s"$q: rank not group-limited\n$plan")
+    }
+    // the data-scale window (distinct pairs → per-type bottom-K) must
+    // limit on the MAP side; jaccard's audited plan only shows its
+    // merged-sketch window (the bottom-K one runs inside the
+    // checkpoint), whose input is already K·|types|-bounded
+    val plan = SparkEntry.queries("agg_kmv_distinct")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Partial"), s"no map-side partial limit\n$plan")
+  }
+
   test("robust-stats family broadcasts its per-type moments (never sort-merges the scan)") {
     Seq("agg_zscore", "agg_mad", "agg_winsorized").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
