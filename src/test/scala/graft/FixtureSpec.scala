@@ -26,6 +26,14 @@ class FixtureSpec extends AnyFunSuite with SparkFixture {
         .filter(col("text").contains("\n") || col("text").contains("\r"))
         .count()
       assert(withNewline == 0, s"$dir has $withNewline documents with newlines")
+      // the BPE queries mint merge symbols from 'A'.. — provably
+      // outside the corpus alphabet only while the corpus stays
+      // lowercase+space; a regenerated corpus with uppercase would
+      // silently alias merged tokens with real text
+      val withUpper = Tables.t(spark, dir, "documents")
+        .filter(col("text").rlike("[A-Z]")).count()
+      assert(withUpper == 0,
+        s"$dir has $withUpper documents with uppercase (BPE merge-symbol clash)")
     }
   }
 
