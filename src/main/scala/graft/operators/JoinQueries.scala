@@ -504,7 +504,54 @@ object JoinQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** POINT-IN-TIME TEMPORAL JOIN against the SCD2 dimension history
+    * (pipeline_scd2's output) — the feature-store correctness query:
+    * for every purchase, the user's state interval active at t =
+    * purchase−1s ("what was the user doing just before buying"). A
+    * training pipeline that joins features without PIT semantics leaks
+    * the future into the label; this operator is the leak-free shape.
+    *
+    * Scale: the MERGE formulation, not the join+rank asof shape —
+    * dimension changes and probes union into one frame, ONE hash
+    * shuffle on user_id + one per-user sort, and `last(state ignore
+    * nulls)` over the interleaved ordering resolves every probe in a
+    * single window pass. The join+rank asof (join_asof) fans out
+    * probe × all-earlier-candidates before pruning; for a dimension
+    * with a long history per key the merge shape does |probes|+|dims|
+    * work per key instead. Ordering (t, is_probe, tie) puts a change
+    * AT t before a probe AT t (valid_from inclusive) and orders
+    * same-second changes by event id — exactly the zero-length-
+    * interval semantics of the SCD2 build. The ORACLE deliberately
+    * replays the INTERVAL formulation (valid_from ≤ t < valid_to over
+    * the rebuilt history), so the hash proves merge ≡ interval
+    * semantics rather than both engines running the same plan. */
+  def joinTemporal(s: SparkSession, dir: String): DataFrame = {
+    val dims = WindowQueries.pipelineScd2(s, dir)
+    val probes = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), (col("ts_s") - 1).as("t"))
+    val d = dims.select(col("user_id"), col("valid_from").as("t"),
+      lit(0).as("is_probe"), col("first_event_id").as("tie"),
+      col("event_type").as("state"), col("valid_from"),
+      lit(null).cast("long").as("event_id"))
+    val p = probes.select(col("user_id"), col("t"),
+      lit(1).as("is_probe"), col("event_id").as("tie"),
+      lit(null).cast("string").as("state"),
+      lit(null).cast("long").as("valid_from"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy("t", "is_probe", "tie")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.unionByName(p)
+      .withColumn("cur_state", last(col("state"), ignoreNulls = true).over(w))
+      .withColumn("cur_from", last(col("valid_from"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1 && col("cur_state").isNotNull)
+      .select(col("event_id"), col("user_id"), col("t"),
+        col("cur_state").as("state"), col("cur_from").as("valid_from"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_temporal" -> joinTemporal,
     "join_hint_shj" -> joinHintShj,
     "join_dpp" -> joinDpp,
     "join_bloom_pruned" -> joinBloomPruned,
@@ -527,6 +574,27 @@ object JoinQueries {
     "join_nullsafe" -> joinNullsafe)
 
   val oracleSql: Map[String, String] = Map(
+    // the INTERVAL formulation over the rebuilt SCD2 history — a
+    // different algorithm than the Spark merge-window, same semantics
+    "join_temporal" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s FROM events),
+        |ch AS (SELECT user_id, event_id, event_type, ts_s,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) AS prev FROM e),
+        |chg AS (SELECT * FROM ch
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |d AS (SELECT user_id, event_type, ts_s AS valid_from,
+        |    lead(ts_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) AS valid_to FROM chg),
+        |p AS (SELECT event_id, user_id, ts_s - 1 AS t FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.t,
+        |  d.event_type AS state, d.valid_from
+        |FROM p JOIN d ON d.user_id = p.user_id
+        |  AND d.valid_from <= p.t
+        |  AND (d.valid_to IS NULL OR p.t < d.valid_to)
+        |ORDER BY p.event_id""".stripMargin,
     // the hint changes the physical operator, never the result
     "join_hint_shj" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -46,7 +46,8 @@ class DeterminismSpec extends AnyFunSuite with SparkFixture {
     "agg_kmv_jaccard",   // merged-sketch rank + membership flags
     "pipeline_bpe_train", // per-round global argmax with tie-break
     "graph_core",        // median threshold + nested peel rounds
-    "profile_dq_rules")  // basis-point counters + pass flags
+    "profile_dq_rules",  // basis-point counters + pass flags
+    "join_temporal")     // merge-window PIT resolution with tie ordering
 
   test("sampled queries are bit-identical under different shuffle partitioning") {
     val conf = spark.conf
