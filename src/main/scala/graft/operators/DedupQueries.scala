@@ -577,7 +577,10 @@ object DedupQueries {
     * constants the Spark plan uses, so the permutation family can never
     * drift between engines. ('0x'||hex)::BIGINT reads md5's leading 8
     * hex digits exactly like Spark's conv(...,16,10). */
-  private[graft] def minhashOracleSql: String = {
+  /** The shingle→signature→band→candidate CTE chain, parameterized by
+    * the source relation so [[dedupRecallEval]]'s sampled-slice oracle
+    * reuses the identical generated pipeline. */
+  private def minhashCandCtes(src: String): String = {
     val rowsPerBand = MinhashPerms / MinhashBands
     val mins = (0 until MinhashPerms).map(p =>
       s"min((${permA(p)}*h + ${permB(p)}) % $MinhashPrime) AS m$p")
@@ -588,7 +591,7 @@ object DedupQueries {
         .mkString(" || '_' || ")
       s"SELECT doc_id, $b AS band, $key AS key FROM sig"
     }.mkString("\n          UNION ALL ")
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
        |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
        |       FROM w WHERE len(ws) >= 3),
@@ -598,9 +601,93 @@ object DedupQueries {
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b
-       |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
+       |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private[graft] def minhashOracleSql: String =
+    s"""WITH ${minhashCandCtes("documents")}
+       |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash-LSH QUALITY EVAL — precision/recall of the banded-LSH
+    * candidate set against EXACT shingle-set Jaccard ≥ 50 % ground
+    * truth, the "measure, don't guess" audit every production dedup
+    * pipeline runs before trusting its sketch parameters (b=4, r=4
+    * puts the S-curve midpoint at (1/b)^(1/r) ≈ 0.71, so the eval
+    * exposes the partial recall in the 0.5–0.7 band by design, not a
+    * rubber-stamp 100 %). Run over a SAMPLED AUDIT SLICE (doc_id <
+    * [[RecallEvalSlice]]) — exact all-shared-shingle Jaccard is
+    * quadratic in per-shingle document frequency, which is exactly
+    * why the full corpus runs LSH and only the audit runs truth
+    * (the dedup_ngram_jaccard precedent).
+    *
+    * Truth is SET Jaccard over distinct shingles (dedup'd before the
+    * self-join); predicted is [[minhashPairs]] on the same slice with
+    * bit-identical constants. One summary row: counts plus integer
+    * basis-point precision/recall (division guarded to max(n,1) so an
+    * empty side degrades deterministically on both engines). */
+  val RecallEvalSlice = 500L
+  def dedupRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < RecallEvalSlice)
+      .select("doc_id", "text")
+    val pred = minhashPairs(docs).select("doc_a", "doc_b")
+      .withColumn("p", lit(1L))
+    val ws = col("ws")
+    val shingled = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(ws) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2)))).as("g"))
+      .distinct()
+    val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truth = shingled.as("x")
+      .join(shingled.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(expr("(100 * c) div (na + nb - c) >= 50"))
+      .select("doc_a", "doc_b").withColumn("tr", lit(1L))
+    pred.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        coalesce(sum("p"), lit(0L)).as("n_pred"),
+        coalesce(sum("tr"), lit(0L)).as("n_truth"),
+        coalesce(sum(col("p") * col("tr")), lit(0L)).as("tp"))
+      .select(col("n_pred"), col("n_truth"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        expr("(10000 * tp) div greatest(n_pred, 1)").as("precision_bp"),
+        expr("(10000 * tp) div greatest(n_truth, 1)").as("recall_bp"))
+  }
+
+  private def recallEvalOracleSql: String =
+    s"""WITH ${minhashCandCtes(
+         s"(SELECT * FROM documents WHERE doc_id < $RecallEvalSlice)")},
+       |shd AS (SELECT DISTINCT doc_id, g FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |cm AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+       |       FROM shd x JOIN shd y
+       |         ON x.g = y.g AND x.doc_id < y.doc_id
+       |       GROUP BY 1, 2),
+       |tr AS (SELECT cm.doc_a, cm.doc_b
+       |       FROM cm JOIN sz sa ON sa.doc_id = cm.doc_a
+       |               JOIN sz sb ON sb.doc_id = cm.doc_b
+       |       WHERE (100 * c) // (sa.n + sb.n - c) >= 50),
+       |u AS (SELECT coalesce(c.doc_a, t.doc_a) AS doc_a,
+       |        coalesce(c.doc_b, t.doc_b) AS doc_b,
+       |        CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS p,
+       |        CASE WHEN t.doc_a IS NULL THEN 0 ELSE 1 END AS tr
+       |      FROM cand c FULL OUTER JOIN tr t
+       |        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+       |m AS (SELECT CAST(sum(p) AS BIGINT) AS n_pred,
+       |        CAST(sum(tr) AS BIGINT) AS n_truth,
+       |        CAST(sum(p * tr) AS BIGINT) AS tp FROM u)
+       |SELECT n_pred, n_truth, tp, n_pred - tp AS fp, n_truth - tp AS fn,
+       |  (10000 * tp) // greatest(n_pred, 1) AS precision_bp,
+       |  (10000 * tp) // greatest(n_truth, 1) AS recall_bp
+       |FROM m""".stripMargin
 
   /** Shared sketch CTEs for the two simhash oracles — GENERATED from
     * [[SimhashBits]]/[[SimhashBands]] so the bit layout can never drift
@@ -730,6 +817,7 @@ object DedupQueries {
     "dedup_embedding" -> dedupEmbedding,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_recall_eval" -> dedupRecallEval,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_ngram_jaccard" -> dedupNgramJaccard)
@@ -761,6 +849,8 @@ object DedupQueries {
          |JOIN keep k ON k.wnd = a.wnd
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_minhash" -> minhashOracleSql,
+    // both the LSH pipeline and the exact-Jaccard truth replay in one CTE chain
+    "dedup_recall_eval" -> recallEvalOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_simhash_pairs" -> simhashPairsOracleSql,
     // replays the SAME axis-aligned sign-bucket candidate pruning as the
