@@ -681,9 +681,9 @@ object DedupQueries {
        |        CASE WHEN t.doc_a IS NULL THEN 0 ELSE 1 END AS tr
        |      FROM cand c FULL OUTER JOIN tr t
        |        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
-       |m AS (SELECT CAST(sum(p) AS BIGINT) AS n_pred,
-       |        CAST(sum(tr) AS BIGINT) AS n_truth,
-       |        CAST(sum(p * tr) AS BIGINT) AS tp FROM u)
+       |m AS (SELECT COALESCE(CAST(sum(p) AS BIGINT), 0) AS n_pred,
+       |        COALESCE(CAST(sum(tr) AS BIGINT), 0) AS n_truth,
+       |        COALESCE(CAST(sum(p * tr) AS BIGINT), 0) AS tp FROM u)
        |SELECT n_pred, n_truth, tp, n_pred - tp AS fp, n_truth - tp AS fn,
        |  (10000 * tp) // greatest(n_pred, 1) AS precision_bp,
        |  (10000 * tp) // greatest(n_truth, 1) AS recall_bp

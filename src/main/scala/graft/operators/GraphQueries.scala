@@ -435,10 +435,15 @@ object GraphQueries {
            |d$r AS (SELECT e.src, count(*) AS deg FROM edges e
            |  JOIN a$r x ON e.src = x.node
            |  JOIN a$r y ON e.dst = y.node GROUP BY e.src)""".stripMargin
-      s"""s$r AS (SELECT $r AS round, kq.k AS k, count(*) AS n_alive,
-         |  CAST(sum(deg) AS BIGINT) AS deg_sum,
-         |  CAST(sum(src) AS BIGINT) AS id_sum
-         |  FROM $prev, kq WHERE deg >= kq.k GROUP BY kq.k)$induce""".stripMargin
+      // LEFT JOIN from the 1-row kq so an EMPTIED core still yields a
+      // (0, NULL, NULL) summary row — matching Spark's global agg on
+      // the empty filter (a plain FROM prev, kq GROUP BY would emit
+      // zero rows and silently desync the engines)
+      s"""s$r AS (SELECT $r AS round, kq.k AS k,
+         |  count(p.src) AS n_alive,
+         |  CAST(sum(p.deg) AS BIGINT) AS deg_sum,
+         |  CAST(sum(p.src) AS BIGINT) AS id_sum
+         |  FROM kq LEFT JOIN $prev p ON p.deg >= kq.k GROUP BY kq.k)$induce""".stripMargin
     }.mkString(",\n|")
     s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c,
        |    l_suppkey * 2 + 1 AS p

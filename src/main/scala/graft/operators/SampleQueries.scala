@@ -203,17 +203,29 @@ object SampleQueries {
     * bounded-frame shape). Tie-break on event_id makes the order total
     * — 65521 priority buckets collide long before sf0.1. */
   val ReservoirK = 100
-  def sampleReservoir(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "events")
-      .select(col("event_id"), col("user_id"))
+  /** Keep the K smallest (prio, event_id) rows of a frame that already
+    * carries `prio` — the mergeable-sketch core (min-K of a union =
+    * min-K of the two min-Ks), shared with stream_reservoir's state
+    * merge so the constants and tie-break cannot drift. */
+  private[graft] def reservoirTrim(df: DataFrame): DataFrame =
+    df.orderBy(col("prio"), col("event_id")).limit(ReservoirK)
+  /** Attach the deterministic draw and take the bottom-K. */
+  private[graft] def reservoirBottomK(events: DataFrame): DataFrame =
+    reservoirTrim(events
       .withColumn("prio", (col("event_id") * 40503L + 17L) % 65521L)
-      .orderBy(col("prio"), col("event_id")).limit(ReservoirK)
+      .select("event_id", "user_id", "prio"))
+  /** Final presentation: rank the ≤K-row sample (plan-bounded — the
+    * window sits behind the limit). */
+  private[graft] def reservoirPresent(bottom: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("prio"), col("event_id"))
-    base.withColumn("rn", row_number().over(w))
+    bottom.withColumn("rn", row_number().over(w))
       .select("rn", "event_id", "user_id", "prio")
       .orderBy("rn")
   }
+  def sampleReservoir(s: SparkSession, dir: String): DataFrame =
+    reservoirPresent(reservoirBottomK(
+      t(s, dir, "events").select(col("event_id"), col("user_id"))))
 
   /** WEIGHTED priority sampling (Ohlsson/Rosén order sampling, the
     * fixed-point analogue of the exponential-keys A-ES scheme): each

@@ -848,11 +848,11 @@ object TextQueries {
     * column every round (measured: checkpointing cost ~2× at sf0.1 —
     * the opposite trade from the iterative GRAPH loops, whose
     * per-round state is join-derived, not projection-derived).
-    * One aggregation job per round: the gram count rolls up to the
-    * grand total in the same pass (rollup's Expand doubles only
-    * narrow 2-char gram rows), and since the total ≥ every per-gram
-    * count, TakeOrdered(2) returns exactly [total row, argmax row] —
-    * corpus size and merge rule from one shuffle. */
+    * One aggregation job per round: the ≤|charset|²-key gram count
+    * reduces to a SINGLE row carrying both the argmax rule (min over
+    * (−count, gram) — most frequent, lexicographic tie-break) and the
+    * gram grand total, so corpus size and merge rule come from one
+    * shuffle. */
   private def bpeTrainLoop(s: SparkSession, dir: String)
       : (Seq[(Int, String, Long, String, Long, Long)], DataFrame) = {
     // the corpus parquet is one small file at test SFs ⇒ ONE input
@@ -889,8 +889,11 @@ object TextQueries {
       val pair = top.getString(0)
       val sym = ('A' + (r - 1)).toChar.toString
       merges += ((pair, top.getLong(1), sym))
+      // Column-form replace: the corpus-derived pair never transits a
+      // SQL literal (a quote/backslash in a future corpus would break
+      // an interpolated string; lit() has no escaping surface)
       docs = docs
-        .withColumn("text", expr(s"replace(text, '$pair', '$sym')"))
+        .withColumn("text", replace(col("text"), lit(pair), lit(sym)))
     }
     // only the final corpus needs a dedicated length pass
     chars += docs.agg(sum(length(col("text"))).cast("long")).head().getLong(0)

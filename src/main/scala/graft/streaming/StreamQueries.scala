@@ -821,7 +821,7 @@ object StreamQueries {
     * runs behind an explicit limit(K) on the K-row state — plan-
     * bounded, never input-scale. */
   def streamReservoir(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.SampleQueries.ReservoirK
+    import graft.operators.SampleQueries
     val tag = contentTag(s, dir)
     val base =
       s"${System.getProperty("java.io.tmpdir")}/graft_stream_reservoir_$tag"
@@ -832,21 +832,17 @@ object StreamQueries {
       stageChunks(events, base, s"event_id div $w")
     }
     val statePath = s"$base/state"
-    def bottomK(df: DataFrame): DataFrame =
-      df.withColumn("prio", (col("event_id") * 40503L + 17L) % 65521L)
-        .select("event_id", "user_id", "prio")
-        .orderBy(col("prio"), col("event_id")).limit(ReservoirK)
     val q = s.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           _: Long) =>
         val sess = batch.sparkSession
-        val bk = bottomK(batch.toDF())
+        val bk = SampleQueries.reservoirBottomK(batch.toDF())
         val merged =
           if (new java.io.File(s"$statePath/_SUCCESS").exists())
-            sess.read.parquet(statePath).unionByName(bk)
-              .orderBy(col("prio"), col("event_id")).limit(ReservoirK)
+            SampleQueries.reservoirTrim(
+              sess.read.parquet(statePath).unionByName(bk))
           else bk
         // eager checkpoint BEFORE the overwrite — the merge reads the
         // same files the write replaces
@@ -857,13 +853,8 @@ object StreamQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("prio"), col("event_id"))
-    s.read.parquet(statePath)
-      .orderBy(col("prio"), col("event_id")).limit(ReservoirK)
-      .withColumn("rn", row_number().over(w))
-      .select("rn", "event_id", "user_id", "prio")
-      .orderBy("rn")
+    SampleQueries.reservoirPresent(
+      SampleQueries.reservoirTrim(s.read.parquet(statePath)))
   }
 
   /** Static dimension for stream_enrich: event_type → (weight,

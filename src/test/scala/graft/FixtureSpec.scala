@@ -30,10 +30,26 @@ class FixtureSpec extends AnyFunSuite with SparkFixture {
       // outside the corpus alphabet only while the corpus stays
       // lowercase+space; a regenerated corpus with uppercase would
       // silently alias merged tokens with real text
-      val withUpper = Tables.t(spark, dir, "documents")
-        .filter(col("text").rlike("[A-Z]")).count()
-      assert(withUpper == 0,
-        s"$dir has $withUpper documents with uppercase (BPE merge-symbol clash)")
+      // the BPE trainer also interpolates the winning pair into a SQL
+      // literal and mints uppercase merge symbols — pin the FULL
+      // charset, not just no-uppercase: lowercase + space only
+      val offCharset = Tables.t(spark, dir, "documents")
+        .filter(!col("text").rlike("^[a-z ]*$")).count()
+      assert(offCharset == 0,
+        s"$dir has $offCharset documents outside [a-z ] (BPE charset contract)")
+    }
+  }
+
+  test("KMV activity-key packing stays injective (ak < 2^31-1 across SFs)") {
+    // agg_kmv_* / stream_kmv hash ak = user_id*1e5 + epoch_day through
+    // a permutation of Z_M (M = 2^31-1); injectivity — and therefore
+    // the 'bottom-k multiset is a true set' claim and the streaming
+    // merge's distinct() semantics — requires ak < M
+    for (dir <- allSfDirs) {
+      val mx = Tables.t(spark, dir, "events")
+        .agg(max(expr(graft.operators.AggQueries.kmvAkSqlSpark))).head().getLong(0)
+      assert(mx < graft.operators.AggQueries.KmvM,
+        s"$dir: max activity key $mx breaches the 2^31-1 hash field")
     }
   }
 
