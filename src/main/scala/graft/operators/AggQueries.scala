@@ -672,7 +672,11 @@ object AggQueries {
     * days < 10⁵ until year 2243), and because [[KmvM]] is prime with
     * multiplier coprime to it and ak < M, distinct keys map to
     * DISTINCT hashes — the bottom-k multiset is a true set, no dedup
-    * pass needed.
+    * pass needed. The ak < M precondition bounds user_id ≤ ~21,473
+    * (and keeps the a·ak product far inside int64); FixtureSpec pins
+    * the bound against the driver corpus, and a deployment with wider
+    * ids would widen the pack (a 61-bit Mersenne field) rather than
+    * silently alias.
     *
     * Scale: the distinct on (type, ak) pairs is the only data-scale
     * shuffle (narrow pair rows, map-side combined); per-type bottom-K
@@ -886,17 +890,19 @@ object AggQueries {
   /** Assemble the published rule rows from the counter row `m` and the
     * 1-row distinct count `u` — shared with stream_dq_gate. */
   private[graft] def dqAssemble(m: DataFrame, u: DataFrame): DataFrame = {
-    def rule(name: String, hits: Column, thresholdBp: Long) =
+    // integer `div`, matching the oracle's `//` — a double division
+    // here would be exact only while 10000·hits fits a double mantissa
+    def rule(hitsCol: String, thresholdBp: Long, name: String) =
       struct(lit(name).as("rule"),
-        (lit(10000L) * hits / col("n")).cast("long").as("metric_bp"),
+        expr(s"(10000 * $hitsCol) div n").as("metric_bp"),
         lit(thresholdBp).as("threshold_bp"))
     m.crossJoin(broadcast(u))
       .select(explode(array(
-        rule("completeness_props", col("n_props"), 9999L),
-        rule("uniqueness_event_id", col("n_uniq"), 10000L),
-        rule("domain_event_type", col("n_domain"), 10000L),
-        rule("range_value_nonneg", col("n_nonneg"), 10000L),
-        rule("range_value_lt100", col("n_r100"), 9500L))).as("r"))
+        rule("n_props", 9999L, "completeness_props"),
+        rule("n_uniq", 10000L, "uniqueness_event_id"),
+        rule("n_domain", 10000L, "domain_event_type"),
+        rule("n_nonneg", 10000L, "range_value_nonneg"),
+        rule("n_r100", 9500L, "range_value_lt100"))).as("r"))
       .select(col("r.rule").as("rule"), col("r.metric_bp").as("metric_bp"),
         col("r.threshold_bp").as("threshold_bp"),
         (col("r.metric_bp") >= col("r.threshold_bp")).as("passed"))
@@ -1494,7 +1500,87 @@ object AggQueries {
       .orderBy("k")
   }
 
+  /** agg_basket — market-basket co-occurrence mining over orders:
+    * which part-brand pairs are bought together more often than
+    * independence predicts (support + lift, the A-Priori / FP-growth
+    * first pass every recommender pipeline runs).
+    *
+    * Scale: the naive shape self-joins the (order, brand) relation on
+    * orderkey — a fact⋈fact shuffle whose output is Σ basket². Here
+    * baskets collapse to ONE sorted set per order in a single
+    * map-side-combined groupBy (basket size is bounded by order width,
+    * ~7 brands, never corpus scale), pairs are emitted per basket with
+    * an index-lambda (a<b once, no dedup pass), and the pair counts
+    * aggregate over ≤ |brands|² = 300 keys. Brand marginals and the
+    * order total ride back in as broadcast micro-dims. Support is
+    * SF-relative (≥ 0.1% of orders) so the query is scale-invariant.
+    * lift_bp = (10⁴·n_ab·N) div (n_a·n_b) is exact int64 up to ~3·10⁹
+    * orders; beyond that widen to the decimal(38) product.
+    * The ORACLE replays the naive self-join — the hash proves the
+    * per-basket pair emit equals the relational formulation. */
+  def aggBasket(s: SparkSession, dir: String): DataFrame = {
+    val baskets = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val marg = baskets.select(explode(col("bs")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n"))
+    val pairs = baskets.select(explode(expr(
+      """flatten(transform(bs, (a, i) ->
+        |  transform(slice(bs, i + 2, size(bs)), b ->
+        |    named_struct('ba', a, 'bb', b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.ba").as("ba"), col("p.bb").as("bb"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs.crossJoin(broadcast(nOrders))
+      .filter(col("n_ab") * 1000 >= col("n_orders"))
+      .join(broadcast(marg.select(col("b").as("ba"), col("n").as("n_a"))), "ba")
+      .join(broadcast(marg.select(col("b").as("bb"), col("n").as("n_b"))), "bb")
+      .select(col("ba"), col("bb"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(10000 * n_ab) div n_orders").as("support_bp"),
+        expr("(10000 * n_ab * n_orders) div (n_a * n_b)").as("lift_bp"))
+      .orderBy("ba", "bb")
+  }
+
+  /** Seats to apportion in agg_apportion — large enough that every
+    * event type earns a floor share and remainders actually differ. */
+  val ApportionSeats = 10000L
+
+  /** agg_apportion — largest-remainder (Hamilton) apportionment:
+    * divide a fixed integer budget of [[ApportionSeats]] slots across
+    * event types proportionally to their counts, with the classic
+    * floor-then-distribute-remainders rule — the exact-integer
+    * allocation every quota sampler / budget splitter needs (a naive
+    * round() both over- and under-shoots the total; this one sums to
+    * the budget BY CONSTRUCTION).
+    *
+    * Scale: one map-side-combined groupBy to the |event_type|-row
+    * frame; the total and the remainder-rank window both run over that
+    * bounded aggregate (the documented bounded-frame window pattern),
+    * never over events. Ties on remainder break by type name so the
+    * allocation is total-ordered and engine-independent. */
+  def aggApportion(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "events").groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+    val q = g.crossJoin(broadcast(g.agg(sum("n").as("nn"))))
+      .select(col("event_type"), col("n"),
+        expr(s"($ApportionSeats * n) div nn").as("floor_seats"),
+        expr(s"($ApportionSeats * n) % nn").as("rem"))
+    val leftover = q.agg((lit(ApportionSeats) - sum("floor_seats")).as("lo"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("rem"), asc("event_type"))
+    q.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(w))
+      .select(col("event_type"), col("n"), col("floor_seats"),
+        when(col("rk") <= col("lo"), 1L).otherwise(0L).as("extra"))
+      .withColumn("seats", col("floor_seats") + col("extra"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_basket" -> aggBasket,
+    "agg_apportion" -> aggApportion,
     "analytics_end_to_end" -> analyticsEndToEnd,
     "agg_gini" -> aggGini,
     "agg_autocorr" -> aggAutocorr,
@@ -1548,6 +1634,42 @@ object AggQueries {
     "agg_accuracy" -> aggAccuracy)
 
   val oracleSql: Map[String, String] = Map(
+    // the naive relational self-join formulation — the hash proves the
+    // per-basket pair emit equals it
+    "agg_basket" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+        |m AS (SELECT p_brand, count(*) AS n FROM b GROUP BY p_brand),
+        |c AS (SELECT x.p_brand AS ba, y.p_brand AS bb, count(*) AS n_ab
+        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+        |    AND x.p_brand < y.p_brand
+        |  GROUP BY 1, 2)
+        |SELECT c.ba, c.bb, c.n_ab, ma.n AS n_a, mb.n AS n_b,
+        |  (10000 * c.n_ab) // no.n_orders AS support_bp,
+        |  (10000 * c.n_ab * no.n_orders) // (ma.n * mb.n) AS lift_bp
+        |FROM c CROSS JOIN no
+        |  JOIN m ma ON ma.p_brand = c.ba
+        |  JOIN m mb ON mb.p_brand = c.bb
+        |WHERE c.n_ab * 1000 >= no.n_orders
+        |ORDER BY ba, bb""".stripMargin,
+    "agg_apportion" ->
+      s"""WITH g AS (SELECT event_type, count(*) AS n
+         |  FROM events GROUP BY event_type),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM g),
+         |q AS (SELECT event_type, n,
+         |    ($ApportionSeats * n) // nn AS floor_seats,
+         |    ($ApportionSeats * n) % nn AS rem
+         |  FROM g CROSS JOIN tot),
+         |lo AS (SELECT $ApportionSeats - CAST(sum(floor_seats) AS BIGINT)
+         |    AS lo FROM q),
+         |r AS (SELECT q.*, lo.lo, row_number() OVER (
+         |    ORDER BY rem DESC, event_type) AS rk FROM q CROSS JOIN lo)
+         |SELECT event_type, n, floor_seats,
+         |  CAST(CASE WHEN rk <= lo THEN 1 ELSE 0 END AS BIGINT) AS extra,
+         |  floor_seats + CAST(CASE WHEN rk <= lo THEN 1 ELSE 0 END AS BIGINT)
+         |    AS seats
+         |FROM r ORDER BY event_type""".stripMargin,
     "agg_cms_estimate" -> cmsOracleSql,
     // pinned-hash bottom-k sketches: the estimates REPLAY bit-exactly
     "agg_kmv_distinct" -> kmvDistinctOracleSql,

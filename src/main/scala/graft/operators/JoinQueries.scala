@@ -550,7 +550,115 @@ object JoinQueries {
       .orderBy("event_id")
   }
 
+  /** join_fuzzy — edit-distance-≤1 similarity join between a "dirty"
+    * vocabulary and the clean catalog vocabulary, via SymSpell-style
+    * deletion-neighborhood blocking.
+    *
+    * The dirty side is derived deterministically (every 7th part
+    * contributes its first name-word with one hash-selected character
+    * deleted — the text_pii_scrub "inject the defect so the operator
+    * is provably exercised" pattern); the corpus also carries NATURAL
+    * ed-1 pairs (red/rod, cold/old), so matches are not only the
+    * injected ones.
+    *
+    * Scale: a similarity join must never compare |V|² pairs. For
+    * max-ed 1, keys(w) = {w} ∪ {w minus one char} is a COMPLETE
+    * blocking: if ed(a,b) ≤ 1 then a and b share a key (equal → w;
+    * insert/delete → the shorter word itself; substitution at i →
+    * both i-deletions agree). Both vocabularies explode into ≤ len+1
+    * short-string keys, candidates come from one equi-join on the
+    * key, and only candidates pay a levenshtein verify. Per-key
+    * populations are bounded by the alphabet (26 same-length words
+    * per deletion key), so the join never quadratically blows up.
+    * The ORACLE is the brute-force |V_dirty|×|V_clean| cross join —
+    * the hash proves the blocking loses no pair. */
+  /** Identity + all single-char deletions of the word in column `w` —
+    * the SymSpell max-ed-1 blocking key set; array_union dedups so a
+    * repeated character can't emit the same key twice from one word.
+    * Shared with DedupQueries.pipelineEntityResolution. */
+  private[graft] def fuzzyDelKeys(w: String) = expr(
+    s"""array_union(array($w), transform(sequence(1, length($w)),
+       |  i -> concat(substring($w, 1, i - 1), substring($w, i + 1))))"""
+      .stripMargin)
+
+  /** The clean part-name vocabulary with occurrence counts. */
+  private[graft] def fuzzyCleanVocab(part: DataFrame): DataFrame = part
+    .select(explode(split(col("p_name"), " ")).as("w"))
+    .groupBy("w").agg(count(lit(1)).as("n_parts"))
+
+  /** The deterministically-typo'd vocabulary: every 7th part
+    * contributes its first name-word with one hash-selected character
+    * deleted (the text_pii_scrub "inject the defect so the operator is
+    * provably exercised" pattern). */
+  private[graft] def fuzzyDirtyVocab(part: DataFrame): DataFrame = part
+    .filter(col("p_partkey") % 7 === 0)
+    .select(expr("element_at(split(p_name, ' '), 1)").as("fw"),
+      col("p_partkey"))
+    .withColumn("k", expr("CAST((p_partkey div 7) % length(fw) AS INT) + 1"))
+    .select(expr("concat(substring(fw, 1, k - 1), substring(fw, k + 1))")
+      .as("dw"))
+    .groupBy("dw").agg(count(lit(1)).as("n_dirty"))
+
+  def joinFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val clean = fuzzyCleanVocab(part)
+    val dirty = fuzzyDirtyVocab(part)
+    val cand = dirty.select(col("dw"), explode(fuzzyDelKeys("dw")).as("key"))
+      .join(clean.select(col("w"), explode(fuzzyDelKeys("w")).as("key")), "key")
+      .select("dw", "w").distinct()
+      .filter(levenshtein(col("dw"), col("w")) <= 1)
+    cand
+      .join(broadcast(dirty), "dw").join(broadcast(clean), "w")
+      .select(col("dw").as("dirty_w"), col("w").as("clean_w"),
+        levenshtein(col("dw"), col("w")).cast("long").as("ed"),
+        col("n_dirty"), col("n_parts"))
+      .orderBy("dirty_w", "clean_w")
+  }
+
+  /** pipeline_snapshot_diff — CDC-style diff of the per-user state
+    * between two snapshot instants T1 < T2 (the 2% and 50% points of
+    * the observed time range, derived in-plan so both engines compute
+    * the identical cutoffs; T1 sits early because the user base is
+    * fully onboarded within the first ~6% of the range — a later T1
+    * would leave the "added" class vacuously empty): which users were
+    * added, which changed state, which are unchanged.
+    *
+    * Scale: the naive shape materializes both snapshots and full-outer
+    * joins them — two scans plus a join shuffle. Here both snapshot
+    * states come out of ONE groupBy over one scan via conditional
+    * max(struct(ts_ns, event_id, event_type)) aggregates (the struct's
+    * leading columns make the argmax total-ordered and partition-order
+    * independent), so the diff costs a single user_id shuffle with
+    * map-side combine and no join at all. The oracle replays the
+    * two-snapshot LEFT JOIN formulation — the hash proves
+    * one-pass-conditional-agg ≡ snapshot-join semantics. */
+  def pipelineSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select("user_id", "event_type", "ts_s", "ts_ns", "event_id")
+    val cuts = e.agg(min("ts_s").as("lo"), max("ts_s").as("hi"))
+      .select(expr("lo + (hi - lo) div 50").as("t1"),
+        expr("lo + (hi - lo) div 2").as("t2"))
+    def stateAt(cut: org.apache.spark.sql.Column) =
+      max(when(col("ts_s") <= cut,
+        struct(col("ts_ns"), col("event_id"), col("event_type"))))
+    e.crossJoin(broadcast(cuts))
+      .groupBy("user_id")
+      .agg(stateAt(col("t1")).as("s1"), stateAt(col("t2")).as("s2"))
+      .select(col("user_id"), col("s1.event_type").as("v1"),
+        col("s2.event_type").as("v2"))
+      .filter(col("v2").isNotNull) // all-future users are in neither snapshot
+      .withColumn("class",
+        when(col("v1").isNull, lit("added"))
+          .when(col("v1") === col("v2"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .groupBy("class")
+      .agg(count(lit(1)).as("n_users"), sum("user_id").as("user_id_sum"))
+      .orderBy("class")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_fuzzy" -> joinFuzzy,
+    "pipeline_snapshot_diff" -> pipelineSnapshotDiff,
     "join_temporal" -> joinTemporal,
     "join_hint_shj" -> joinHintShj,
     "join_dpp" -> joinDpp,
@@ -574,6 +682,50 @@ object JoinQueries {
     "join_nullsafe" -> joinNullsafe)
 
   val oracleSql: Map[String, String] = Map(
+    // brute-force |Vd|×|Vc| levenshtein join — the hash proves the
+    // deletion-neighborhood blocking loses no ed≤1 pair
+    "join_fuzzy" ->
+      """WITH clean AS (SELECT w, count(*) AS n_parts FROM (
+        |    SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+        |  GROUP BY w),
+        |dirty AS (SELECT dw, count(*) AS n_dirty FROM (
+        |    SELECT substr(fw, 1, k - 1) || substr(fw, k + 1) AS dw
+        |    FROM (SELECT string_split(p_name, ' ')[1] AS fw,
+        |        CAST((p_partkey // 7) % length(string_split(p_name, ' ')[1])
+        |          AS INTEGER) + 1 AS k
+        |      FROM part WHERE p_partkey % 7 = 0))
+        |  GROUP BY dw)
+        |SELECT d.dw AS dirty_w, c.w AS clean_w,
+        |  CAST(levenshtein(d.dw, c.w) AS BIGINT) AS ed,
+        |  d.n_dirty, c.n_parts
+        |FROM dirty d JOIN clean c ON levenshtein(d.dw, c.w) <= 1
+        |ORDER BY dirty_w, clean_w""".stripMargin,
+    // the two-snapshot LEFT JOIN formulation — a different algorithm
+    // than the Spark one-pass conditional aggregate, same semantics
+    "pipeline_snapshot_diff" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    epoch_ns(ts) AS ts_ns,
+        |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s
+        |  FROM events),
+        |b AS (SELECT min(ts_s) AS lo, max(ts_s) AS hi FROM e),
+        |cut AS (SELECT lo + (hi - lo) // 50 AS t1,
+        |    lo + (hi - lo) // 2 AS t2 FROM b),
+        |s1 AS (SELECT user_id, event_type AS v1 FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts_ns DESC, event_id DESC)
+        |      AS rn FROM e, cut WHERE ts_s <= t1) WHERE rn = 1),
+        |s2 AS (SELECT user_id, event_type AS v2 FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts_ns DESC, event_id DESC)
+        |      AS rn FROM e, cut WHERE ts_s <= t2) WHERE rn = 1),
+        |cls AS (SELECT s2.user_id,
+        |    CASE WHEN s1.user_id IS NULL THEN 'added'
+        |      WHEN s1.v1 = s2.v2 THEN 'unchanged'
+        |      ELSE 'changed' END AS class
+        |  FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id)
+        |SELECT class, count(*) AS n_users,
+        |  CAST(sum(user_id) AS BIGINT) AS user_id_sum
+        |FROM cls GROUP BY class ORDER BY class""".stripMargin,
     // the INTERVAL formulation over the rebuilt SCD2 history — a
     // different algorithm than the Spark merge-window, same semantics
     "join_temporal" ->

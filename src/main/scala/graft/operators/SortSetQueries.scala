@@ -278,7 +278,53 @@ object SortSetQueries {
       .orderBy("o_custkey", "rn")
   }
 
+  /** sort_skyline — 2-D Pareto frontier (skyline) of the part catalog
+    * on (price, size): a part is on the frontier iff no other part is
+    * both cheaper-or-equal AND smaller-or-equal with at least one
+    * strict — the classic "best trade-off set" query (Börzsönyi et
+    * al.'s SKYLINE OF operator).
+    *
+    * Scale: the textbook formulation is an O(n²) dominance self-join —
+    * a non-starter at corpus scale. The distributed shape here never
+    * compares row pairs at all:
+    *   1. reduce parts to distinct (price, size) VALUE pairs with
+    *      count + min-key witness (one map-side-combined groupBy;
+    *      output bounded by the price×size value domain, not by rows);
+    *   2. per-price min size (bounded by #distinct prices);
+    *   3. one prefix-min window over the per-price minima: a pair can
+    *      only be on the frontier if it is its price's min size, and
+    *      such a candidate is dominated iff some STRICTLY cheaper
+    *      price already achieved an ≤ size — i.e. iff the running min
+    *      over preceding rows ≤ its own size. The window's input is
+    *      the #prices aggregate, never part rows (the documented
+    *      bounded-frame pattern PlanSweepSpec checks for);
+    *   4. survivors broadcast back onto the pair frame for
+    *      count/witness.
+    * The ORACLE deliberately replays the O(n²) NOT EXISTS dominance
+    * definition, so the hash proves prefix-min ≡ dominance semantics.
+    * Money in integer cents: both engines compute the identical
+    * IEEE product before the cast, and all comparisons are integer. */
+  def sortSkyline(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "part")
+      .select(expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_c"),
+        col("p_size"), col("p_partkey"))
+      .groupBy("price_c", "p_size")
+      .agg(count(lit(1)).as("n_parts"), min("p_partkey").as("min_partkey"))
+    val perPrice = pairs.groupBy("price_c").agg(min("p_size").as("p_size"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("price_c")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .withColumn("pm", min(col("p_size")).over(w))
+      .filter(col("pm").isNull || col("pm") > col("p_size"))
+      .select("price_c", "p_size")
+    pairs.join(broadcast(frontier), Seq("price_c", "p_size"))
+      .select("price_c", "p_size", "n_parts", "min_partkey")
+      .orderBy("price_c")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sort_skyline" -> sortSkyline,
     "topk_rewrite" -> topkRewrite,
     "topk_flush" -> topkFlush,
     "topk_join" -> topkJoin,
@@ -296,6 +342,18 @@ object SortSetQueries {
     "sort_offset_page" -> sortOffsetPage)
 
   val oracleSql: Map[String, String] = Map(
+    // the INDEPENDENT O(n²) dominance formulation — the hash proves
+    // the engine's prefix-min algorithm equals the skyline definition
+    "sort_skyline" ->
+      """WITH g AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT)
+        |      AS price_c, p_size,
+        |    count(*) AS n_parts, min(p_partkey) AS min_partkey
+        |  FROM part GROUP BY 1, 2)
+        |SELECT price_c, p_size, n_parts, min_partkey FROM g a
+        |WHERE NOT EXISTS (SELECT 1 FROM g b
+        |  WHERE b.price_c <= a.price_c AND b.p_size <= a.p_size
+        |    AND (b.price_c < a.price_c OR b.p_size < a.p_size))
+        |ORDER BY price_c""".stripMargin,
     // explicit NULLS FIRST because the engines' defaults disagree;
     // the rank column hashes the order itself
     "sort_nulls" ->

@@ -33,7 +33,10 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     "text_collocations", // crossJoin carries the broadcast 1-row bigram total
     "agg_kmv_jaccard", // ta<tb theta self-join of the broadcast |types|-row frame (the agg_ttest pattern)
     "profile_dq_rules", // crossJoin of the two broadcast 1-row metric aggregates
-    "stream_dq_gate") // same assembly as profile_dq_rules over the merged counter state
+    "stream_dq_gate", // same assembly as profile_dq_rules over the merged counter state
+    "agg_basket", // crossJoin carries the broadcast 1-row order total
+    "agg_apportion", // crossJoins carry broadcast 1-row total/leftover frames
+    "pipeline_snapshot_diff") // crossJoin carries the broadcast 1-row cutoff pair
 
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.window.WindowExec

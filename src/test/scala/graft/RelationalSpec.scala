@@ -211,6 +211,106 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert("Window".r.findAllIn(p).size == 1, p)
   }
 
+  test("sort_skyline equals the brute-force dominance definition and is mutually non-dominating") {
+    // sequential replay of the O(n²) definition the oracle uses, in
+    // Scala, against the engine's prefix-min algorithm
+    val raw = graft.Tables.t(spark, sf, "part")
+      .selectExpr("CAST(round(p_retailprice * 100) AS BIGINT) AS p", "p_size AS s")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    def dominates(a: (Long, Int), b: (Long, Int)) =
+      a._1 <= b._1 && a._2 <= b._2 && (a._1 < b._1 || a._2 < b._2)
+    val expect = raw.distinct.filter(x => !raw.exists(y => dominates(y, x)))
+      .sortBy(_._1).toSeq
+    val got = SparkEntry.queries("sort_skyline")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == expect)
+    got.foreach(a => got.foreach(b =>
+      assert(a == b || !dominates(a, b), s"$a dominates $b inside the frontier")))
+  }
+
+  test("agg_apportion conserves the seat budget exactly") {
+    val S = graft.operators.AggQueries.ApportionSeats
+    val rows = SparkEntry.queries("agg_apportion")(spark, sf).collect()
+    // the defining invariant: seats sum EXACTLY to the budget
+    assert(rows.map(_.getAs[Long]("seats")).sum == S)
+    // extras distribute exactly the floor shortfall (0 ≤ leftover < #types;
+    // at sf0.001 the remainders happen to cancel and leftover is 0 —
+    // both branches are legal, the conservation identity is not)
+    val leftover = S - rows.map(_.getAs[Long]("floor_seats")).sum
+    assert(leftover >= 0 && leftover < rows.length)
+    assert(rows.map(_.getAs[Long]("extra")).sum == leftover)
+    rows.foreach(r => assert(r.getAs[Long]("extra") <= 1L))
+  }
+
+  test("join_fuzzy blocking loses no ed<=1 pair (brute-force replay) and finds the natural pairs") {
+    val df = SparkEntry.queries("join_fuzzy")(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // brute force over both vocabularies, classic Levenshtein
+    def ed(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val part = graft.Tables.t(spark, sf, "part")
+      .selectExpr("p_partkey", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val clean = part.flatMap(_._2.split(" ")).distinct
+    val dirty = part.filter(_._1 % 7 == 0).map { case (k, n) =>
+      val fw = n.split(" ").head
+      val i = ((k / 7) % fw.length).toInt
+      fw.substring(0, i) + fw.substring(i + 1)
+    }.distinct
+    val expect = (for {
+      d <- dirty; c <- clean; e = ed(d, c) if e <= 1
+    } yield (d, c, e.toLong)).toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "fuzzy join found no matches — blocking or injection broken")
+    // ambiguity is genuinely exercised: some dirty word fuzzy-matches
+    // MORE than one clean word (e.g. a deletion bridging red/rod)
+    assert(got.groupBy(_._1).exists(_._2.map(_._2).size >= 2),
+      s"no dirty word matched >=2 clean words: $got")
+  }
+
+  test("pipeline_snapshot_diff classes partition the snapshot-2 user set and all three fire") {
+    val rows = SparkEntry.queries("pipeline_snapshot_diff")(spark, sf).collect()
+    val byClass = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byClass.keySet == Set("added", "changed", "unchanged"),
+      s"expected all three diff classes, got ${byClass.keySet}")
+    // class counts must sum to |users with >=1 event <= t2| — replay the
+    // cutoff and the user set independently
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.t(spark, sf, "events")
+    val Array(lo, hi) = e.agg(min("ts_s"), max("ts_s")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val t2 = lo + (hi - lo) / 2
+    val nUsers = e.filter(col("ts_s") <= t2)
+      .select("user_id").distinct().count()
+    assert(byClass.values.sum == nUsers)
+  }
+
+  test("agg_basket pair counts equal the per-order brand-set replay") {
+    val got = SparkEntry.queries("agg_basket")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val baskets = graft.Tables.t(spark, sf, "lineitem")
+      .join(graft.Tables.t(spark, sf, "part"),
+        org.apache.spark.sql.functions.col("l_partkey") ===
+          org.apache.spark.sql.functions.col("p_partkey"))
+      .select("l_orderkey", "p_brand").collect()
+      .map(r => (r.getLong(0), r.getString(1))).distinct
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    baskets.foreach { bs =>
+      for (i <- bs.indices; j <- i + 1 until bs.size)
+        counts((bs(i), bs(j))) = counts.getOrElse((bs(i), bs(j)), 0L) + 1
+    }
+    val nOrders = baskets.size
+    val expect = counts.filter(_._2 * 1000 >= nOrders)
+    assert(got == expect.toMap)
+  }
+
   test("xpath_string semantics pin (removed from scalar_xml's hot path for being non-codegen)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
