@@ -1518,21 +1518,28 @@ object AggQueries {
     * orders; beyond that widen to the decimal(38) product.
     * The ORACLE replays the naive self-join — the hash proves the
     * per-basket pair emit equals the relational formulation. */
-  def aggBasket(s: SparkSession, dir: String): DataFrame = {
-    val baskets = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
-        col("l_partkey") === col("p_partkey"))
+  /** Per-order sorted brand sets — the basket frame both the batch
+    * query and the streaming twin derive their deltas from. */
+  private[graft] def basketSets(li: DataFrame, partDim: DataFrame): DataFrame =
+    li.join(broadcast(partDim), col("l_partkey") === col("p_partkey"))
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
-    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
-    val marg = baskets.select(explode(col("bs")).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("n"))
-    val pairs = baskets.select(explode(expr(
+
+  /** a<b pair emit per basket via an index lambda — basket-width-
+    * bounded, never the Σbasket² relational self-join. */
+  private[graft] def basketPairs(baskets: DataFrame): DataFrame =
+    baskets.select(explode(expr(
       """flatten(transform(bs, (a, i) ->
         |  transform(slice(bs, i + 2, size(bs)), b ->
         |    named_struct('ba', a, 'bb', b))))""".stripMargin)).as("p"))
       .groupBy(col("p.ba").as("ba"), col("p.bb").as("bb"))
       .agg(count(lit(1)).as("n_ab"))
+
+  /** Final support/lift assembly from (ba,bb,n_ab) pair counts, (b,n)
+    * brand marginals and the 1-row order total — shared verbatim with
+    * stream_basket so the twins cannot drift on the formulas. */
+  private[graft] def basketAssemble(pairs: DataFrame, marg: DataFrame,
+      nOrders: DataFrame): DataFrame =
     pairs.crossJoin(broadcast(nOrders))
       .filter(col("n_ab") * 1000 >= col("n_orders"))
       .join(broadcast(marg.select(col("b").as("ba"), col("n").as("n_a"))), "ba")
@@ -1541,6 +1548,100 @@ object AggQueries {
         expr("(10000 * n_ab) div n_orders").as("support_bp"),
         expr("(10000 * n_ab * n_orders) div (n_a * n_b)").as("lift_bp"))
       .orderBy("ba", "bb")
+
+  /** agg_basket's oracle — the naive relational self-join formulation;
+    * shared verbatim by stream_basket (incremental-equals-batch). */
+  private[graft] val basketOracleSql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey, p_brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+      |m AS (SELECT p_brand, count(*) AS n FROM b GROUP BY p_brand),
+      |c AS (SELECT x.p_brand AS ba, y.p_brand AS bb, count(*) AS n_ab
+      |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+      |    AND x.p_brand < y.p_brand
+      |  GROUP BY 1, 2)
+      |SELECT c.ba, c.bb, c.n_ab, ma.n AS n_a, mb.n AS n_b,
+      |  (10000 * c.n_ab) // no.n_orders AS support_bp,
+      |  (10000 * c.n_ab * no.n_orders) // (ma.n * mb.n) AS lift_bp
+      |FROM c CROSS JOIN no
+      |  JOIN m ma ON ma.p_brand = c.ba
+      |  JOIN m mb ON mb.p_brand = c.bb
+      |WHERE c.n_ab * 1000 >= no.n_orders
+      |ORDER BY ba, bb""".stripMargin
+
+  def aggBasket(s: SparkSession, dir: String): DataFrame = {
+    val baskets = basketSets(
+      t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+      t(s, dir, "part").select("p_partkey", "p_brand"))
+    basketAssemble(
+      basketPairs(baskets),
+      baskets.select(explode(col("bs")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("n")),
+      baskets.agg(count(lit(1)).as("n_orders")))
+  }
+
+  /** agg_decay — recency-weighted popularity: each event contributes
+    * weight 2¹⁴ halved once per elapsed half-life (7 days) since the
+    * corpus "now" (the max observed timestamp, derived in-plan) — the
+    * trending-score / freshness-ranking aggregate every feed and
+    * search ranker maintains. Exponential decay done entirely in
+    * INTEGER bit-shifts: 16384 >> min(age_halflives, 63) — exact on
+    * both engines (a pow(0.5, age/λ) double would be libm-dependent),
+    * with the shift capped at 63 because Java's >> wraps the shift
+    * amount mod 64 while DuckDB saturates — uncapped, a >9-decade-old
+    * event would DISAGREE between the engines, not just lose
+    * precision.
+    *
+    * Scale: one scan, one map-side-combined groupBy to the
+    * |event_type|-row frame; the 1-row "now" rides in broadcast. */
+  def aggDecay(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select("event_type", "ts_s")
+    e.crossJoin(broadcast(e.agg(max("ts_s").as("now_s"))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("shiftright(16384L, " +
+          "CAST(least((now_s - ts_s) div 604800, 63) AS INT))"))
+          .as("decay_score"))
+      .orderBy("event_type")
+  }
+
+  /** profile_drift — PSI (population stability index) distribution
+    * drift between the first and second half of the observed time
+    * range, per event type: the train/serve-skew monitor every ML
+    * platform runs before trusting a model on current traffic.
+    *
+    * Determinism: the reference/current shares are computed as exact
+    * integer BASIS POINTS first (p_bp = 10⁴·n_ref div t_ref), so the
+    * only FP steps are one subtraction and one ln of a ratio of two
+    * identical integers — a single fixed expression, Fp.r4-rounded
+    * (the text_tfidf ln-ulp posture). Per-type contributions only; a
+    * cross-type FP total would be accumulation-order nondeterministic
+    * (the agg_chisq lesson). Types with a zero basis-point share on
+    * either side are excluded (ln undefined) — with add-1-smoothed
+    * counts at real scale that never fires; here the raw counts are
+    * published so the exclusion is auditable.
+    *
+    * Scale: one scan, conditional two-sided counts in one groupBy
+    * (no second scan for the reference window), totals broadcast. */
+  def profileDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select("event_type", "ts_s")
+    val mid = e.agg(min("ts_s").as("lo"), max("ts_s").as("hi"))
+      .select(expr("lo + (hi - lo) div 2").as("mid"))
+    val g = e.crossJoin(broadcast(mid))
+      .groupBy("event_type")
+      .agg(sum(when(col("ts_s") <= col("mid"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("ts_s") > col("mid"), 1L).otherwise(0L)).as("n_cur"))
+    g.crossJoin(broadcast(g.agg(sum("n_ref").as("t_ref"),
+        sum("n_cur").as("t_cur"))))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        expr("(10000 * n_ref) div t_ref").as("p_bp"),
+        expr("(10000 * n_cur) div t_cur").as("q_bp"))
+      .filter(col("p_bp") > 0 && col("q_bp") > 0)
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        col("p_bp"), col("q_bp"),
+        Fp.r4(expr("((CAST(p_bp AS DOUBLE) - q_bp) / 10000.0)" +
+          " * ln(CAST(p_bp AS DOUBLE) / q_bp)")).as("psi_contrib"))
+      .orderBy("event_type")
   }
 
   /** Seats to apportion in agg_apportion — large enough that every
@@ -1581,6 +1682,8 @@ object AggQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_basket" -> aggBasket,
     "agg_apportion" -> aggApportion,
+    "agg_decay" -> aggDecay,
+    "profile_drift" -> profileDrift,
     "analytics_end_to_end" -> analyticsEndToEnd,
     "agg_gini" -> aggGini,
     "agg_autocorr" -> aggAutocorr,
@@ -1636,23 +1739,7 @@ object AggQueries {
   val oracleSql: Map[String, String] = Map(
     // the naive relational self-join formulation — the hash proves the
     // per-basket pair emit equals it
-    "agg_basket" ->
-      """WITH b AS (SELECT DISTINCT l_orderkey, p_brand
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
-        |no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
-        |m AS (SELECT p_brand, count(*) AS n FROM b GROUP BY p_brand),
-        |c AS (SELECT x.p_brand AS ba, y.p_brand AS bb, count(*) AS n_ab
-        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
-        |    AND x.p_brand < y.p_brand
-        |  GROUP BY 1, 2)
-        |SELECT c.ba, c.bb, c.n_ab, ma.n AS n_a, mb.n AS n_b,
-        |  (10000 * c.n_ab) // no.n_orders AS support_bp,
-        |  (10000 * c.n_ab * no.n_orders) // (ma.n * mb.n) AS lift_bp
-        |FROM c CROSS JOIN no
-        |  JOIN m ma ON ma.p_brand = c.ba
-        |  JOIN m mb ON mb.p_brand = c.bb
-        |WHERE c.n_ab * 1000 >= no.n_orders
-        |ORDER BY ba, bb""".stripMargin,
+    "agg_basket" -> basketOracleSql,
     "agg_apportion" ->
       s"""WITH g AS (SELECT event_type, count(*) AS n
          |  FROM events GROUP BY event_type),
@@ -1670,6 +1757,41 @@ object AggQueries {
          |  floor_seats + CAST(CASE WHEN rk <= lo THEN 1 ELSE 0 END AS BIGINT)
          |    AS seats
          |FROM r ORDER BY event_type""".stripMargin,
+    // integer bit-shift decay — exact, no pow(), shift saturated at 63
+    // on both engines (Java >> wraps mod 64, DuckDB saturates)
+    "agg_decay" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s FROM events),
+        |m AS (SELECT max(ts_s) AS now_s FROM e)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(16384 AS BIGINT)
+        |    >> CAST(least((now_s - ts_s) // 604800, 63) AS INTEGER))
+        |    AS BIGINT) AS decay_score
+        |FROM e CROSS JOIN m
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // integer basis points first; the single ln is Fp.r4-rounded
+    "profile_drift" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s FROM events),
+        |b AS (SELECT min(ts_s) + (max(ts_s) - min(ts_s)) // 2 AS mid FROM e),
+        |g AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN ts_s <= mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ref,
+        |    CAST(sum(CASE WHEN ts_s > mid THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cur
+        |  FROM e CROSS JOIN b GROUP BY event_type),
+        |tt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+        |    CAST(sum(n_cur) AS BIGINT) AS t_cur FROM g),
+        |p AS (SELECT event_type, n_ref, n_cur,
+        |    (10000 * n_ref) // t_ref AS p_bp,
+        |    (10000 * n_cur) // t_cur AS q_bp
+        |  FROM g CROSS JOIN tt)
+        |SELECT event_type, n_ref, n_cur, p_bp, q_bp,
+        |  floor(((CAST(p_bp AS DOUBLE) - q_bp) / 10000.0)
+        |    * ln(CAST(p_bp AS DOUBLE) / q_bp) * 10000.0 + 0.5) / 10000.0
+        |    AS psi_contrib
+        |FROM p WHERE p_bp > 0 AND q_bp > 0
+        |ORDER BY event_type""".stripMargin,
     "agg_cms_estimate" -> cmsOracleSql,
     // pinned-hash bottom-k sketches: the estimates REPLAY bit-exactly
     "agg_kmv_distinct" -> kmvDistinctOracleSql,

@@ -807,7 +807,44 @@ object DedupQueries {
       .orderBy("canon")
   }
 
+  /** pipeline_entity_resolution — the full ER chain in one query:
+    * BLOCK (SymSpell deletion keys, shared with join_fuzzy) →
+    * MATCH (levenshtein ≤ 1 verify on candidates only) →
+    * CLUSTER (min-label connected components over the match graph) →
+    * CANONICALIZE (lexicographic-min member, merged occurrence
+    * counts, sorted member list) — the dedup counterpart of
+    * pipeline_end_to_end, run over the clean part-name vocabulary
+    * UNIONed with the injected typo'd vocabulary.
+    *
+    * Scale: every stage is vocabulary-bounded (the value domain, not
+    * the row count); blocking keys join with alphabet-bounded
+    * populations, never |V|²; [[components]] shuffles only the match
+    * graph. The ORACLE replays brute-force matching + a recursive
+    * transitive closure — hash-proving both the blocking completeness
+    * AND the iterative min-label loop against DuckDB's fixpoint. */
+  def pipelineEntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val vocab = JoinQueries.fuzzyCleanVocab(part)
+      .select(col("w"), col("n_parts").as("cnt"))
+      .unionByName(JoinQueries.fuzzyDirtyVocab(part)
+        .select(col("dw").as("w"), col("n_dirty").as("cnt")))
+      .groupBy("w").agg(sum("cnt").as("cnt"))
+    val keys = vocab.select(col("w"),
+      explode(JoinQueries.fuzzyDelKeys("w")).as("key"))
+    val edges = keys.as("x").join(keys.as("y"), "key")
+      .filter(col("x.w") < col("y.w"))
+      .select(col("x.w").as("doc_a"), col("y.w").as("doc_b")).distinct()
+      .filter(levenshtein(col("doc_a"), col("doc_b")) <= 1)
+    components(vocab.select(col("w").as("doc_id")), edges)
+      .join(vocab.withColumnRenamed("w", "doc_id"), "doc_id")
+      .groupBy(col("comp").as("canonical_w"))
+      .agg(count(lit(1)).as("n_words"), sum("cnt").as("n_occurrences"),
+        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("members"))
+      .orderBy("canonical_w")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_entity_resolution" -> pipelineEntityResolution,
     "dedup_url" -> dedupUrl,
     "dedup_substring" -> dedupSubstring,
     "dedup_components" -> dedupComponents,
@@ -823,6 +860,36 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard)
 
   val oracleSql: Map[String, String] = Map(
+    // brute-force matching + recursive transitive closure — proves
+    // blocking completeness AND the min-label loop in one hash
+    "pipeline_entity_resolution" ->
+      """WITH RECURSIVE
+        |clean AS (SELECT w, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+        |  GROUP BY w),
+        |dirty AS (SELECT dw AS w, count(*) AS cnt FROM (
+        |    SELECT substr(fw, 1, k - 1) || substr(fw, k + 1) AS dw
+        |    FROM (SELECT string_split(p_name, ' ')[1] AS fw,
+        |        CAST((p_partkey // 7) % length(string_split(p_name, ' ')[1])
+        |          AS INTEGER) + 1 AS k
+        |      FROM part WHERE p_partkey % 7 = 0))
+        |  GROUP BY dw),
+        |vocab AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+        |    SELECT * FROM clean UNION ALL SELECT * FROM dirty)
+        |  GROUP BY w),
+        |e0 AS (SELECT a.w AS u, b.w AS v FROM vocab a JOIN vocab b
+        |  ON a.w < b.w AND levenshtein(a.w, b.w) <= 1),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |reach(src, dst) AS (
+        |  SELECT w, w FROM vocab
+        |  UNION
+        |  SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u),
+        |lab AS (SELECT src AS w, min(dst) AS comp FROM reach GROUP BY src)
+        |SELECT comp AS canonical_w, count(*) AS n_words,
+        |  CAST(sum(vocab.cnt) AS BIGINT) AS n_occurrences,
+        |  string_agg(vocab.w, ',' ORDER BY vocab.w) AS members
+        |FROM lab JOIN vocab USING (w)
+        |GROUP BY comp ORDER BY canonical_w""".stripMargin,
     // canonical form re-derived from the SOURCE columns — checks the
     // parse_url-based canonicalization against construction ground truth
     "dedup_url" ->

@@ -669,6 +669,69 @@ object StreamQueries {
     * the batch sketch over the same rows, so the final probe reuses
     * the batch query's shared probe AND its oracle verbatim — the
     * strongest possible incremental-equals-batch check. */
+  /** INCREMENTAL market-basket mining — the streaming twin of
+    * agg_basket. Chunking by ORDER KEY makes each order's basket
+    * complete within one micro-batch, so the batch's pair counts,
+    * brand marginals and order count are exact deltas; all three
+    * merge by plain sum (one long-format state frame keyed by
+    * (ba, bb, kind), always ≤ |brands|² + |brands| + 1 rows). The
+    * final support/lift assembly is AggQueries.basketAssemble —
+    * shared code — and the oracle is agg_basket's SQL verbatim:
+    * the strongest incremental-equals-batch check. */
+  val BasketChunks = 5
+  def streamBasket(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggQueries
+    val tag = contentTag(s, dir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_basket_$tag"
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val partDim = t(s, dir, "part").select("p_partkey", "p_brand")
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+      val maxKey = li.agg(max("l_orderkey")).head().getLong(0)
+      val w = maxKey / BasketChunks + 1
+      stageChunks(li, base, s"l_orderkey div $w")
+    }
+    val statePath = s"$base/state"
+    val q = s.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val sess = batch.sparkSession
+        val baskets = AggQueries.basketSets(batch.toDF(), partDim)
+          .localCheckpoint(true)
+        val delta = AggQueries.basketPairs(baskets)
+          .select(col("ba"), col("bb"), lit("p").as("kind"),
+            col("n_ab").as("n"))
+          .unionByName(baskets.select(explode(col("bs")).as("ba"))
+            .groupBy("ba").agg(count(lit(1)).as("n"))
+            .select(col("ba"), lit("").as("bb"), lit("m").as("kind"),
+              col("n")))
+          .unionByName(baskets.agg(count(lit(1)).as("n"))
+            .select(lit("").as("ba"), lit("").as("bb"),
+              lit("t").as("kind"), col("n")))
+        val merged =
+          if (new java.io.File(s"$statePath/_SUCCESS").exists())
+            sess.read.parquet(statePath).unionByName(delta)
+              .groupBy("ba", "bb", "kind").agg(sum("n").as("n"))
+          else delta
+        // eager checkpoint BEFORE the overwrite — the merge reads the
+        // same files the write replaces (the streamForeachBatch pattern)
+        merged.localCheckpoint(true).write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val state = s.read.parquet(statePath)
+    AggQueries.basketAssemble(
+      state.filter(col("kind") === "p").select("ba", "bb",
+        "n").withColumnRenamed("n", "n_ab"),
+      state.filter(col("kind") === "m")
+        .select(col("ba").as("b"), col("n")),
+      state.filter(col("kind") === "t").select(col("n").as("n_orders")))
+  }
+
   val CmsChunks = 4
   def streamCms(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.AggQueries
@@ -1361,6 +1424,7 @@ object StreamQueries {
     "stream_concurrency" -> streamConcurrency,
     "stream_minhash" -> streamMinhash,
     "stream_cms" -> streamCms,
+    "stream_basket" -> streamBasket,
     "stream_kmv" -> streamKmv,
     "stream_dq_gate" -> streamDqGate,
     "stream_reservoir" -> streamReservoir,
@@ -1460,6 +1524,8 @@ object StreamQueries {
     // cell-wise integer sums are associative: the merged streaming
     // sketch is bit-identical to the batch sketch, same oracle
     "stream_cms" -> graft.operators.AggQueries.cmsOracleSql,
+    // incremental-equals-batch: agg_basket's oracle verbatim
+    "stream_basket" -> graft.operators.AggQueries.basketOracleSql,
     // bottom-k over distinct hashes is closed under union: the merged
     // streaming sketch equals the one-shot sketch, same oracle
     "stream_kmv" -> graft.operators.AggQueries.kmvDistinctOracleSql,

@@ -189,4 +189,45 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     got.foreach { case (a, b, n) => assert(a < b && n >= 1) }
     assert(got == expect)
   }
+
+  test("pipeline_entity_resolution equals a sequential union-find over brute-force matches") {
+    import org.apache.spark.sql.functions.col
+    def ed(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val part = graft.Tables.t(spark, sf, "part")
+      .select(col("p_partkey"), col("p_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val cleanCnt = part.flatMap(_._2.split(" "))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val dirtyCnt = part.filter(_._1 % 7 == 0).map { case (k, n) =>
+      val fw = n.split(" ").head
+      val i = ((k / 7) % fw.length).toInt
+      fw.substring(0, i) + fw.substring(i + 1)
+    }.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val cnt = (cleanCnt.keySet ++ dirtyCnt.keySet).map(w =>
+      w -> (cleanCnt.getOrElse(w, 0L) + dirtyCnt.getOrElse(w, 0L))).toMap
+    // sequential union-find over the brute-force ed<=1 match graph
+    val parent = scala.collection.mutable.Map(cnt.keySet.map(w => w -> w).toSeq: _*)
+    def find(w: String): String =
+      if (parent(w) == w) w else { val r = find(parent(w)); parent(w) = r; r }
+    val vs = cnt.keySet.toSeq.sorted
+    for (a <- vs; b <- vs if a < b && ed(a, b) <= 1)
+      { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(rb) = ra }
+    val expect = cnt.keySet.groupBy(find).map { case (_, ws) =>
+      val m = ws.toSeq.sorted
+      (m.head, ws.size.toLong, ws.toSeq.map(cnt).sum, m.mkString(","))
+    }.toSet
+    val got = SparkEntry.queries("pipeline_entity_resolution")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == expect)
+    // the injected typos genuinely merge: some cluster has >= 2 words
+    assert(got.exists(_._2 >= 2), "no multi-word cluster formed")
+  }
 }

@@ -36,7 +36,10 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     "stream_dq_gate", // same assembly as profile_dq_rules over the merged counter state
     "agg_basket", // crossJoin carries the broadcast 1-row order total
     "agg_apportion", // crossJoins carry broadcast 1-row total/leftover frames
-    "pipeline_snapshot_diff") // crossJoin carries the broadcast 1-row cutoff pair
+    "pipeline_snapshot_diff", // crossJoin carries the broadcast 1-row cutoff pair
+    "agg_decay", // crossJoin carries the broadcast 1-row corpus "now"
+    "profile_drift", // crossJoins carry broadcast 1-row midpoint/total frames
+    "stream_basket") // basketAssemble's broadcast 1-row order total (shared with agg_basket)
 
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.window.WindowExec

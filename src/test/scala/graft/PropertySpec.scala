@@ -658,4 +658,25 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(lift > 0, s"$w1 $w2: nonpositive lift")
     }
   }
+
+  test("agg_decay: scores bounded by 16384·n and monotone in recency share") {
+    val rows = graft.operators.AggQueries.aggDecay(spark, sf).collect()
+    rows.foreach { r =>
+      val (n, score) = (r.getAs[Long]("n"), r.getAs[Long]("decay_score"))
+      assert(score >= 0 && score <= 16384L * n,
+        s"${r.getString(0)}: score $score outside [0, 16384·$n]")
+    }
+  }
+
+  test("profile_drift: PSI contributions are non-negative and shares are basis-point-consistent") {
+    // (p−q)·ln(p∕q) ≥ 0 for all p,q > 0 — a negative contribution
+    // means the formula (or the rounding) broke
+    val rows = graft.operators.AggQueries.profileDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("psi_contrib") >= 0.0,
+        s"${r.getString(0)}: negative PSI contribution")
+      assert(r.getAs[Long]("p_bp") <= 10000L && r.getAs[Long]("q_bp") <= 10000L)
+    }
+  }
 }

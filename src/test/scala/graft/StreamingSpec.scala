@@ -466,6 +466,22 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(again == inc)
   }
 
+  test("incremental stream_basket equals one-shot agg_basket and is idempotent") {
+    // orderkey-chunked baskets are complete per micro-batch, so the
+    // summed pair/marginal/total state must reproduce the batch
+    // support+lift table BIT-exactly (shared basketAssemble)
+    val inc = StreamQueries.streamBasket(spark, sf).collect().toSeq
+    val batch = SparkEntry.queries("agg_basket")(spark, sf).collect().toSeq
+    assert(inc == batch, "merged basket state diverged from the one-shot mining")
+    val tagDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_stream_basket_"))
+    assert(tagDirs.exists(d =>
+        Option(new java.io.File(d, "chk/commits").list()).exists(_.length >= 2)),
+      "expected at least 2 committed micro-batches")
+    val again = StreamQueries.streamBasket(spark, sf).collect().toSeq
+    assert(again == inc)
+  }
+
   test("stream_cms: cell-wise merged sketch probes identically to the batch sketch") {
     // integer cell sums are associative, so the incremental state must
     // reproduce the batch query BIT-exactly — the incremental=batch
