@@ -1644,6 +1644,35 @@ object AggQueries {
       .orderBy("event_type")
   }
 
+  /** agg_paths — user-journey mining: each user's first three events
+    * (totally ordered by (ts_ns, event_id)) concatenated into a path
+    * string like "view>click>purchase", counted across users — the
+    * onboarding-funnel / journey-analysis query every product
+    * analytics suite ships.
+    *
+    * Scale: the rn ≤ 3 literal filter rides Spark 4's native
+    * InferWindowGroupLimit rewrite (map tasks keep ≤ 3 rows per user
+    * before the exchange), the per-user path groupBy REUSES the
+    * window's user_id partitioning (no second exchange), and the
+    * final path count is map-side combined over ≤ |types|³+|types|²
+    * +|types| keys. Ordering inside collect_list is pinned by
+    * array_sort on the (rn, type) struct — collect_list alone is
+    * partition-order nondeterministic. */
+  def aggPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns", "event_id")
+    t(s, dir, "events").select("user_id", "event_type", "ts_ns", "event_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id")
+      .agg(expr("""array_join(transform(
+        |  array_sort(collect_list(struct(rn, event_type))),
+        |  x -> x.event_type), '>')""".stripMargin).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_users"), min("user_id").as("min_user"))
+      .orderBy("path")
+  }
+
   /** Seats to apportion in agg_apportion — large enough that every
     * event type earns a floor share and remainders actually differ. */
   val ApportionSeats = 10000L
@@ -1684,6 +1713,7 @@ object AggQueries {
     "agg_apportion" -> aggApportion,
     "agg_decay" -> aggDecay,
     "profile_drift" -> profileDrift,
+    "agg_paths" -> aggPaths,
     "analytics_end_to_end" -> analyticsEndToEnd,
     "agg_gini" -> aggGini,
     "agg_autocorr" -> aggAutocorr,
@@ -1757,6 +1787,16 @@ object AggQueries {
          |  floor_seats + CAST(CASE WHEN rk <= lo THEN 1 ELSE 0 END AS BIGINT)
          |    AS seats
          |FROM r ORDER BY event_type""".stripMargin,
+    // ordered string_agg replays the array_sort'd collect_list
+    "agg_paths" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns,
+        |    event_id FROM events),
+        |r AS (SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts_ns, event_id) AS rn FROM e),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
+        |    AS path FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users, min(user_id) AS min_user
+        |FROM p GROUP BY path ORDER BY path""".stripMargin,
     // integer bit-shift decay — exact, no pow(), shift saturated at 63
     // on both engines (Java >> wraps mod 64, DuckDB saturates)
     "agg_decay" ->

@@ -282,7 +282,69 @@ object SampleQueries {
       .orderBy("lang")
   }
 
+  /** sample_balance — class-balanced downsampling: every event type is
+    * cut to EXACTLY the minority class's count (the classifier-
+    * training rebalance), membership decided by the deterministic
+    * hash priority so retries/engines agree.
+    *
+    * Exact per-class bottom-k at scale is the interesting part: the
+    * naive rank-within-class window shuffles on event_type — with a
+    * handful of classes that funnels the whole corpus through
+    * |classes| tasks. Instead, HISTOGRAM-ASSISTED SELECTION:
+    *   1. count rows per (class, prio-bucket) — a bounded
+    *      |classes|×100 aggregate, map-side combined;
+    *   2. from the running bucket totals compute per bucket
+    *      take = clamp(n_min − cum_before, 0, cnt): buckets fully
+    *      below the cut keep everything (broadcast-joined bucket map,
+    *      no sort), buckets past it drop everything;
+    *   3. only the ONE boundary bucket per class (~1% of the class)
+    *      pays a rank window, partitioned by (class, bucket).
+    * Buckets are prio-monotone, so lower-bucket rows all precede
+    * boundary rows in (prio, event_id) order — the composition is
+    * EXACTLY the naive per-class bottom-n_min, which is what the
+    * ORACLE replays (rank ≤ n_min): the hash proves
+    * histogram-selection ≡ naive rank. Finer buckets shrink the
+    * boundary window further at no extra shuffle. */
+  def sampleBalance(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select("event_type", "event_id")
+      .withColumn("prio", (col("event_id") * 40503L + 17L) % 65521L)
+      .withColumn("bkt", expr("prio div 656"))
+    val hist = e.groupBy("event_type", "bkt").agg(count(lit(1)).as("cnt"))
+    val totals = hist.groupBy("event_type").agg(sum("cnt").as("n_class"))
+    val nMin = totals.agg(min("n_class").as("n_min"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("bkt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val plan = hist
+      .withColumn("cum_before", coalesce(sum("cnt").over(wcum), lit(0L)))
+      .crossJoin(broadcast(nMin))
+      .withColumn("take", least(col("cnt"),
+        greatest(lit(0L), col("n_min") - col("cum_before"))))
+    val keptWhole = e.join(
+      broadcast(plan.filter(col("take") === col("cnt"))
+        .select("event_type", "bkt")),
+      Seq("event_type", "bkt"))
+      .select("event_type", "event_id")
+    val wsel = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type", "bkt").orderBy("prio", "event_id")
+    val keptBoundary = e.join(
+      broadcast(plan.filter(col("take") > 0 && col("take") < col("cnt"))
+        .select("event_type", "bkt", "take")),
+      Seq("event_type", "bkt"))
+      .withColumn("rn", row_number().over(wsel))
+      .filter(col("rn") <= col("take"))
+      .select("event_type", "event_id")
+    keptWhole.unionByName(keptBoundary)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"), sum("event_id").as("kept_id_sum"))
+      .join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("n_class").as("n_orig"),
+        col("n_kept"), col("kept_id_sum"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_balance" -> sampleBalance,
     "pipeline_dp_histogram" -> pipelineDpHistogram,
     "sample_reservoir" -> sampleReservoir,
     "sample_weighted" -> sampleWeighted,
@@ -297,6 +359,22 @@ object SampleQueries {
   private val bucketEvt = hashBucketSql("event_id")
 
   val oracleSql: Map[String, String] = Map(
+    // the NAIVE per-class rank replay — the hash proves the
+    // histogram-assisted selection equals bottom-n_min per class
+    "sample_balance" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    (event_id * 40503 + 17) % 65521 AS prio FROM events),
+        |tot AS (SELECT event_type, count(*) AS n_class FROM e
+        |  GROUP BY event_type),
+        |nm AS (SELECT min(n_class) AS n_min FROM tot),
+        |r AS (SELECT event_type, event_id, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY prio, event_id) AS rn FROM e),
+        |k AS (SELECT event_type, count(*) AS n_kept,
+        |    CAST(sum(event_id) AS BIGINT) AS kept_id_sum
+        |  FROM r CROSS JOIN nm WHERE rn <= n_min GROUP BY event_type)
+        |SELECT t.event_type, t.n_class AS n_orig, k.n_kept, k.kept_id_sum
+        |FROM tot t JOIN k USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // hash-priority top-K replayed exactly; same total order
     "sample_reservoir" ->
       s"""WITH p AS (SELECT event_id, user_id,

@@ -47,7 +47,13 @@ class DeterminismSpec extends AnyFunSuite with SparkFixture {
     "pipeline_bpe_train", // per-round global argmax with tie-break
     "graph_core",        // median threshold + nested peel rounds
     "profile_dq_rules",  // basis-point counters + pass flags
-    "join_temporal")     // merge-window PIT resolution with tie ordering
+    "join_temporal",     // merge-window PIT resolution with tie ordering
+    // end-of-r7 additions — order-sensitive aggregation newcomers
+    "agg_paths",         // array_sort'd collect_list path strings
+    "profile_drift",     // single-ln PSI over integer basis points
+    "sample_balance",    // histogram-assisted boundary-bucket rank
+    "sort_skyline",      // prefix-min over per-price minima
+    "pipeline_entity_resolution") // min-label loop + sorted member list
 
   test("sampled queries are bit-identical under different shuffle partitioning") {
     val conf = spark.conf

@@ -39,7 +39,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     "pipeline_snapshot_diff", // crossJoin carries the broadcast 1-row cutoff pair
     "agg_decay", // crossJoin carries the broadcast 1-row corpus "now"
     "profile_drift", // crossJoins carry broadcast 1-row midpoint/total frames
-    "stream_basket") // basketAssemble's broadcast 1-row order total (shared with agg_basket)
+    "stream_basket", // basketAssemble's broadcast 1-row order total (shared with agg_basket)
+    "sample_balance") // crossJoin carries the broadcast 1-row minority count
 
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.window.WindowExec

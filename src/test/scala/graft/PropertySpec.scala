@@ -659,6 +659,30 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sample_balance: every class kept at exactly the minority count, via the boundary bucket") {
+    val rows = graft.operators.SampleQueries.sampleBalance(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_orig"), r.getAs[Long]("n_kept")))
+    val nMin = rows.map(_._2).min
+    rows.foreach { case (c, _, kept) =>
+      assert(kept == nMin, s"$c kept $kept != minority $nMin") }
+    // majority classes were genuinely cut (the boundary logic ran)
+    assert(rows.exists { case (_, orig, kept) => orig > kept },
+      "no class was downsampled — the selection never exercised a boundary")
+  }
+
+  test("agg_paths: paths are <=3 valid segments and user counts total the user base") {
+    val rows = graft.operators.AggQueries.aggPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_users")))
+    val types = Set("view", "click", "purchase", "signup", "error")
+    rows.foreach { case (p, _) =>
+      val segs = p.split(">")
+      assert(segs.nonEmpty && segs.length <= 3 && segs.forall(types), p)
+    }
+    val nUsers = graft.Tables.t(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == nUsers)
+  }
+
   test("agg_decay: scores bounded by 16384·n and monotone in recency share") {
     val rows = graft.operators.AggQueries.aggDecay(spark, sf).collect()
     rows.foreach { r =>

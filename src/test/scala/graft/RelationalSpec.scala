@@ -211,6 +211,14 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert("Window".r.findAllIn(p).size == 1, p)
   }
 
+  test("agg_paths rides the native window group limit (<=3 rows per user cross the exchange)") {
+    val p = plan("agg_paths")
+    assert(p.contains("WindowGroupLimit"), p)
+    // the per-user path groupBy reuses the window's user_id hash
+    // partitioning: exactly ONE exchange on user_id in the whole plan
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
   test("sort_skyline equals the brute-force dominance definition and is mutually non-dominating") {
     // sequential replay of the O(n²) definition the oracle uses, in
     // Scala, against the engine's prefix-min algorithm
