@@ -83,6 +83,13 @@ object Sf1Probe {
       inflate("lineitem", base => i =>
         base.withColumn("l_orderkey", col("l_orderkey") + lit(i * oSpan))
           .withColumn("l_suppkey", col("l_suppkey") + lit(i * sSpan)))
+      // dimension tables that stay fixed at 10× fact scale (a real
+      // cluster's dims grow sublinearly) — copied through so
+      // dim-joining queries (basket, fuzzy/ER vocab, skyline) run
+      Seq("part", "region", "nation", "embeddings").foreach { name =>
+        spark.read.parquet(s"$sfDir/$name.parquet")
+          .write.mode("overwrite").parquet(s"$bigDir/$name.parquet")
+      }
       new java.io.File(s"$bigDir/_SUCCESS_ALL").createNewFile()
     }
 

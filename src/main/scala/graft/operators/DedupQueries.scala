@@ -380,31 +380,31 @@ object DedupQueries {
           sym("doc_b") === labels("doc_id"))
         .groupBy(sym("doc_a").as("doc_id"))
         .agg(min("comp").as("ncomp"))
+      // eager localCheckpoint EVERY round: `next` references `labels`
+      // three times (neighbor join, outer join, changed-count join),
+      // so an uncheckpointed plan tree grows ~3× per round and the
+      // ANALYZER cost turns exponential — measured 3.2→21 s/round by
+      // round 6 on a 44-node graph before this; checkpointing a
+      // |nodes|-row frame per round is microseconds by comparison
+      // (the same lesson as the GraphQueries per-round loops)
       val next = labels.join(viaNeighbor, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .cache()
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("comp", "prev"), "doc_id")
         .filter(col("comp") =!= col("prev")).count()
       labels.unpersist()
-      // truncate lineage every few rounds: each round's plan otherwise
-      // nests the previous round's, and driver-side analysis cost grows
-      // quadratically toward the 50-round cap
-      labels = if (rounds % 5 == 4) {
-        val chk = next.localCheckpoint(true); next.unpersist(); chk
-      } else next
+      labels = next
       rounds += 1
     }
     require(changed == 0,
       s"components did not converge in $rounds rounds ($changed labels still changing); " +
         "a graph this deep needs the O(log n) large-star/small-star variant")
-    // localCheckpoint truncates lineage WITHOUT a CacheManager entry:
-    // blocks are context-cleaned on GC, so repeated invocations don't
-    // accumulate permanently-cached plans
-    val out = labels.localCheckpoint(true)
-    labels.unpersist()
+    // labels is already a per-round localCheckpoint — lineage is O(1)
+    // and blocks are context-cleaned on GC, so repeated invocations
+    // don't accumulate permanently-cached plans
     sym.unpersist()
-    out
+    labels
   }
 
   /** O(log n)-round connected components: alternating large-star /
@@ -824,11 +824,14 @@ object DedupQueries {
     * AND the iterative min-label loop against DuckDB's fixpoint. */
   def pipelineEntityResolution(s: SparkSession, dir: String): DataFrame = {
     val part = t(s, dir, "part")
+    // checkpointed once: consumed three times (blocking keys, the
+    // component node set, and the final cluster assembly join)
     val vocab = JoinQueries.fuzzyCleanVocab(part)
       .select(col("w"), col("n_parts").as("cnt"))
       .unionByName(JoinQueries.fuzzyDirtyVocab(part)
         .select(col("dw").as("w"), col("n_dirty").as("cnt")))
       .groupBy("w").agg(sum("cnt").as("cnt"))
+      .localCheckpoint(true)
     val keys = vocab.select(col("w"),
       explode(JoinQueries.fuzzyDelKeys("w")).as("key"))
     val edges = keys.as("x").join(keys.as("y"), "key")
@@ -843,7 +846,49 @@ object DedupQueries {
       .orderBy("canonical_w")
   }
 
+  /** dedup_containment — asymmetric near-dup detection: containment
+    * C(A,B) = |A∩B| ∕ min(|A|,|B|) over 3-gram shingle sets, the
+    * metric that catches a SMALL document quoted wholesale inside a
+    * much larger one — symmetric Jaccard dilutes exactly that case
+    * (|A∩B|∕|A∪B| → 0 as the big doc grows), which is why corpus
+    * pipelines run containment alongside it (Broder's resemblance
+    * vs containment distinction).
+    *
+    * Same scale shape as dedup_ngram_jaccard: candidates share a
+    * hashed gram (64-bit xxhash, not the ~40-byte string), counts in
+    * exact integer BASIS POINTS — (10⁴·n_inter) div min(na,nb), no
+    * FP — with the direction column naming which side is contained.
+    * Threshold 2500 bp keeps both the full-containment dup pairs and
+    * the partial-quote tail, so the asymmetric case is provably
+    * exercised. The oracle recomputes string-gram containment, so a
+    * hash collision would surface as a mismatch, not hide. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "documents")
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+      .distinct()
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_grams", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_grams", "nb"), "doc_b")
+      .withColumn("cont_bp",
+        expr("(10000 * n_inter) div least(na, nb)"))
+      .filter(col("cont_bp") >= 2500)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        col("n_inter"), col("cont_bp"),
+        when(col("na") <= col("nb"), lit("a_in_b"))
+          .otherwise(lit("b_in_a")).as("direction"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> dedupContainment,
     "pipeline_entity_resolution" -> pipelineEntityResolution,
     "dedup_url" -> dedupUrl,
     "dedup_substring" -> dedupSubstring,
@@ -860,6 +905,28 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard)
 
   val oracleSql: Map[String, String] = Map(
+    // string-gram containment replay — a 64-bit gram-hash collision
+    // on the Spark side would surface here as a count mismatch
+    "dedup_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 300),
+        |g AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        |  FROM w),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS n_inter
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, sa.n AS na, sb.n AS nb, n_inter,
+        |  (10000 * n_inter) // least(sa.n, sb.n) AS cont_bp,
+        |  CASE WHEN sa.n <= sb.n THEN 'a_in_b' ELSE 'b_in_a' END
+        |    AS direction
+        |FROM i JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE (10000 * n_inter) // least(sa.n, sb.n) >= 2500
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // brute-force matching + recursive transitive closure — proves
     // blocking completeness AND the min-label loop in one hash
     "pipeline_entity_resolution" ->

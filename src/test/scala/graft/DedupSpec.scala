@@ -190,6 +190,32 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got == expect)
   }
 
+  test("dedup_containment equals the driver-side shingle replay and catches the asymmetric case") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") < 300).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def grams(t: String): Set[String] = {
+      val ws = t.split(" ")
+      // <3-word docs shingle to nothing (matching the generator's
+      // range(1, greatest(len-1, 1)) — empty), so they never pair
+      (0 to ws.length - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").toSet
+    }
+    val gs = docs.map { case (id, t) => id -> grams(t) }.toMap
+    val ids = docs.map(_._1).sorted
+    val expect = (for {
+      a <- ids; b <- ids if a < b
+      ni = (gs(a) & gs(b)).size if ni > 0
+      cont = 10000L * ni / math.min(gs(a).size, gs(b).size) if cont >= 2500
+    } yield (a, b, gs(a).size.toLong, gs(b).size.toLong, ni.toLong, cont,
+      if (gs(a).size <= gs(b).size) "a_in_b" else "b_in_a")).toSet
+    val got = SparkEntry.queries("dedup_containment")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6))).toSet
+    assert(got == expect)
+    assert(got.exists(_._6 == 10000L), "no full-containment pair found")
+  }
+
   test("pipeline_entity_resolution equals a sequential union-find over brute-force matches") {
     import org.apache.spark.sql.functions.col
     def ed(a: String, b: String): Int = {
