@@ -657,6 +657,137 @@ object AggQueries {
        |FROM est JOIN ex USING (user_id) ORDER BY user_id""".stripMargin
   }
 
+  /** BLOOM filter membership sketch — the fourth sketch in the family
+    * (HLL: cardinality, CMS: frequency, KMV: distinct/Jaccard, Bloom:
+    * MEMBERSHIP): k=[[CmsDepth]] pinned hashes (same seed table as
+    * CMS — one constant family to audit) into [[CmsDepth]] rows of
+    * [[BloomBits]] bits each (the blocked-Bloom layout; bits stored
+    * as present (r, b) rows, ≤ depth·bits rows total at ANY input
+    * scale). The reference set is the PURCHASER DENYLIST among the
+    * first 64 user ids — small vs m so collisions are real but not
+    * saturating; probes sweep user_id < 512, so both true members
+    * and hash-collision FALSE POSITIVES provably appear, while the
+    * one-sided-error invariant (member ⇒ in_bloom, no false
+    * negatives) rides as a column. Bit sets are closed under UNION
+    * (OR) — stream_bloom merges per-batch bits by distinct and
+    * probes through this same code + oracle.
+    *
+    * Scale: build = one explode + distinct on ≤ depth·bits cells
+    * (map-side combined); probe joins the BROADCAST bit table. */
+  val BloomBits = 128
+  private[graft] def bloomBucket(i: Int, key: String): String = {
+    val (a, b) = cmsSeeds(i)
+    s"((($key) * $a + $b) % $CmsP) % $BloomBits"
+  }
+  private[graft] def bloomCells(key: String) = (0 until CmsDepth).map(i =>
+    struct(lit(i).as("r"), expr(bloomBucket(i, key)).as("b")))
+
+  /** The reference ("denylist") keys: purchasers among user_id < 64. */
+  private[graft] def bloomRefKeys(events: DataFrame): DataFrame = events
+    .filter(col("event_type") === "purchase" && col("user_id") < 64)
+    .select("user_id").distinct()
+
+  /** Distinct set bits of the reference keys' cells. */
+  private[graft] def bloomBuild(keys: DataFrame): DataFrame =
+    keys.select(explode(array(bloomCells("user_id"): _*)).as("c"))
+      .select(col("c.r").as("r"), col("c.b").as("b")).distinct()
+
+  /** Probe user_id < 512 against a (r, b) bit set — shared by the
+    * batch query and stream_bloom's merged state. */
+  private[graft] def bloomProbe(bits: DataFrame, events: DataFrame): DataFrame = {
+    val probes = events.filter(col("user_id") < 512)
+      .select("user_id").distinct()
+    val hits = probes
+      .select(col("user_id"), explode(array(bloomCells("user_id"): _*)).as("c"))
+      .select(col("user_id"), col("c.r").as("r"), col("c.b").as("b"))
+      .join(broadcast(bits), Seq("r", "b"))
+      .groupBy("user_id").agg(count(lit(1)).as("k_hits"))
+    val members = bloomRefKeys(events).withColumn("is_member", lit(true))
+    probes
+      .join(hits, Seq("user_id"), "left_outer")
+      .join(broadcast(members), Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        (coalesce(col("k_hits"), lit(0L)) === CmsDepth).as("in_bloom"),
+        coalesce(col("is_member"), lit(false)).as("is_member"))
+      .withColumn("no_false_negative", !col("is_member") || col("in_bloom"))
+      .orderBy("user_id")
+  }
+
+  def aggBloom(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select("user_id", "event_type")
+    bloomProbe(bloomBuild(bloomRefKeys(e)), e)
+  }
+
+  /** Oracle generated from the same seed table. */
+  private[graft] def bloomOracleSql: String = {
+    def cellUnion(src: String, key: String, withKey: Boolean): String =
+      (0 until CmsDepth).map { i =>
+        val k = if (withKey) s"$key, " else ""
+        s"SELECT $k$i AS r, ${bloomBucket(i, key)} AS b FROM $src"
+      }.mkString("\n|  UNION ALL ")
+    s"""WITH ref AS (SELECT DISTINCT user_id FROM events
+       |  WHERE event_type = 'purchase' AND user_id < 64),
+       |bits AS (SELECT DISTINCT r, b FROM (
+       |  ${cellUnion("ref", "user_id", withKey = false)})),
+       |p AS (SELECT DISTINCT user_id FROM events WHERE user_id < 512),
+       |pc AS (
+       |  ${cellUnion("p", "user_id", withKey = true)}),
+       |h AS (SELECT user_id, count(*) AS k_hits
+       |      FROM pc JOIN bits USING (r, b) GROUP BY 1)
+       |SELECT p.user_id,
+       |  coalesce(h.k_hits, 0) = $CmsDepth AS in_bloom,
+       |  (ref.user_id IS NOT NULL) AS is_member,
+       |  (ref.user_id IS NULL) OR coalesce(h.k_hits, 0) = $CmsDepth
+       |    AS no_false_negative
+       |FROM p LEFT JOIN h USING (user_id)
+       |  LEFT JOIN ref ON ref.user_id = p.user_id
+       |ORDER BY p.user_id""".stripMargin
+  }
+
+  /** agg_rfm — RFM (recency / frequency / monetary) customer
+    * segmentation over orders: the classic CRM scoring grid. Each
+    * customer's R (days since last order, vs the in-plan corpus max
+    * day), F (order count) and M (lifetime cents) are cut into three
+    * bands at the discrete 33rd/66th percentiles of the CUSTOMER
+    * distribution (percentile_disc — exact order statistics shared
+    * bit-for-bit with DuckDB's quantile_disc, the agg_quantile_disc
+    * precedent), then the population is counted per (r, f, m) cell.
+    *
+    * Scale: one custkey groupBy (map-side combined), a 1-row day max
+    * and a 1-row six-threshold percentile frame broadcast back, and
+    * a ≤27-cell final aggregate. All integer (epoch days, cents). */
+  def aggRfm(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000) div 86400")
+        .as("day"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val per = o.groupBy("o_custkey").agg(max("day").as("last_day"),
+      count(lit(1)).as("f"), sum("cents").as("m"))
+    val rfm = per.crossJoin(broadcast(o.agg(max("day").as("now_day"))))
+      .withColumn("r", col("now_day") - col("last_day"))
+    val th = rfm.agg(
+      expr("percentile_disc(0.33) WITHIN GROUP (ORDER BY r)").as("r33"),
+      expr("percentile_disc(0.66) WITHIN GROUP (ORDER BY r)").as("r66"),
+      expr("percentile_disc(0.33) WITHIN GROUP (ORDER BY f)").as("f33"),
+      expr("percentile_disc(0.66) WITHIN GROUP (ORDER BY f)").as("f66"),
+      expr("percentile_disc(0.33) WITHIN GROUP (ORDER BY m)").as("m33"),
+      expr("percentile_disc(0.66) WITHIN GROUP (ORDER BY m)").as("m66"))
+    def band(v: String, lo: String, hi: String, bestLow: Boolean) = {
+      val (b3, b1) = if (bestLow) (3L, 1L) else (1L, 3L)
+      when(col(v) <= col(lo), lit(b3))
+        .when(col(v) <= col(hi), lit(2L)).otherwise(lit(b1))
+    }
+    rfm.crossJoin(broadcast(th))
+      .select(col("o_custkey"),
+        band("r", "r33", "r66", bestLow = true).as("r_score"),
+        band("f", "f33", "f66", bestLow = false).as("f_score"),
+        band("m", "m33", "m66", bestLow = false).as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("o_custkey").as("custkey_sum"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   /** K-MINIMUM-VALUES (bottom-k) distinct sketch — the third
     * cardinality sketch next to HLL (agg_approx_distinct) and bitmap
     * (agg_bitmap_distinct), and the one with a property the others
@@ -1714,6 +1845,8 @@ object AggQueries {
     "agg_decay" -> aggDecay,
     "profile_drift" -> profileDrift,
     "agg_paths" -> aggPaths,
+    "agg_bloom" -> aggBloom,
+    "agg_rfm" -> aggRfm,
     "analytics_end_to_end" -> analyticsEndToEnd,
     "agg_gini" -> aggGini,
     "agg_autocorr" -> aggAutocorr,
@@ -1832,6 +1965,35 @@ object AggQueries {
         |    AS psi_contrib
         |FROM p WHERE p_bp > 0 AND q_bp > 0
         |ORDER BY event_type""".stripMargin,
+    // pinned-hash blocked Bloom: bits and probes replay bit-exactly
+    "agg_bloom" -> bloomOracleSql,
+    // exact discrete percentile thresholds + integer day/cent math
+    "agg_rfm" ->
+      """WITH o AS (SELECT o_custkey,
+        |    (epoch_ns(o_orderdate) // 1000000000) // 86400 AS day,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |per AS (SELECT o_custkey, max(day) AS last_day, count(*) AS f,
+        |    CAST(sum(cents) AS BIGINT) AS m FROM o GROUP BY o_custkey),
+        |nd AS (SELECT max(day) AS now_day FROM o),
+        |rfm AS (SELECT per.*, now_day - last_day AS r
+        |  FROM per CROSS JOIN nd),
+        |th AS (SELECT quantile_disc(r, 0.33) AS r33,
+        |    quantile_disc(r, 0.66) AS r66,
+        |    quantile_disc(f, 0.33) AS f33, quantile_disc(f, 0.66) AS f66,
+        |    quantile_disc(m, 0.33) AS m33, quantile_disc(m, 0.66) AS m66
+        |  FROM rfm),
+        |sc AS (SELECT o_custkey,
+        |    CAST(CASE WHEN r <= r33 THEN 3 WHEN r <= r66 THEN 2 ELSE 1 END
+        |      AS BIGINT) AS r_score,
+        |    CAST(CASE WHEN f <= f33 THEN 1 WHEN f <= f66 THEN 2 ELSE 3 END
+        |      AS BIGINT) AS f_score,
+        |    CAST(CASE WHEN m <= m33 THEN 1 WHEN m <= m66 THEN 2 ELSE 3 END
+        |      AS BIGINT) AS m_score
+        |  FROM rfm CROSS JOIN th)
+        |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+        |  CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "agg_cms_estimate" -> cmsOracleSql,
     // pinned-hash bottom-k sketches: the estimates REPLAY bit-exactly
     "agg_kmv_distinct" -> kmvDistinctOracleSql,

@@ -732,6 +732,54 @@ object StreamQueries {
       state.filter(col("kind") === "t").select(col("n").as("n_orders")))
   }
 
+  /** INCREMENTAL Bloom filter — the streaming twin of agg_bloom: each
+    * micro-batch contributes its own reference keys' set bits, merged
+    * by plain distinct (bit sets are closed under OR — the property
+    * that makes Bloom the streaming denylist structure; state always
+    * ≤ depth·bits rows). The merged bits probe through the SHARED
+    * AggQueries.bloomProbe and the oracle is agg_bloom's verbatim. */
+  val BloomChunks = 4
+  def streamBloom(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggQueries
+    val tag = contentTag(s, dir)
+    // the layout constant is baked into the WHOLE staging dir (inputs,
+    // checkpoint, state): a BloomBits change must invalidate not just
+    // the bit rows but the stream's committed-batch bookkeeping — a
+    // versioned state path alone leaves the checkpoint believing every
+    // batch is already processed, so nothing would ever rebuild
+    val base = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_stream_bloom_${AggQueries.BloomBits}_$tag"
+    val events = t(s, dir, "events").select("user_id", "event_type", "event_id")
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+      val maxId = events.agg(max("event_id")).head().getLong(0)
+      val w = maxId / BloomChunks + 1
+      stageChunks(events, base, s"event_id div $w")
+    }
+    val statePath = s"$base/bits"
+    val q = s.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val sess = batch.sparkSession
+        val bits = AggQueries.bloomBuild(AggQueries.bloomRefKeys(batch.toDF()))
+        val merged =
+          if (new java.io.File(s"$statePath/_SUCCESS").exists())
+            sess.read.parquet(statePath).unionByName(bits).distinct()
+          else bits
+        // eager checkpoint BEFORE the overwrite — the merge reads the
+        // same files the write replaces (the streamForeachBatch pattern)
+        merged.localCheckpoint(true).write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AggQueries.bloomProbe(s.read.parquet(statePath),
+      events.select("user_id", "event_type"))
+  }
+
   val CmsChunks = 4
   def streamCms(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.AggQueries
@@ -1425,6 +1473,7 @@ object StreamQueries {
     "stream_minhash" -> streamMinhash,
     "stream_cms" -> streamCms,
     "stream_basket" -> streamBasket,
+    "stream_bloom" -> streamBloom,
     "stream_kmv" -> streamKmv,
     "stream_dq_gate" -> streamDqGate,
     "stream_reservoir" -> streamReservoir,
@@ -1526,6 +1575,8 @@ object StreamQueries {
     "stream_cms" -> graft.operators.AggQueries.cmsOracleSql,
     // incremental-equals-batch: agg_basket's oracle verbatim
     "stream_basket" -> graft.operators.AggQueries.basketOracleSql,
+    // OR-merged bits probe identically: agg_bloom's oracle verbatim
+    "stream_bloom" -> graft.operators.AggQueries.bloomOracleSql,
     // bottom-k over distinct hashes is closed under union: the merged
     // streaming sketch equals the one-shot sketch, same oracle
     "stream_kmv" -> graft.operators.AggQueries.kmvDistinctOracleSql,

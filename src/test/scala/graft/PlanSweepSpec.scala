@@ -40,7 +40,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     "agg_decay", // crossJoin carries the broadcast 1-row corpus "now"
     "profile_drift", // crossJoins carry broadcast 1-row midpoint/total frames
     "stream_basket", // basketAssemble's broadcast 1-row order total (shared with agg_basket)
-    "sample_balance") // crossJoin carries the broadcast 1-row minority count
+    "sample_balance", // crossJoin carries the broadcast 1-row minority count
+    "agg_rfm") // crossJoins carry broadcast 1-row day-max/threshold frames
 
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.window.WindowExec

@@ -683,6 +683,32 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_._2).sum == nUsers)
   }
 
+  test("agg_bloom: no false negatives ever; false positives exist at sf0.01+ (the one-sided trade)") {
+    val rows = graft.operators.AggQueries.aggBloom(spark, sf).collect()
+      .map(r => (r.getBoolean(1), r.getBoolean(2))) // (in_bloom, is_member)
+    rows.foreach { case (inB, mem) =>
+      assert(!mem || inB, "FALSE NEGATIVE — bloom's defining invariant broken") }
+    assert(rows.exists(_._2), "no true members probed")
+    // at sf0.001 EVERY user id is < 64, so all probes are members and
+    // no negative exists to collide; the 22-FP collision evidence is
+    // pinned by the sf0.01 oracle hash instead — here only check that
+    // when negatives exist, the filter isn't saturated into all-true
+    val negatives = rows.filter(!_._2)
+    if (negatives.nonEmpty)
+      assert(negatives.exists(!_._1), "every non-member hit — filter saturated")
+  }
+
+  test("agg_rfm: segment counts conserve the customer base and scores stay in 1..3") {
+    val rows = graft.operators.AggQueries.aggRfm(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_customers")).sum
+    val nCust = graft.Tables.t(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(total == nCust, s"segments hold $total customers, base has $nCust")
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach(c =>
+        assert(r.getAs[Long](c) >= 1 && r.getAs[Long](c) <= 3)) }
+  }
+
   test("agg_decay: scores bounded by 16384·n and monotone in recency share") {
     val rows = graft.operators.AggQueries.aggDecay(spark, sf).collect()
     rows.foreach { r =>

@@ -482,6 +482,21 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(again == inc)
   }
 
+  test("incremental stream_bloom equals one-shot agg_bloom and is idempotent") {
+    // bit sets are closed under OR, so the distinct-merged state must
+    // probe bit-identically to the batch filter
+    val inc = StreamQueries.streamBloom(spark, sf).collect().toSeq
+    val batch = SparkEntry.queries("agg_bloom")(spark, sf).collect().toSeq
+    assert(inc == batch, "merged bloom bits diverged from the one-shot filter")
+    val tagDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_stream_bloom_"))
+    assert(tagDirs.exists(d =>
+        Option(new java.io.File(d, "chk/commits").list()).exists(_.length >= 2)),
+      "expected at least 2 committed micro-batches")
+    val again = StreamQueries.streamBloom(spark, sf).collect().toSeq
+    assert(again == inc)
+  }
+
   test("stream_cms: cell-wise merged sketch probes identically to the batch sketch") {
     // integer cell sums are associative, so the incremental state must
     // reproduce the batch query BIT-exactly — the incremental=batch
