@@ -756,14 +756,25 @@ object AggQueries {
     * Scale: one custkey groupBy (map-side combined), a 1-row day max
     * and a 1-row six-threshold percentile frame broadcast back, and
     * a ≤27-cell final aggregate. All integer (epoch days, cents). */
-  def aggRfm(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders").select(col("o_custkey"),
+  /** Orders projected to (custkey, epoch day, cents) — shared with
+    * stream_rfm's chunk staging. */
+  private[graft] def rfmOrders(o: DataFrame): DataFrame =
+    o.select(col("o_custkey"),
       expr("(unix_micros(cast(o_orderdate as timestamp)) div 1000000) div 86400")
         .as("day"),
       expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-    val per = o.groupBy("o_custkey").agg(max("day").as("last_day"),
+
+  /** Per-customer (last_day, f, m) — the mergeable RFM state: max and
+    * sums are associative, so per-batch states merge into exactly the
+    * one-shot aggregate (stream_rfm's contract). */
+  private[graft] def rfmState(o: DataFrame): DataFrame =
+    o.groupBy("o_custkey").agg(max("day").as("last_day"),
       count(lit(1)).as("f"), sum("cents").as("m"))
-    val rfm = per.crossJoin(broadcast(o.agg(max("day").as("now_day"))))
+
+  /** Threshold + scoring assembly from the per-customer state and the
+    * 1-row corpus day max — shared verbatim with stream_rfm. */
+  private[graft] def rfmAssemble(per: DataFrame, nowDay: DataFrame): DataFrame = {
+    val rfm = per.crossJoin(broadcast(nowDay))
       .withColumn("r", col("now_day") - col("last_day"))
     val th = rfm.agg(
       expr("percentile_disc(0.33) WITHIN GROUP (ORDER BY r)").as("r33"),
@@ -786,6 +797,11 @@ object AggQueries {
       .agg(count(lit(1)).as("n_customers"),
         sum("o_custkey").as("custkey_sum"))
       .orderBy("r_score", "f_score", "m_score")
+  }
+
+  def aggRfm(s: SparkSession, dir: String): DataFrame = {
+    val o = rfmOrders(t(s, dir, "orders"))
+    rfmAssemble(rfmState(o), o.agg(max("day").as("now_day")))
   }
 
   /** K-MINIMUM-VALUES (bottom-k) distinct sketch — the third

@@ -982,7 +982,120 @@ object SimilarityQueries {
       .orderBy("q_id", "frank")
   }
 
+  /** sim_mmr — Maximal Marginal Relevance diversity re-ranking
+    * (Carbonell & Goldstein 1998): from the query's top-[[MmrPool]]
+    * cosine candidates, greedily select [[MmrK]] results maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-selected — the
+    * RAG retrieval step that stops five near-identical chunks from
+    * filling the context window. λ = 0.7; round 1 scores λ·rel (the
+    * selected set is empty).
+    *
+    * Scale: the candidate POOL is always retrieval-bounded (top-16
+    * here) — the distributed work is the corpus-wide relevance scan
+    * (the sim_cosine_topk shape: corpus side narrow, broadcast
+    * query); the greedy loop then runs [[MmrK]] argmax actions over
+    * the checkpointed ≤16-row pool and its ≤16² pairwise-sim frame,
+    * with the driver holding only the selected id list (the bounded
+    * model-state pattern of infer_train/k-means). Scores are
+    * Fp.r4-rounded at every step with an n_id tie-break, so the
+    * unrolled-CTE oracle replays each selection round bit-exactly. */
+  val MmrK = 5
+  val MmrPool = 16
+  def simMmr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe")).withColumn("qnorm", norm(col("qe")))
+    val corpus = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("n_id"), col("embedding").as("ce"))
+      .withColumn("cnorm", norm(col("ce")))
+    val pool = corpus.crossJoin(broadcast(q))
+      .withColumn("rel",
+        Fp.r4(dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm"))))
+      .orderBy(desc("rel"), asc("n_id")).limit(MmrPool)
+      .select("n_id", "ce", "cnorm", "rel")
+      .localCheckpoint(true)
+    val sims = pool.as("a").join(broadcast(pool.as("b")),
+        col("a.n_id") =!= col("b.n_id"))
+      .select(col("a.n_id").as("ia"), col("b.n_id").as("ib"),
+        Fp.r4(dot(col("a.ce"), col("b.ce")) /
+          (col("a.cnorm") * col("b.cnorm"))).as("sim"))
+      .localCheckpoint(true)
+    var picked = Vector.empty[(Long, Double)]
+    for (_ <- 1 to MmrK) {
+      val selIds = picked.map(_._1)
+      val scored =
+        if (selIds.isEmpty)
+          pool.withColumn("score", Fp.r4(lit(0.7) * col("rel")))
+        else
+          pool.filter(!col("n_id").isin(selIds: _*))
+            .join(sims.filter(col("ib").isin(selIds: _*))
+              .groupBy(col("ia").as("n_id")).agg(max("sim").as("ms")), "n_id")
+            .withColumn("score",
+              Fp.r4(lit(0.7) * col("rel") - lit(0.3) * col("ms")))
+      val top = scored.orderBy(desc("score"), asc("n_id"))
+        .select("n_id", "score").head()
+      picked :+= ((top.getLong(0), top.getDouble(1)))
+    }
+    picked.zipWithIndex
+      .map { case ((id, sc), i) => (i + 1L, id, sc) }
+      .toDF("rank", "n_id", "score")
+      .join(broadcast(pool.select("n_id", "rel")), "n_id")
+      .select("rank", "n_id", "rel", "score").orderBy("rank")
+  }
+
+  /** Unrolled greedy-selection oracle generated from [[MmrK]]. */
+  private def mmrOracleSql: String = {
+    val rounds = (2 to MmrK).map { r =>
+      s"""c$r AS (SELECT p.n_id, p.rel, max(ps.sim) AS ms FROM pool p
+         |  JOIN ps ON ps.ia = p.n_id
+         |    AND ps.ib IN (SELECT n_id FROM acc${r - 1})
+         |  WHERE p.n_id NOT IN (SELECT n_id FROM acc${r - 1})
+         |  GROUP BY 1, 2),
+         |sel$r AS (SELECT n_id,
+         |    floor((0.7 * rel - 0.3 * ms) * 10000.0 + 0.5) / 10000.0 + 0.0
+         |      AS score
+         |  FROM c$r ORDER BY score DESC, n_id LIMIT 1),
+         |acc$r AS (SELECT n_id FROM acc${r - 1}
+         |  UNION ALL SELECT n_id FROM sel$r)""".stripMargin
+    }.mkString(",\n|")
+    val unionAll = (1 to MmrK).map(r =>
+      s"SELECT $r AS rank, n_id, score FROM sel$r").mkString("\n|  UNION ALL ")
+    s"""WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM x GROUP BY 1),
+       |dots AS (SELECT c.vec_id AS n_id, sum(q.x * c.x) AS dot
+       |  FROM x q JOIN x c ON q.pos = c.pos
+       |  WHERE q.vec_id = 0 AND c.vec_id <> 0 GROUP BY 1),
+       |relv AS (SELECT n_id,
+       |    floor((dot / (nq.nrm * nc.nrm)) * 10000.0 + 0.5) / 10000.0 + 0.0
+       |      AS rel
+       |  FROM dots
+       |  JOIN norms nq ON nq.vec_id = 0 JOIN norms nc ON nc.vec_id = n_id),
+       |pool AS (SELECT n_id, rel FROM relv
+       |  ORDER BY rel DESC, n_id LIMIT $MmrPool),
+       |px AS (SELECT p.n_id, x.pos, x.x FROM pool p
+       |  JOIN x ON x.vec_id = p.n_id),
+       |pd AS (SELECT a.n_id AS ia, b.n_id AS ib, sum(a.x * b.x) AS dot
+       |  FROM px a JOIN px b ON a.pos = b.pos AND a.n_id <> b.n_id
+       |  GROUP BY 1, 2),
+       |ps AS (SELECT ia, ib,
+       |    floor((dot / (na.nrm * nb.nrm)) * 10000.0 + 0.5) / 10000.0 + 0.0
+       |      AS sim
+       |  FROM pd JOIN norms na ON na.vec_id = ia
+       |  JOIN norms nb ON nb.vec_id = ib),
+       |sel1 AS (SELECT n_id,
+       |    floor((0.7 * rel) * 10000.0 + 0.5) / 10000.0 + 0.0 AS score
+       |  FROM pool ORDER BY score DESC, n_id LIMIT 1),
+       |acc1 AS (SELECT n_id FROM sel1),
+       |$rounds
+       |SELECT CAST(r.rank AS BIGINT) AS rank, r.n_id, p.rel, r.score
+       |FROM ($unionAll) r JOIN pool p USING (n_id)
+       |ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mmr" -> simMmr,
     "sim_rank_fusion" -> simRankFusion,
     "sim_recall_eval" -> simRecallEval,
     "infer_knn" -> inferKnn,
@@ -999,6 +1112,8 @@ object SimilarityQueries {
     "sim_ann_ivf_trained" -> simAnnIvfTrained)
 
   val oracleSql: Map[String, String] = Map(
+    // unrolled greedy selection: every round's argmax replayed
+    "sim_mmr" -> mmrOracleSql,
     // sim_ann_ivf's integer assignment replayed, then truncated-mean
     // centroids, BIGINT L2 argmin with vec_id tie-break
     "pipeline_semdedup" ->

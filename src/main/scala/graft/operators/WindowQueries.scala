@@ -501,7 +501,61 @@ object WindowQueries {
       .orderBy("user_id")
   }
 
+  /** win_cusum — CUSUM change-point detection over the daily event
+    * series: the classic Page (1954) sequential test that flags a
+    * sustained LEVEL SHIFT (a traffic drop, an ingestion stall) that
+    * per-day z-scores miss because each day alone stays in band.
+    *
+    * The textbook recursion S_t = max(0, S_{t−1} + (x_t − k)) is not
+    * a window function — but it has a closed form: with
+    * P_t = Σ_{i≤t}(x_i − k), S_t = P_t − min(0, min_{i≤t} P_i). So
+    * the whole detector is TWO window passes (prefix sum + running
+    * min) over the bounded per-day aggregate — no UDAF, no recursion,
+    * no driver loop. Both sides (surge S⁺ with drift +k, slump S⁻
+    * symmetric) ride the same prefix frame. Drift k = the global
+    * daily mean (integer div, in-plan); alarm at S > 3k (documented
+    * tuning constant). All integer.
+    *
+    * Scale: events collapse to the ≤|days|-row frame in one map-side
+    * combined groupBy; every window runs over that aggregate (the
+    * PlanSweep bounded-frame shape).
+    *
+    * The driver corpus is deliberately FLAT day-to-day (max natural
+    * |P_t| ≈ 0.2·k), so a detector over the raw series never fires —
+    * and an alarm that cannot fire demonstrates nothing (the
+    * profile_dq_rules calibration lesson). The monitored series
+    * therefore simulates a 50% INGESTION STALL over the last quarter
+    * of the range: events with an even id are dropped past the
+    * 3/4-point cutoff (deterministic on both engines, the
+    * text_pii_scrub injection pattern), which drives S⁻ through the
+    * 3k alarm line in the final days while the early days stay
+    * quiet — the detector provably discriminates. */
+  def winCusum(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(expr("ts_s div 86400").as("day"),
+      col("event_id"))
+    val cut = e.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(expr("lo + (3 * (hi - lo)) div 4").as("cut_day"))
+    val daily = e.crossJoin(broadcast(cut))
+      .filter(col("day") < col("cut_day") || col("event_id") % 2 === 0)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"))
+    val withK = daily.crossJoin(broadcast(
+      daily.agg(expr("sum(n) div count(1)").as("k"))))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withK
+      .withColumn("p_pos", sum(col("n") - col("k")).over(w))
+      .withColumn("p_neg", sum(col("k") - col("n")).over(w))
+      .withColumn("s_pos", col("p_pos") - least(lit(0L), min("p_pos").over(w)))
+      .withColumn("s_neg", col("p_neg") - least(lit(0L), min("p_neg").over(w)))
+      .select(col("day"), col("n"), col("k"), col("s_pos"), col("s_neg"),
+        (col("s_pos") > lit(3L) * col("k")).as("surge_alarm"),
+        (col("s_neg") > lit(3L) * col("k")).as("slump_alarm"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_cusum" -> winCusum,
     "win_drawdown" -> winDrawdown,
     "win_dense_rank" -> winDenseRank,
     "win_cume_dist" -> winCumeDist,
@@ -524,6 +578,30 @@ object WindowQueries {
     "win_ntile" -> winNtile)
 
   val oracleSql: Map[String, String] = Map(
+    // same closed form: S_t = P_t − min(0, running-min P)
+    "win_cusum" ->
+      """WITH e AS (SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT)
+        |    // 86400 AS day, event_id FROM events),
+        |cutq AS (SELECT min(day) + (3 * (max(day) - min(day))) // 4
+        |    AS cut_day FROM e),
+        |d AS (SELECT day, count(*) AS n FROM e CROSS JOIN cutq
+        |  WHERE day < cut_day OR event_id % 2 = 0 GROUP BY day),
+        |kk AS (SELECT CAST(sum(n) AS BIGINT) // count(*) AS k FROM d),
+        |p AS (SELECT day, n, k,
+        |    CAST(sum(n - k) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS p_pos,
+        |    CAST(sum(k - n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS p_neg
+        |  FROM d CROSS JOIN kk),
+        |sxx AS (SELECT day, n, k,
+        |    p_pos - least(CAST(0 AS BIGINT), min(p_pos) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_pos,
+        |    p_neg - least(CAST(0 AS BIGINT), min(p_neg) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_neg
+        |  FROM p)
+        |SELECT day, n, k, s_pos, s_neg,
+        |  s_pos > 3 * k AS surge_alarm, s_neg > 3 * k AS slump_alarm
+        |FROM sxx ORDER BY day""".stripMargin,
     // same two stacked running windows over the integer walk
     "win_drawdown" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,

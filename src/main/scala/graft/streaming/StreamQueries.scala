@@ -780,6 +780,56 @@ object StreamQueries {
       events.select("user_id", "event_type"))
   }
 
+  /** INCREMENTAL RFM — agg_rfm's streaming twin: per-customer
+    * (last_day, f, m) is pure (max, sum, sum) state, so per-batch
+    * states MERGE into exactly the one-shot aggregate regardless of
+    * how a customer's orders split across micro-batches (no chunk-
+    * alignment precondition, unlike stream_basket). The corpus day
+    * max merges the same way. Final thresholds + scoring are the
+    * SHARED AggQueries.rfmAssemble; oracle = agg_rfm's verbatim.
+    * State is |customers| rows — entity-bounded, the stream_scd2
+    * class of state, never event-scale. */
+  val RfmChunks = 4
+  def streamRfm(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AggQueries
+    val tag = contentTag(s, dir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_rfm_$tag"
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+      val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+      val w = maxKey / RfmChunks + 1
+      stageChunks(orders, base, s"o_orderkey div $w")
+    }
+    val statePath = s"$base/state"
+    val q = s.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val sess = batch.sparkSession
+        val delta = AggQueries.rfmState(AggQueries.rfmOrders(batch.toDF()))
+        val merged =
+          if (new java.io.File(s"$statePath/_SUCCESS").exists())
+            sess.read.parquet(statePath).unionByName(delta)
+              .groupBy("o_custkey")
+              .agg(max("last_day").as("last_day"), sum("f").as("f"),
+                sum("m").as("m"))
+          else delta
+        // eager checkpoint BEFORE the overwrite — the merge reads the
+        // same files the write replaces (the streamForeachBatch pattern)
+        merged.localCheckpoint(true).write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val state = s.read.parquet(statePath)
+    AggQueries.rfmAssemble(state,
+      state.agg(max("last_day").as("now_day")))
+  }
+
   val CmsChunks = 4
   def streamCms(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.AggQueries
@@ -1474,6 +1524,7 @@ object StreamQueries {
     "stream_cms" -> streamCms,
     "stream_basket" -> streamBasket,
     "stream_bloom" -> streamBloom,
+    "stream_rfm" -> streamRfm,
     "stream_kmv" -> streamKmv,
     "stream_dq_gate" -> streamDqGate,
     "stream_reservoir" -> streamReservoir,
@@ -1577,6 +1628,8 @@ object StreamQueries {
     "stream_basket" -> graft.operators.AggQueries.basketOracleSql,
     // OR-merged bits probe identically: agg_bloom's oracle verbatim
     "stream_bloom" -> graft.operators.AggQueries.bloomOracleSql,
+    // (max,sum,sum) state merge: agg_rfm's oracle verbatim
+    "stream_rfm" -> graft.operators.AggQueries.oracleSql("agg_rfm"),
     // bottom-k over distinct hashes is closed under union: the merged
     // streaming sketch equals the one-shot sketch, same oracle
     "stream_kmv" -> graft.operators.AggQueries.kmvDistinctOracleSql,

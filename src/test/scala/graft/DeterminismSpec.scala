@@ -53,7 +53,10 @@ class DeterminismSpec extends AnyFunSuite with SparkFixture {
     "profile_drift",     // single-ln PSI over integer basis points
     "sample_balance",    // histogram-assisted boundary-bucket rank
     "sort_skyline",      // prefix-min over per-price minima
-    "pipeline_entity_resolution") // min-label loop + sorted member list
+    "pipeline_entity_resolution", // min-label loop + sorted member list
+    "win_cusum",         // prefix-sum/running-min closed form
+    "agg_rfm",           // discrete-percentile thresholds + integer bands
+    "sim_mmr")           // greedy argmax rounds over the r4-rounded pool
 
   test("sampled queries are bit-identical under different shuffle partitioning") {
     val conf = spark.conf

@@ -41,7 +41,10 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     "profile_drift", // crossJoins carry broadcast 1-row midpoint/total frames
     "stream_basket", // basketAssemble's broadcast 1-row order total (shared with agg_basket)
     "sample_balance", // crossJoin carries the broadcast 1-row minority count
-    "agg_rfm") // crossJoins carry broadcast 1-row day-max/threshold frames
+    "agg_rfm", // crossJoins carry broadcast 1-row day-max/threshold frames
+    "stream_rfm", // rfmAssemble's broadcast 1-row frames (shared with agg_rfm)
+    "win_cusum", // crossJoin carries the broadcast 1-row drift constant
+    "sim_mmr") // broadcast 1-row query + broadcast 16-row pool pairwise join
 
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.window.WindowExec

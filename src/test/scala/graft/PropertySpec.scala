@@ -683,6 +683,19 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_._2).sum == nUsers)
   }
 
+  test("win_cusum: the prefix-sum closed form equals Page's recursion, replayed sequentially") {
+    val rows = graft.operators.WindowQueries.winCusum(spark, sf).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n"), r.getAs[Long]("k"),
+        r.getAs[Long]("s_pos"), r.getAs[Long]("s_neg"))).sortBy(_._1)
+    var (sp, sn) = (0L, 0L)
+    rows.foreach { case (day, n, k, gotP, gotN) =>
+      sp = math.max(0L, sp + (n - k))
+      sn = math.max(0L, sn + (k - n))
+      assert(gotP == sp && gotN == sn,
+        s"day $day: closed form ($gotP,$gotN) != recursion ($sp,$sn)")
+    }
+  }
+
   test("agg_bloom: no false negatives ever; false positives exist at sf0.01+ (the one-sided trade)") {
     val rows = graft.operators.AggQueries.aggBloom(spark, sf).collect()
       .map(r => (r.getBoolean(1), r.getBoolean(2))) // (in_bloom, is_member)

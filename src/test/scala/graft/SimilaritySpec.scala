@@ -280,4 +280,40 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       assert(dist >= 0, s"cluster $c negative distance")
     }
   }
+
+  test("sim_mmr equals a sequential greedy replay and genuinely diversifies") {
+    import org.apache.spark.sql.functions.col
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val vecs = graft.Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      r4(d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+    }
+    val q = vecs(0L)
+    val rel = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+    val pool = rel.sortBy { case (id, r) => (-r, id) }
+      .take(graft.operators.SimilarityQueries.MmrPool)
+    var sel = Vector.empty[(Long, Double)]
+    for (_ <- 1 to graft.operators.SimilarityQueries.MmrK) {
+      val cands = pool.filterNot(p => sel.exists(_._1 == p._1))
+      val scored = cands.map { case (id, r) =>
+        val score =
+          if (sel.isEmpty) r4(0.7 * r)
+          else r4(0.7 * r - 0.3 * sel.map(s => cos(vecs(id), vecs(s._1))).max)
+        (id, score)
+      }
+      sel :+= scored.minBy { case (id, sc) => (-sc, id) }
+    }
+    val got = SparkEntry.queries("sim_mmr")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(3))).toVector
+    assert(got == sel, s"engine $got != replay $sel")
+    // diversification is real: the MMR selection differs from the
+    // pure top-relevance prefix (otherwise the penalty term is inert)
+    assert(got.map(_._1) != pool.take(sel.size).map(_._1),
+      "MMR selected exactly the top-relevance prefix — penalty inert")
+  }
 }

@@ -482,6 +482,21 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(again == inc)
   }
 
+  test("incremental stream_rfm equals one-shot agg_rfm and is idempotent") {
+    // (max, sum, sum) per-customer state merges exactly regardless of
+    // how a customer's orders split across micro-batches
+    val inc = StreamQueries.streamRfm(spark, sf).collect().toSeq
+    val batch = SparkEntry.queries("agg_rfm")(spark, sf).collect().toSeq
+    assert(inc == batch, "merged RFM state diverged from the one-shot grid")
+    val tagDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_stream_rfm_"))
+    assert(tagDirs.exists(d =>
+        Option(new java.io.File(d, "chk/commits").list()).exists(_.length >= 2)),
+      "expected at least 2 committed micro-batches")
+    val again = StreamQueries.streamRfm(spark, sf).collect().toSeq
+    assert(again == inc)
+  }
+
   test("incremental stream_bloom equals one-shot agg_bloom and is idempotent") {
     // bit sets are closed under OR, so the distinct-merged state must
     // probe bit-identically to the batch filter
