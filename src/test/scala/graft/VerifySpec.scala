@@ -28,7 +28,7 @@ class VerifySpec extends AnyFunSuite with SparkFixture {
       s"key collision: ${declared - SparkEntry.queries.size} queries lost in the merge")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
-    assert(SparkEntry.queries.size >= 264,
+    assert(SparkEntry.queries.size >= 282,
       s"declared query count shrank to ${SparkEntry.queries.size}")
   }
 
