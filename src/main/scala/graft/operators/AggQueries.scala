@@ -1820,6 +1820,69 @@ object AggQueries {
       .orderBy("path")
   }
 
+  /** agg_hhi — Herfindahl–Hirschman market-concentration index over
+    * part brands (by lineitem revenue cents): HHI = Σ shareᵢ² with
+    * shares in basis points, plus the CR4 top-4 concentration ratio —
+    * the antitrust/market-structure summary statistic. All integer:
+    * share_bp = (10⁴·rev) div total, HHI = Σ share_bp² (≤ 10⁸, exact),
+    * CR4 from the 4 largest shares (ranked with a brand tie-break).
+    *
+    * Scale: one brand groupBy (broadcast part dim, map-side combined),
+    * a broadcast 1-row total, and all windows over the ≤|brands|-row
+    * aggregate. */
+  def aggHhi(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem").select("l_partkey", "l_extendedprice")
+      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("rev"))
+    val shares = rev.crossJoin(broadcast(rev.agg(sum("rev").as("tot"))))
+      .select(col("p_brand"), col("rev"),
+        expr("(10000 * rev) div tot").as("share_bp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("share_bp"), asc("p_brand"))
+    shares.withColumn("rk", row_number().over(w))
+      .agg(count(lit(1)).as("n_brands"),
+        sum(expr("share_bp * share_bp")).as("hhi"),
+        sum(when(col("rk") <= 4, col("share_bp")).otherwise(0L)).as("cr4_bp"),
+        max(when(col("rk") === 1, col("p_brand"))).as("top_brand"))
+  }
+
+  /** agg_pareto — the 80/20 concentration question: how many of the
+    * highest-spending customers cover 80% of total revenue? Customers
+    * ranked by exact cents (custkey tie-break), running share over
+    * the ranked CUSTOMER aggregate (entity-bounded frame, never
+    * lineitem rows), answer = first rank whose cumulative share
+    * reaches 8000 bp. Published: that head count, the total customer
+    * count, its share of customers in bp, and the cumulative revenue
+    * share actually reached — the "how concentrated is my revenue"
+    * dashboard number. All integer. */
+  def aggPareto(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("rev"), asc("o_custkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ranked = per.crossJoin(broadcast(per.agg(sum("rev").as("tot"))))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("rev"), asc("o_custkey"))))
+      .withColumn("cum_rev", sum("rev").over(w))
+      // 10⁴·Σcents stays in int64 up to ~$9·10¹² total revenue
+      .withColumn("cum_bp", expr("(10000 * cum_rev) div tot"))
+    ranked.filter(col("cum_bp") >= 8000)
+      .agg(min("rk").as("n_head"))
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("n_customers"))))
+      .join(ranked.select(col("rk").as("n_head"), col("cum_bp")), "n_head")
+      .select(col("n_head"), col("n_customers"),
+        // widen before the multiply: int 10⁴·n_head wraps past 214k heads
+        expr("(CAST(10000 AS BIGINT) * n_head) div n_customers")
+          .as("head_share_bp"),
+        col("cum_bp").as("rev_share_bp"))
+  }
+
   /** Seats to apportion in agg_apportion — large enough that every
     * event type earns a floor share and remainders actually differ. */
   val ApportionSeats = 10000L
@@ -1863,6 +1926,8 @@ object AggQueries {
     "agg_paths" -> aggPaths,
     "agg_bloom" -> aggBloom,
     "agg_rfm" -> aggRfm,
+    "agg_hhi" -> aggHhi,
+    "agg_pareto" -> aggPareto,
     "analytics_end_to_end" -> analyticsEndToEnd,
     "agg_gini" -> aggGini,
     "agg_autocorr" -> aggAutocorr,
@@ -1983,6 +2048,46 @@ object AggQueries {
         |ORDER BY event_type""".stripMargin,
     // pinned-hash blocked Bloom: bits and probes replay bit-exactly
     "agg_bloom" -> bloomOracleSql,
+    // integer basis-point shares; HHI exact in int64
+    "agg_hhi" ->
+      """WITH rev AS (SELECT p_brand,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand),
+        |tt AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM rev),
+        |sh AS (SELECT p_brand, (10000 * rev) // tot AS share_bp,
+        |    row_number() OVER (ORDER BY (10000 * rev) // tot DESC,
+        |      p_brand) AS rk
+        |  FROM rev CROSS JOIN tt)
+        |SELECT count(*) AS n_brands,
+        |  CAST(sum(share_bp * share_bp) AS BIGINT) AS hhi,
+        |  CAST(sum(CASE WHEN rk <= 4 THEN share_bp ELSE 0 END) AS BIGINT)
+        |    AS cr4_bp,
+        |  max(CASE WHEN rk = 1 THEN p_brand END) AS top_brand
+        |FROM sh""".stripMargin,
+    // ranked cumulative shares over the customer aggregate
+    "agg_pareto" ->
+      """WITH per AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |tt AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM per),
+        |r AS (SELECT rev,
+        |    row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+        |    CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_rev, tot
+        |  FROM per CROSS JOIN tt),
+        |r2 AS (SELECT CAST(rk AS INTEGER) AS rk,
+        |    (10000 * cum_rev) // tot AS cum_bp FROM r),
+        |h AS (SELECT CAST(min(rk) AS INTEGER) AS n_head FROM r2
+        |  WHERE cum_bp >= 8000),
+        |n AS (SELECT count(*) AS n_customers FROM per)
+        |SELECT h.n_head, n.n_customers,
+        |  (10000 * h.n_head) // n.n_customers AS head_share_bp,
+        |  r2.cum_bp AS rev_share_bp
+        |FROM h CROSS JOIN n JOIN r2 ON r2.rk = h.n_head""".stripMargin,
     // exact discrete percentile thresholds + integer day/cent math
     "agg_rfm" ->
       """WITH o AS (SELECT o_custkey,

@@ -44,7 +44,9 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     "agg_rfm", // crossJoins carry broadcast 1-row day-max/threshold frames
     "stream_rfm", // rfmAssemble's broadcast 1-row frames (shared with agg_rfm)
     "win_cusum", // crossJoin carries the broadcast 1-row drift constant
-    "sim_mmr") // broadcast 1-row query + broadcast 16-row pool pairwise join
+    "sim_mmr", // broadcast 1-row query + broadcast 16-row pool pairwise join
+    "agg_hhi", // crossJoin carries the broadcast 1-row revenue total
+    "agg_pareto") // crossJoins carry broadcast 1-row total/count frames
 
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.window.WindowExec

@@ -683,6 +683,19 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_._2).sum == nUsers)
   }
 
+  test("agg_hhi and agg_pareto: concentration invariants hold") {
+    val h = graft.operators.AggQueries.aggHhi(spark, sf).head()
+    val (nB, hhi, cr4) = (h.getAs[Long]("n_brands"), h.getAs[Long]("hhi"),
+      h.getAs[Long]("cr4_bp"))
+    // perfectly even market floor ≤ HHI ≤ monopoly 10⁸; CR4 ≤ 100%
+    assert(hhi >= (10000L / nB) * (10000L / nB) * nB - 10000L && hhi <= 100000000L)
+    assert(cr4 > 0 && cr4 <= 10000L)
+    val p = graft.operators.AggQueries.aggPareto(spark, sf).head()
+    assert(p.getAs[Long]("rev_share_bp") >= 8000L)
+    assert(p.getInt(0) >= 1 && p.getInt(0) <= p.getAs[Long]("n_customers"))
+    assert(p.getAs[Long]("head_share_bp") <= 10000L)
+  }
+
   test("win_cusum: the prefix-sum closed form equals Page's recursion, replayed sequentially") {
     val rows = graft.operators.WindowQueries.winCusum(spark, sf).collect()
       .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n"), r.getAs[Long]("k"),
