@@ -97,8 +97,15 @@ object Bench {
     // failures carry value -1.0 (visible, excluded from the total) —
     // a broken query must not report as a fast success
     val total = results.values.filter(_ >= 0).sum
-    val passTotals = passes.map(_.values.filter(_ >= 0).sum)
-      .map(fmt).mkString("[", ",", "]")
+    val passTotalVals = passes.map(_.values.filter(_ >= 0).sum)
+    val passTotals = passTotalVals.map(fmt).mkString("[", ",", "]")
+    // contention fingerprint (r8, verdict item 8): max/min pass-total
+    // ratio. ~1.0–1.2 = quiet host; ≫1.2 = an external load inflated
+    // some passes and the per-query min is the number to trust —
+    // machine-readable next to the total it may have inflated.
+    val contention =
+      if (passTotalVals.exists(_ > 0)) passTotalVals.max / passTotalVals.min
+      else 1.0
     // SURVEY §2B's 50 contract queries, reported as their own subtotal
     // next to the full-registry total: the registry has grown to ~5×
     // the contract, so the full total scales with declared breadth
@@ -109,7 +116,7 @@ object Bench {
       .collect { case (k, v) if contract(k) && v >= 0 => v }.sum
     val contractN = results.keys.count(contract)
     def line(m: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"contract_total":${fmt(contractTotal)},"contract_n":$contractN,"pass_totals":$passTotals,"queries":${qsJson(m)},"failed":[${failed.mkString(",")}],"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"contract_total":${fmt(contractTotal)},"contract_n":$contractN,"pass_totals":$passTotals,"contention":${fmt(contention)},"queries":${qsJson(m)},"failed":[${failed.mkString(",")}],"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     // Full per-query detail goes to a FILE: the driver captures only the
     // last ~2000 chars of stdout, and 98 entries overflow that (round-2's
     // BENCH parsed as null). Stdout keeps the contract line, with the

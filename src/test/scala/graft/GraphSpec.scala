@@ -106,7 +106,7 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long, Long, Long)].collect()
     assert(rows.nonEmpty && rows.length <= 20)
     val nNodes = graft.operators.GraphQueries
-      .pagerankEdgesDeg(spark, sf).select("src").distinct().count()
+      .coreEdges(spark, sf).select("src").distinct().count()
     // top-20 communities can't hold more members than nodes exist
     assert(rows.map(_._2).sum <= nNodes, "membership exceeds node count")
     // sizes are emitted largest-first with a label tie-break
@@ -128,7 +128,7 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     val alive = rows.map(_._3)
     assert(alive.sameElements(alive.sorted.reverse), "peeling grew the core")
     // sequential replay: collect the pair graph and peel in plain Scala
-    val pairs = graft.operators.GraphQueries.pagerankEdgesDeg(spark, sf)
+    val pairs = graft.operators.GraphQueries.coreEdges(spark, sf)
       .select("src", "dst").as[(Long, Long)].collect()
     var edges = (pairs ++ Array.empty[(Long, Long)]).toSet // both dirs already
     def degrees(e: Set[(Long, Long)]): Map[Long, Int] =

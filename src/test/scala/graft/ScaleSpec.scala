@@ -101,12 +101,12 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     // LogicalRDD keeps that partitioning, so a per-iteration plan must
     // shuffle only rank-vector-sized frames — an exchange ABOVE the
     // (src, dst, deg) scan would mean the 100 TB side moves every round
-    val edgesDeg = GraphQueries.pagerankEdgesDeg(spark, sf)
-    val nodes = GraphQueries.pagerankNodes(spark, sf)
-    val ranks0 = nodes.withColumn("pr",
+    val edges = GraphQueries.coreEdges(spark, sf)
+    val nodesDeg = GraphQueries.pagerankNodesDeg(spark, sf, edges)
+    val ranks0 = nodesDeg.withColumn("pr",
       org.apache.spark.sql.functions.lit(GraphQueries.PrScale))
       .localCheckpoint(true)
-    val step = GraphQueries.pagerankStep(edgesDeg, nodes, ranks0)
+    val step = GraphQueries.pagerankStep(edges, nodesDeg, ranks0)
     step.collect() // finalize any adaptive re-planning before auditing
     // AQE buries materialized exchanges inside QueryStageExec LEAVES —
     // a plain collect() sees zero exchanges and the audit is vacuous;
@@ -151,11 +151,12 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     import graft.operators.GraphQueries
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    // same contract as the pagerank audit: pagerankEdgesDeg is
-    // hash-partitioned on src before its checkpoint, so a vote round
-    // must shuffle only label-vector/vote-count frames — raw edge rows
-    // reaching an exchange means the 100 TB side moves every round
-    val edges = GraphQueries.pagerankEdgesDeg(spark, sf).select("src", "dst")
+    // same contract as the pagerank audit: coreEdges (the degreeless
+    // builder label_prop actually uses) is hash-partitioned on src
+    // before its checkpoint, so a vote round must shuffle only
+    // label-vector/vote-count frames — raw edge rows reaching an
+    // exchange means the 100 TB side moves every round
+    val edges = GraphQueries.coreEdges(spark, sf)
     val labels0 = edges.select(
       org.apache.spark.sql.functions.col("src").as("node")).distinct()
       .withColumn("label", org.apache.spark.sql.functions.col("node"))

@@ -28,8 +28,19 @@ class VerifySpec extends AnyFunSuite with SparkFixture {
       s"key collision: ${declared - SparkEntry.queries.size} queries lost in the merge")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
-    assert(SparkEntry.queries.size >= 282,
-      s"declared query count shrank to ${SparkEntry.queries.size}")
+    // anti-mass-deletion floor, AUTO-RATCHETED (r8, verdict item 4):
+    // the floor is the declared-query headline already pinned into
+    // COVERAGE.md (a separate test proves that headline == the live
+    // registry size), so the guard tracks every addition without a
+    // hand bump — yet a branch that mass-deletes queries WITHOUT
+    // regenerating the doc still fails here loudly
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("COVERAGE.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val floor = "(?m)^(\\d+) declared queries".r
+      .findFirstMatchIn(doc).map(_.group(1).toInt)
+    assert(floor.nonEmpty, "COVERAGE.md lost its declared-queries headline")
+    assert(SparkEntry.queries.size >= floor.get,
+      s"declared query count shrank to ${SparkEntry.queries.size} (< ${floor.get})")
   }
 
   test("bench contract set is exactly 50 names, all present in the registry") {
