@@ -247,14 +247,22 @@ object DedupQueries {
     * dormant on testdata by construction — a test must inject a
     * stop-gram to prove the guard actually drops anything). */
   private[graft] def dfCappedGrams(docs: DataFrame): DataFrame = {
+    // materialized once: the frame feeds BOTH the df aggregate and the
+    // probe side of the semi-join — uncheckpointed, the shingle
+    // explode + distinct ran twice per query (bench-visible ~0.5 s
+    // each across the six capped queries)
     val g0 = docs
       .select(col("doc_id"), explode(shingles(col("text"))).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
       .distinct()
+      .localCheckpoint(true)
     val rare = g0.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") <= GramDfCap)
       .select("gram")
-    g0.join(rare, Seq("gram"), "left_semi")
+    // the capped frame is consumed 3× downstream (doc sizes + both
+    // sides of the candidate self-join) — checkpointed so consumers
+    // read cached blocks instead of re-running the semi-join
+    g0.join(rare, Seq("gram"), "left_semi").localCheckpoint(true)
   }
 
   /** The oracle-side mirror of [[dfCappedGrams]] — a CTE fragment
@@ -434,15 +442,20 @@ object DedupQueries {
       // ANALYZER cost turns exponential — measured 3.2→21 s/round by
       // round 6 on a 44-node graph before this; checkpointing a
       // |nodes|-row frame per round is microseconds by comparison
-      // (the same lesson as the GraphQueries per-round loops)
+      // (the same lesson as the GraphQueries per-round loops).
+      // The changed-count rides the SAME checkpoint as a `chg` flag
+      // (label shrank iff ncomp < comp) — r8: the old shape re-joined
+      // next against the previous labels, a whole extra join job per
+      // round just to count changes; filtering the materialized
+      // checkpoint costs one cheap scan of |nodes| cached rows.
       val next = labels.join(viaNeighbor, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (col("ncomp").isNotNull && col("ncomp") < col("comp")).as("chg"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "doc_id")
-        .filter(col("comp") =!= col("prev")).count()
+      changed = next.filter(col("chg")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select("doc_id", "comp")
       rounds += 1
     }
     require(changed == 0,
