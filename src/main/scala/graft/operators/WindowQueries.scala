@@ -218,9 +218,17 @@ object WindowQueries {
   def winConcurrency(s: SparkSession, dir: String): DataFrame = {
     val DayS = 86400L
     val sessions = concurrencySessions(s, dir)
-    val endpoints = sessions.select(col("start_s").as("t"), lit(1L).as("delta"))
-      .unionAll(sessions.select(col("end_s").as("t"), lit(-1L).as("delta")))
+    // both endpoints emitted in ONE pass over the sessionize subtree
+    // (r8: the union-of-two-projections shape re-ran the events
+    // window + groupBy per branch, and the endpoint frame itself
+    // feeds both the local sweep and the bin offsets — four
+    // potential recomputes; explode + one checkpoint makes it one)
+    val endpoints = sessions.select(explode(array(
+        struct(col("start_s").as("t"), lit(1L).as("delta")),
+        struct(col("end_s").as("t"), lit(-1L).as("delta")))).as("e"))
+      .select(col("e.t").as("t"), col("e.delta").as("delta"))
       .withColumn("bin", expr(s"t div $DayS"))
+      .localCheckpoint(true)
     val local = endpoints.withColumn("run",
       sum("delta").over(Window.partitionBy("bin").orderBy("t", "delta")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -377,25 +385,33 @@ object WindowQueries {
     * is not subtractable — no incremental frame update exists), an
     * O(n·frame) blowup; instead each event FANS OUT to the ≤ 7 target
     * days whose window contains it (a ×7 narrow projection, the
-    * join_range_binned trick applied to frames), a semi-join drops
-    * target days with no events of their own, and ONE groupBy computes
-    * the exact discrete quantiles per (type, day) — shuffle scales
-    * with events×7, never events×frame. percentile_disc picks an
-    * actual element, so the oracle (quantile_disc) replays exactly;
-    * r4 normalizes the double representation. */
+    * join_range_binned trick applied to frames), and ONE groupBy
+    * computes the exact discrete quantiles per (type, day) — shuffle
+    * scales with events×7, never events×frame. Target days with no
+    * events of their OWN are dropped by an n_own side-count inside
+    * the same aggregate (r8: the previous shape materialized a
+    * distinct (type, day) frame and semi-joined it — one extra
+    * distinct shuffle plus a join, for a predicate one conditional
+    * sum answers; results are identical since a day survives the
+    * semi-join iff it has ≥1 own event). percentile_disc picks an
+    * actual element, so the oracle (quantile_disc, still the
+    * semi-join formulation — equality of the two shapes is what the
+    * hash proves) replays exactly; r4 normalizes the double
+    * representation. */
   def winRollingQuantile(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
       .select(col("event_type"), expr("ts_s div 86400").as("day"), col("value"))
-    val days = e.select(col("event_type"), col("day").as("target_day")).distinct()
     e.withColumn("target_day", explode(sequence(col("day"), col("day") + 6)))
-      .join(days, Seq("event_type", "target_day"), "left_semi")
       .groupBy(col("event_type"), col("target_day").as("day"))
       .agg(
         count(lit(1)).as("n_window"),
+        sum(when(col("day") === col("target_day"), 1L).otherwise(0L))
+          .as("n_own"),
         Fp.r4(expr(
           "percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")).as("p50d"),
         Fp.r4(expr(
           "percentile_disc(0.9) WITHIN GROUP (ORDER BY value)")).as("p90d"))
+      .filter(col("n_own") > 0).drop("n_own")
       .orderBy("event_type", "day")
   }
 
