@@ -51,7 +51,7 @@ object Bench {
     // partitioned sinks) materialize them HERE, untimed, so the timed
     // runs below measure their reads, not a one-off write
     Seq("join_bucketed", "join_dpp", "source_merge_schema",
-        "sink_partitioned", "sink_ts_roundtrip",
+        "sink_partitioned", "sink_ts_roundtrip", "sink_ann_index",
         "stream_file_sink", "stream_foreachbatch", "stream_scd2",
         "stream_concurrency", "stream_minhash", "stream_transformwithstate",
         "sink_zorder", "sink_json_roundtrip",

@@ -204,6 +204,31 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       s"trained-IVF top-1 recall vs brute top-5: $hits/${top1.length}")
   }
 
+  test("ANN index roundtrip: search from the persisted index equals in-memory trained IVF") {
+    // the persisted-postings path must reproduce sim_ann_ivf_trained
+    // bit-for-bit (they also share the oracle SQL verbatim)
+    val fromIndex = SparkEntry.queries("source_ann_index")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val inMemory = SparkEntry.queries("sim_ann_ivf_trained")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(fromIndex.nonEmpty && fromIndex == inMemory)
+    // stats read back from the artifact cover the whole corpus exactly
+    val stats = SparkEntry.queries("sink_ann_index")(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    val corpus = graft.Tables.t(spark, sf, "embeddings")
+    assert(stats.map(_._2).sum == corpus.count(), "postings lost/duplicated vectors")
+    assert(stats.map(_._3).sum ==
+      corpus.agg(org.apache.spark.sql.functions.sum("vec_id")).head().getLong(0),
+      "id-sum checksum diverged")
+    // the layout really is list-partitioned: cluster=<c>/ directories
+    import graft.operators.SimilarityQueries
+    val idx = SimilarityQueries.ensureAnnIndex(spark, sf)
+    val parts = new java.io.File(s"$idx/postings").listFiles()
+      .filter(_.getName.startsWith("cluster="))
+    assert(parts.length == stats.length,
+      s"${parts.length} list partitions vs ${stats.length} stat rows")
+  }
+
   test("sim_pq: every query's own row ranks 1 (its codes minimize each subspace)") {
     val rows = SparkEntry.queries("sim_pq")(spark, sf)
       .as[(Long, Int, Long, Long)].collect()
