@@ -1717,9 +1717,13 @@ object AggQueries {
       |ORDER BY ba, bb""".stripMargin
 
   def aggBasket(s: SparkSession, dir: String): DataFrame = {
+    // materialized once: the basket frame feeds pair emit, brand
+    // marginals AND the order total (r8 — uncheckpointed, the
+    // lineitem⋈part + collect_set groupBy ran three times)
     val baskets = basketSets(
       t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
       t(s, dir, "part").select("p_partkey", "p_brand"))
+      .localCheckpoint(true)
     basketAssemble(
       basketPairs(baskets),
       baskets.select(explode(col("bs")).as("b"))
