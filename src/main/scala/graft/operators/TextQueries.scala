@@ -904,9 +904,21 @@ object TextQueries {
     (rows, docs)
   }
 
+  /** The learned merge table cached per sfDir — the tokenizer MODEL
+    * (≤[[BpeRounds]] rows of driver state), exactly the
+    * trainedCodebookInt precedent: Verify/Bench invoke the queries
+    * repeatedly and must not retrain per call; apply derives its
+    * replace chain from the cached rules instead of re-running the
+    * per-round argmax jobs. */
+  private val bpeModelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, String, Long, String, Long, Long)]]()
+  private def bpeModel(s: SparkSession, dir: String)
+      : Seq[(Int, String, Long, String, Long, Long)] =
+    bpeModelCache.computeIfAbsent(dir, _ => bpeTrainLoop(s, dir)._1)
+
   def pipelineBpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    bpeTrainLoop(s, dir)._1.toDF("round", "pair", "pair_n", "merge_sym",
+    bpeModel(s, dir).toDF("round", "pair", "pair_n", "merge_sym",
       "chars_before", "chars_after").orderBy("round")
   }
 
@@ -918,12 +930,21 @@ object TextQueries {
     * a curriculum/packing stage consumes. Same loop as training (the
     * rules are derived, then applied corpus-wide — one narrow replace
     * chain per doc); output is per-doc and integer-exact. */
-  def pipelineBpeApply(s: SparkSession, dir: String): DataFrame =
-    bpeTrainLoop(s, dir)._2
+  def pipelineBpeApply(s: SparkSession, dir: String): DataFrame = {
+    // one narrow replace chain from the CACHED rules — a single corpus
+    // pass, no re-run of the per-round training aggregates (r8)
+    val rewritten = bpeModel(s, dir).sortBy(_._1)
+      .foldLeft(col("text")) { case (c, (_, pair, _, sym, _, _)) =>
+        replace(c, lit(pair), lit(sym))
+      }
+    t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("n0"),
+        length(rewritten).as("nt"))
       .select(col("doc_id"), col("n0").cast("long").as("n_chars"),
-        length(col("text")).cast("long").as("n_tokens_bpe"),
-        expr("(100 * (n0 - length(text))) div n0").as("saved_pct"))
+        col("nt").cast("long").as("n_tokens_bpe"),
+        expr("(100 * (n0 - nt)) div n0").as("saved_pct"))
       .orderBy("doc_id")
+  }
 
   /** Shared unrolled-CTE replay of [[bpeTrainLoop]], generated from
     * [[BpeRounds]] so the round count cannot drift. */
