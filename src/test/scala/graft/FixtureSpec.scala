@@ -79,6 +79,22 @@ class FixtureSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("Tables.t memoization: plan reuse within a (session, dir), isolation across dirs") {
+    // r8: Tables.t caches READER PLANS (the metastore-cache role) —
+    // the same (session, dir, table) must return the identical plan
+    // object (no re-listing / footer re-inference), while different
+    // dirs must never cross
+    val a1 = Tables.t(spark, sf, "lineitem")
+    val a2 = Tables.t(spark, sf, "lineitem")
+    assert(a1 eq a2, "same (session, dir, table) rebuilt its reader plan")
+    val other = allSfDirs.find(_ != sf).get
+    val b = Tables.t(spark, other, "lineitem")
+    assert(!(a1 eq b), "different dirs shared one cached plan")
+    // and the cached plans still read their OWN dir's data
+    assert(a1.count() != b.count(),
+      "sf dirs unexpectedly hold identical row counts — isolation unprovable")
+  }
+
   test("oracle-critical schema pins: embedding dim 64, expected column sets") {
     for (dir <- allSfDirs) {
       // sim_maxsim / sim_crossmodal oracles unroll generate_series(1, 64)
