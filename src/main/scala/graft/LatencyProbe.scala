@@ -2,8 +2,17 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch probe (round 8): decompose the ~0.6 s fixed per-query cost
-  * the full-registry bench pays 284×. Not part of the deliverable. */
+/** Fixed-cost decomposition probe (r8 companion to ScaleProbe):
+  * isolates the per-query overhead the full-registry bench pays
+  * hundreds of times — reader-plan construction (directory listing +
+  * footer schema inference per `spark.read.parquet` call, ~110–150 ms
+  * on this host; the number that motivated Tables.t's plan
+  * memoization), bare job-dispatch floor (`range(10)` noop), and
+  * end-to-end trivial-query cost with fresh vs reused reader plans.
+  * Findings recorded in SCALE.md §r8.
+  *
+  *   sbt "runMain graft.LatencyProbe"
+  */
 object LatencyProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
