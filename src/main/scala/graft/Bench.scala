@@ -37,7 +37,12 @@ object Bench {
     * JVM tmpdir. */
   private[graft] def scratchDir(): String = {
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) {
+    // the ≥8 GiB floor guards against containers that mount a small
+    // tmpfs here: shuffle files accumulate across a 286-query pass
+    // until GC-driven cleanup, and an ENOSPC mid-bench would mark
+    // queries failed — a slower disk beats a full RAM-disk
+    if (shm.isDirectory && shm.canWrite &&
+        shm.getUsableSpace >= 8L * 1024 * 1024 * 1024) {
       val d = new java.io.File(shm, "graft_spark_local")
       d.mkdirs()
       d.getAbsolutePath
