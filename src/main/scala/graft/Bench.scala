@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+/** Benchmark main: times every registry query at SPARK_GRAFT_SF_DIR
+  * and prints one JSON line. Measurement protocol (r9): 3 interleaved
+  * full passes → per-query min → up to 3 TARGETED extra passes over
+  * only the queries whose pass spread exceeded 2× (re-measuring noise
+  * victims until their min stops improving >10%), so the RECORDED
+  * number converges to the quiet-host number even when some passes
+  * ran contended. Full rationale at the protocol comment in [[main]];
+  * user-facing description in README §Running. */
 object Bench {
   /** Executes the FULL physical plan (incl. final sort + projections)
     * without driver-side collection. `count()` would let Catalyst drop
@@ -37,16 +45,42 @@ object Bench {
     * JVM tmpdir. */
   private[graft] def scratchDir(): String = {
     val shm = new java.io.File("/dev/shm")
-    // the ≥8 GiB floor guards against containers that mount a small
-    // tmpfs here: shuffle files accumulate across a 286-query pass
-    // until GC-driven cleanup, and an ENOSPC mid-bench would mark
-    // queries failed — a slower disk beats a full RAM-disk
-    if (shm.isDirectory && shm.canWrite &&
-        shm.getUsableSpace >= 8L * 1024 * 1024 * 1024) {
+    // Pass-safe floor (r9, verdict item 3): the startup-only 8 GiB
+    // check guarded session BUILD, but shuffle files accumulate across
+    // a full multi-pass bench until GC-driven cleanup, so the floor
+    // must cover a whole run's high-water mark, not just the first
+    // query. Measured at sf0.1 (full 286-query registry, 3 passes +
+    // extras, this host — see SCALE.md §scratch): peak
+    // graft_spark_local usage stays in the low single-digit GiB; the
+    // floor is set several× above it. Two conditions, both required:
+    //   - usable ≥ 12 GiB  (≫ the measured full-run high-water mark)
+    //   - usable ≥ 25% of the tmpfs total (ADVICE r8: a tmpfs that is
+    //     mostly someone else's is one neighbor-burst from ENOSPC even
+    //     when the absolute floor passes — tmpfs shares host RAM)
+    // An ENOSPC mid-bench would mark queries failed; a slower disk
+    // beats a full RAM-disk.
+    val floorOk = shm.isDirectory && shm.canWrite &&
+      shm.getUsableSpace >= 12L * 1024 * 1024 * 1024 &&
+      shm.getUsableSpace >= shm.getTotalSpace / 4
+    if (floorOk) {
       val d = new java.io.File(shm, "graft_spark_local")
       d.mkdirs()
+      // hygiene between runs: a crashed session leaks its spark-* dir
+      // and repeated leaks eat the headroom the floor reserved — sweep
+      // leftovers not touched for an hour (live sessions touch their
+      // dirs constantly; concurrent fresh runs are never swept)
+      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("spark-") && f.lastModified < cutoff)
+        .foreach(deleteRecursively)
       d.getAbsolutePath
     } else System.getProperty("java.io.tmpdir")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   def main(args: Array[String]): Unit = {
@@ -84,17 +118,34 @@ object Bench {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench-setup] $n failed: $e")
         }))
-    // Three INTERLEAVED passes over the whole suite, per-query min
-    // across passes. Round-1's single cold run let first-touch page
-    // cache / JIT / GC noise masquerade as plan cost (VERDICT §perf),
-    // and back-to-back min-of-2 still let one sustained multi-second
-    // stall (GC, external load) poison both timings of the same query —
-    // observed: 44-67 s for sub-second plans, and a contended r03 box
-    // inflated the whole suite ~3× (VERDICT r03). Minutes-apart passes
-    // make a stall have to recur at the same suite position EVERY pass
-    // to survive the min; per-pass totals are printed so a contended
-    // run is self-evident in the artifact (healthy: passes within
-    // ~20%; contended: one pass several× another).
+    // MEASUREMENT PROTOCOL (see README §bench):
+    //   (1) Three INTERLEAVED passes over the whole suite, per-query
+    //       min across passes. Round-1's single cold run let
+    //       first-touch page cache / JIT / GC noise masquerade as plan
+    //       cost, and back-to-back min-of-2 still let one sustained
+    //       multi-second stall poison both timings of the same query —
+    //       observed: 44-67 s for sub-second plans; a contended r03
+    //       box inflated the whole suite ~3×. Minutes-apart passes
+    //       make a stall have to recur at the same suite position
+    //       EVERY pass to survive the min; per-pass totals are printed
+    //       so a contended run is self-evident in the artifact
+    //       (healthy: passes within ~20%).
+    //   (2) TARGETED extra passes (r9, verdict item 1): this host
+    //       swings ±30% under noisy neighbors, and r8's recorded
+    //       number survived a 1.489-contention run only by luck — the
+    //       same code measured 142.5 s quiet vs 185.6 s recorded. So
+    //       after the 3 full passes, queries whose pass spread exceeds
+    //       2× (and >0.1 s absolute — micro-query ratios are noise)
+    //       are re-measured in up to 3 extra passes over ONLY that
+    //       high-spread set; each extra reading folds into the min,
+    //       and a query stays in the set only while re-measurement
+    //       still improves its min >10% (i.e. the noise hasn't
+    //       settled). This re-measures the noise victims, not the
+    //       suite — more measurement of the same code, never different
+    //       work — so the RECORDED number converges to the quiet-host
+    //       number even when some passes were contended. The artifact
+    //       keeps pass_totals + contention (bursty-load fingerprint)
+    //       plus respread_n = per-extra-pass re-measured query counts.
     val names = selected.keys.toSeq
     def once(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -106,9 +157,28 @@ object Bench {
         name -> (try once(selected(name)) catch { case _: Throwable => -1.0 })
       }.toMap
     }
+    // all measurements per query: the 3 full passes + targeted extras
+    val meas = scala.collection.mutable.Map(
+      names.map(n => n -> scala.collection.mutable.ArrayBuffer(passes.map(_(n)): _*)): _*)
+    val respread = scala.collection.mutable.ArrayBuffer[Int]()
+    var target = names.filter { n =>
+      val vs = meas(n)
+      vs.forall(_ >= 0) && vs.min > 0 &&
+        vs.max / vs.min > 2.0 && vs.max - vs.min > 0.1
+    }
+    while (target.nonEmpty && respread.size < 3) {
+      respread += target.size
+      target = target.filter { n =>
+        val prevMin = meas(n).min
+        val v = try once(selected(n)) catch { case _: Throwable => -1.0 }
+        meas(n) += v
+        // keep re-measuring only while the reading still drops >10%
+        v >= 0 && v < prevMin * 0.9
+      }
+    }
     val results = names.map { n =>
-      val vs = passes.map(_(n))
-      // any failed pass marks the query failed (-1), not fast
+      val vs = meas(n)
+      // any failed measurement marks the query failed (-1), not fast
       n -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
     }.toMap
     def fmt(v: Double): String = f"$v%.3f"
@@ -124,8 +194,11 @@ object Bench {
     // ratio. ~1.0–1.2 = quiet host; ≫1.2 = an external load inflated
     // some passes and the per-query min is the number to trust —
     // machine-readable next to the total it may have inflated.
+    // min > 0 guard (ADVICE r8): a pass where every query failed sums
+    // to 0.0 and max/min would print Infinity — not valid JSON
     val contention =
-      if (passTotalVals.exists(_ > 0)) passTotalVals.max / passTotalVals.min
+      if (passTotalVals.nonEmpty && passTotalVals.min > 0)
+        passTotalVals.max / passTotalVals.min
       else 1.0
     // SURVEY §2B's 50 contract queries, reported as their own subtotal
     // next to the full-registry total: the registry has grown to ~5×
@@ -136,8 +209,9 @@ object Bench {
     val contractTotal = results
       .collect { case (k, v) if contract(k) && v >= 0 => v }.sum
     val contractN = results.keys.count(contract)
+    val respreadJson = respread.map(_.toString).mkString("[", ",", "]")
     def line(m: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"contract_total":${fmt(contractTotal)},"contract_n":$contractN,"pass_totals":$passTotals,"contention":${fmt(contention)},"queries":${qsJson(m)},"failed":[${failed.mkString(",")}],"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"contract_total":${fmt(contractTotal)},"contract_n":$contractN,"pass_totals":$passTotals,"contention":${fmt(contention)},"respread_n":$respreadJson,"queries":${qsJson(m)},"failed":[${failed.mkString(",")}],"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     // Full per-query detail goes to a FILE: the driver captures only the
     // last ~2000 chars of stdout, and 98 entries overflow that (round-2's
     // BENCH parsed as null). Stdout keeps the contract line, with the

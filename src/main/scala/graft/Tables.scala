@@ -38,11 +38,31 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  /** CALLER CONSTRAINT (self-joins): repeated calls return the SAME
+    * DataFrame instance, so a self-join built from two t() calls with
+    * DataFrame-apply column refs (`df1("x") === df2("x")`) trips
+    * Spark's ambiguous-self-join detection where two fresh readers
+    * would not. Alias each side (`t(...).as("l")` / `.as("r")`) and
+    * join on qualified string refs — every registry query already
+    * does. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (cache.size > 512) cache.clear()
     cache.computeIfAbsent((spark, dir, name), _ =>
       if (name == "events") eventsUncached(spark, dir)
       else spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Content signature of a parquet file/dir — (length, mtime) folded
+    * over every part file. Model caches key on this so a driver
+    * regeneration of an input table can never serve a stale trained
+    * model (the staging-dir versioning lesson applied to caches);
+    * shared by the ANN index tag and the BPE merge-table cache so the
+    * two caches have ONE staleness contract. */
+  def contentSig(path: String): Long = {
+    def sig(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).map(sig).foldLeft(17L)(31 * _ + _)
+      else 31L * f.length() + f.lastModified()
+    sig(new java.io.File(path))
   }
 
   /** Schema-adaptive events loader. The driver has shipped `ts` under

@@ -45,9 +45,14 @@ object Verify {
         SparkEntry.oracleSql.view.filterKeys(f).toMap)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // full declared-query list so completeness is externally checkable
+    // query manifest, SCOPED to this dump: in the driver's official
+    // (always unrestricted) run this is the full declared list, so
+    // completeness stays externally checkable; under SPARK_GRAFT_ONLY
+    // it lists only the dumped queries, so tools/check_oracle.py on a
+    // subset dump no longer reports every unselected query as a bogus
+    // "no spark output" FAIL (r8 verdict item 5)
     Files.writeString(Paths.get(s"$outDir/queries.txt"),
-      SparkEntry.queries.keys.toSeq.sorted.mkString("\n"))
+      selected.keys.toSeq.sorted.mkString("\n"))
     spark.stop()
   }
 }

@@ -175,15 +175,22 @@ object GraphQueries {
     *
     * Scale: each of the [[BfsMaxHops]] rounds is one frontier⋈edges
     * equi-join + distinct + an anti-join against the visited set —
-    * shuffles proportional to the frontier, never to pairs². Frontier
-    * and dist frames are localCheckpointed per round (the
-    * pagerank/components lineage discipline) so round i's plan never
-    * re-derives round i−1; the driver holds only the loop counter.
-    * Anti-join-before-label keeps each node's FIRST discovery level =
-    * min-hop distance. Output is the per-level membership summary
-    * (count + id-sum checksum pins the exact set); the oracle replays
-    * min(d) over a depth-capped recursive closure with UNION dedup so
-    * the path count can't explode. */
+    * shuffles proportional to the frontier, never to pairs². ONLY each
+    * round's small `next` frame is localCheckpointed (the
+    * pagerank/components lineage discipline — round i's plan never
+    * re-derives round i−1): the visited set for the anti-join and the
+    * final labeled union are cheap unions over the already-
+    * materialized per-level RDDs plus the trivial seed scan, so the
+    * old per-round re-checkpoint of the whole dist union — a second
+    * materialization job every hop, half of BFS's fixed cost (r8
+    * verdict item 2) — is gone. Each level frame is referenced ≤
+    * BfsMaxHops+1 times but each reference is a checkpointed leaf, so
+    * the analyzer-tree-growth hazard (the r7 components lesson) does
+    * not apply. Anti-join-before-label keeps each node's FIRST
+    * discovery level = min-hop distance. Output is the per-level
+    * membership summary (count + id-sum checksum pins the exact set);
+    * the oracle replays min(d) over a depth-capped recursive closure
+    * with UNION dedup so the path count can't explode. */
   def graphBfs(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
       .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
@@ -195,17 +202,22 @@ object GraphQueries {
       .localCheckpoint(true)
     val seeds = t(s, dir, "customer").filter(col("c_nationkey") === 0)
       .select((col("c_custkey") * 2).as("node"))
-    var dist = seeds.withColumn("d", lit(0)).localCheckpoint(true)
-    var frontier = dist.select("node")
-    for (i <- 1 to BfsMaxHops) {
+    // levels(i) = nodes first discovered at hop i; levels(0) = seeds
+    val levels = scala.collection.mutable.ArrayBuffer(seeds)
+    var frontier = seeds
+    for (_ <- 1 to BfsMaxHops) {
+      val visited = levels.reduce(_ union _)
       val next = frontier.join(edges, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
-        .join(dist.select("node"), Seq("node"), "left_anti")
+        .join(visited, Seq("node"), "left_anti")
         .localCheckpoint(true)
-      dist = dist.union(next.withColumn("d", lit(i))).localCheckpoint(true)
+      levels += next
       frontier = next
     }
-    dist.groupBy("d")
+    levels.zipWithIndex
+      .map { case (l, i) => l.withColumn("d", lit(i)) }
+      .reduce(_ union _)
+      .groupBy("d")
       .agg(count(lit(1)).as("n_nodes"), sum("node").as("id_sum"),
         min("node").as("min_node"), max("node").as("max_node"))
       .orderBy("d")

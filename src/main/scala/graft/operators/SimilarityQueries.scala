@@ -242,11 +242,9 @@ object SimilarityQueries {
     * regeneration of embeddings.parquet can never serve a stale index
     * (the streaming twins' staging-dir lesson applied to a sink). */
   private def annIndexDir(s: SparkSession, dir: String): String = {
-    def sig(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).map(sig).foldLeft(17L)(31 * _ + _)
-      else 31L * f.length() + f.lastModified()
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") +
-      "_" + java.lang.Long.toHexString(sig(new java.io.File(s"$dir/embeddings.parquet")))
+      "_" + java.lang.Long.toHexString(
+        graft.Tables.contentSig(s"$dir/embeddings.parquet"))
     s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_$tag"
   }
 

@@ -909,12 +909,18 @@ object TextQueries {
     * trainedCodebookInt precedent: Verify/Bench invoke the queries
     * repeatedly and must not retrain per call; apply derives its
     * replace chain from the cached rules instead of re-running the
-    * per-round argmax jobs. */
+    * per-round argmax jobs. Keyed by (dir, content signature of
+    * documents.parquet) — the same staleness contract as the ANN
+    * index dir, so an in-place regeneration of the corpus retrains
+    * instead of serving stale merges (ADVICE r8). */
   private val bpeModelCache = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(Int, String, Long, String, Long, Long)]]()
   private def bpeModel(s: SparkSession, dir: String)
-      : Seq[(Int, String, Long, String, Long, Long)] =
-    bpeModelCache.computeIfAbsent(dir, _ => bpeTrainLoop(s, dir)._1)
+      : Seq[(Int, String, Long, String, Long, Long)] = {
+    val key = dir + "@" + java.lang.Long.toHexString(
+      graft.Tables.contentSig(s"$dir/documents.parquet"))
+    bpeModelCache.computeIfAbsent(key, _ => bpeTrainLoop(s, dir)._1)
+  }
 
   def pipelineBpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -36,11 +36,18 @@ class VerifySpec extends AnyFunSuite with SparkFixture {
     // regenerating the doc still fails here loudly
     val doc = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("COVERAGE.md")), java.nio.charset.StandardCharsets.UTF_8)
-    val floor = "(?m)^(\\d+) declared queries".r
+    val docFloor = "(?m)^(\\d+) declared queries".r
       .findFirstMatchIn(doc).map(_.group(1).toInt)
-    assert(floor.nonEmpty, "COVERAGE.md lost its declared-queries headline")
-    assert(SparkEntry.queries.size >= floor.get,
-      s"declared query count shrank to ${SparkEntry.queries.size} (< ${floor.get})")
+    assert(docFloor.nonEmpty, "COVERAGE.md lost its declared-queries headline")
+    // monotone HARD watermark alongside the doc-derived floor (ADVICE
+    // r8): a branch that mass-deletes queries AND regenerates
+    // COVERAGE.md satisfies the doc-derived guard alone — the known-
+    // good constant cannot be lowered by regenerating a doc. Ratchet
+    // it up by hand when the registry grows.
+    val hardFloor = 286
+    val floor = math.max(hardFloor, docFloor.get)
+    assert(SparkEntry.queries.size >= floor,
+      s"declared query count shrank to ${SparkEntry.queries.size} (< $floor)")
   }
 
   test("bench contract set is exactly 50 names, all present in the registry") {
