@@ -60,6 +60,35 @@ class VerifySpec extends AnyFunSuite with SparkFixture {
     assert(missing.isEmpty, s"contract names not in registry: $missing")
   }
 
+  test("bench protocol predicates hold on the observed host scenarios") {
+    // the measurement protocol is gate-load-bearing (the driver reads
+    // the RECORDED bench, not the quiet truth) — pin its decision
+    // predicates against the real scenarios that motivated them so a
+    // refactor cannot silently regress the convergence behavior
+    // (r9; readings quoted from SCALE.md / NEXT.md)
+
+    // quiet-host fingerprint (slow cold pass 1 only) must STOP at 3
+    // passes — pass 1 is excluded from the dispersion test
+    assert(!Bench.tailDispersed(Seq(210.0, 154.4, 153.6)))
+    // noisy-LAST-pass run (259/197/273): improvement alone read
+    // "converged"; dispersion must keep the loop alive
+    assert(Bench.tailDispersed(Seq(259.0, 197.1, 272.6)))
+    // degenerate guard: an all-failed pass totals 0.0 — never divide
+    assert(!Bench.tailDispersed(Seq(100.0, 0.0, 50.0)))
+    assert(!Bench.tailDispersed(Seq(100.0)))
+
+    // >2% total improvement keeps adaptive passes running; ~flat stops
+    assert(Bench.converging(205.0, 185.0))
+    assert(!Bench.converging(197.0, 196.0))
+    assert(!Bench.converging(0.0, 0.0)) // zero-total guard
+
+    // targeted set: >2x spread AND >0.1s absolute, all passes green
+    assert(Bench.highSpread(Seq(8.4, 3.0, 2.5)))
+    assert(!Bench.highSpread(Seq(0.09, 0.03, 0.04)), "micro-query ratios are noise")
+    assert(!Bench.highSpread(Seq(1.0, 1.5, 1.2)), "sub-2x spread")
+    assert(!Bench.highSpread(Seq(8.4, -1.0, 2.5)), "failed pass disqualifies")
+  }
+
   test("every declared query has a COVERAGE.md row") {
     // the judge reads COVERAGE.md as the per-query manifest; a query
     // that ships without a row is invisible coverage
