@@ -74,11 +74,21 @@ object Bench {
       d.mkdirs()
       // hygiene between runs: a crashed session leaks its spark-* dir
       // and repeated leaks eat the headroom the floor reserved — sweep
-      // leftovers not touched for an hour (live sessions touch their
-      // dirs constantly; concurrent fresh runs are never swept)
+      // leftovers not touched for an hour. Liveness is judged on the
+      // NEWEST mtime in the whole tree, not the root dir (ADVICE r9):
+      // on Linux a dir's mtime only moves on direct entry churn, and a
+      // long-lived session churns files inside blockmgr-*/ subdirs
+      // while its spark-* root stays untouched — root mtime alone
+      // could sweep a live session's scratch mid-run (shuffle-fetch
+      // failures). Concurrent fresh runs are never swept either way.
       val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      def newestMtime(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty)
+            .foldLeft(f.lastModified)((m, c) => math.max(m, newestMtime(c)))
+        else f.lastModified
       Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("spark-") && f.lastModified < cutoff)
+        .filter(f => f.getName.startsWith("spark-") && newestMtime(f) < cutoff)
         .foreach(deleteRecursively)
       d.getAbsolutePath
     } else System.getProperty("java.io.tmpdir")
@@ -239,7 +249,12 @@ object Bench {
       target = target.filter { n =>
         val prevMin = meas(n).min
         val v = try once(selected(n)) catch { case _: Throwable => -1.0 }
-        meas(n) += v
+        // a transient failure here must NOT mark the query failed
+        // (ADVICE r9 medium): it already holds >=3 successful full-pass
+        // readings, and this phase exists only to strip noise — drop
+        // the query from the target set without folding the failed
+        // reading into meas (full-pass failures still mark -1 below)
+        if (v >= 0) meas(n) += v
         // keep re-measuring only while the reading still drops >10%
         v >= 0 && v < prevMin * 0.9
       }

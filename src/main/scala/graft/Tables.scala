@@ -59,10 +59,21 @@ object Tables {
     * shared by the ANN index tag and the BPE merge-table cache so the
     * two caches have ONE staleness contract. */
   def contentSig(path: String): Long = {
+    // Option-guard listFiles (ADVICE r9): an unreadable dir / IO error
+    // returns null, and both model caches now key on this function —
+    // an NPE here would take down the query instead of reporting the
+    // real problem below
     def sig(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName).map(sig).foldLeft(17L)(31 * _ + _)
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).map(sig).foldLeft(17L)(31 * _ + _)
       else 31L * f.length() + f.lastModified()
-    sig(new java.io.File(path))
+    val root = new java.io.File(path)
+    // a missing path must ERROR, not silently hash as (len 0, mtime 0):
+    // two absent inputs would otherwise share a signature and a cache
+    // keyed on it could serve one's model for the other (ADVICE r9)
+    require(root.exists(), s"contentSig: no such path $path")
+    sig(root)
   }
 
   /** Schema-adaptive events loader. The driver has shipped `ts` under

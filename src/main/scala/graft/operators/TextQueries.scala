@@ -919,6 +919,12 @@ object TextQueries {
       : Seq[(Int, String, Long, String, Long, Long)] = {
     val key = dir + "@" + java.lang.Long.toHexString(
       graft.Tables.contentSig(s"$dir/documents.parquet"))
+    // evict superseded models (ADVICE r9): an in-place regeneration of
+    // documents.parquet changes the signature, and without eviction
+    // every regeneration would retain the prior merge table for the
+    // JVM lifetime — drop other signatures of the SAME dir before
+    // inserting (distinct dirs keep their models, same as Tables.t)
+    bpeModelCache.keySet.removeIf(k => k.startsWith(dir + "@") && k != key)
     bpeModelCache.computeIfAbsent(key, _ => bpeTrainLoop(s, dir)._1)
   }
 
