@@ -332,6 +332,90 @@ object SimilarityQueries {
     ivfJoinRank(corpus, queries)
   }
 
+  /** stream_ann_index — INCREMENTAL IVF-index maintenance, the
+    * streaming half of the sink/source_ann_index lifecycle (r10; the
+    * design staged in NEXT.md r9 and unlocked by the margin rule). A
+    * production vector store does not retrain per insert: vectors
+    * arrive in batches and are assigned to lists by the FIXED trained
+    * codebook, appended to the postings, and served from the
+    * accumulated index. Here:
+    *
+    *  1. the embeddings corpus is staged as four `vec_id % 4` chunk
+    *     files ([[graft.streaming.StreamQueries.stageChunks]]; unlike
+    *     the scd2/funnel twins, postings accumulation is a SET UNION,
+    *     so no file-order precondition exists);
+    *  2. a file stream (`maxFilesPerTrigger=1` ⇒ one micro-batch per
+    *     chunk) foreachBatch-assigns each vector's list via the
+    *     trained codebook ([[trainedCodebookInt]] — identical integer
+    *     argmin to the batch index build) and APPENDS the batch's
+    *     postings as a `batch=<id>/` directory, itself partitioned by
+    *     `cluster` — mode("overwrite") per batch dir, so a replay
+    *     after a crash between write and checkpoint-commit is
+    *     idempotent (the stream_scd2 exactly-once pattern, applied to
+    *     an append-only layout instead of a merged state swap);
+    *  3. top-3 search is served FROM the accumulated postings —
+    *     partition discovery over the batch=N/cluster=C directory
+    *     tree means search reads only probed lists, the corpus
+    *     parquet is never re-scanned, and
+    *     the candidate join + exact-cosine tail is [[ivfJoinRank]]
+    *     unchanged (the source_ann_index read path).
+    *
+    * Because every vector lands in exactly one batch and assignment
+    * uses the same fixed codebook, the accumulated index holds exactly
+    * the one-shot index's postings ⇒ the ORACLE is
+    * [[trainedIvfOracleSql]] VERBATIM — the hash that already checks
+    * sim_ann_ivf_trained and source_ann_index, so one vector lost,
+    * duplicated, or mis-assigned through the incremental path fails
+    * the gate. Checkpointed: re-runs process zero batches and re-serve
+    * the same index (idempotency asserted in StreamingSpec).
+    *
+    * Scale: per batch, assignment is a narrow projection (no shuffle —
+    * the k×dim model is a closure constant) and the write shuffles
+    * only that batch's rows into its list partitions; search cost
+    * follows probed partitions, exactly like source_ann_index. At
+    * 100 TB the same shape holds: micro-batch-sized appends, never a
+    * corpus-wide rebuild. */
+  def streamAnnIndex(s: SparkSession, dir: String): DataFrame = {
+    val cb = trainedCodebookInt(s, dir)
+    // v1: content-fingerprinted like annIndexDir — a regenerated
+    // corpus restages + rebuilds instead of serving a stale index
+    val tag = "v1_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + java.lang.Long.toHexString(
+        graft.Tables.contentSig(s"$dir/embeddings.parquet"))
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_ann_$tag"
+    val src = t(s, dir, "embeddings").select("vec_id", "embedding")
+    graft.streaming.StreamQueries.stageChunks(src, base, "vec_id % 4")
+    val postingsDir = s"$base/postings"
+    val q = s.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        batch
+          .select(col("vec_id"), col("embedding"),
+            element_at(iClustersRankedIn(qint(col("embedding")), cb), 1)
+              .getField("cid").as("cluster"))
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$postingsDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val corpus = s.read.parquet(postingsDir)
+      .select(col("vec_id").as("n_id"), col("embedding").as("ce"),
+        col("cluster").cast("int").as("cluster"))
+      .withColumn("cnorm", norm(col("ce")))
+    val queries = t(s, dir, "embeddings").filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        explode(transform(
+          slice(iClustersRankedIn(qint(col("embedding")), cb), 1, IvfProbes),
+          x => x.getField("cid"))).as("cluster"))
+      .withColumn("qnorm", norm(col("qe")))
+    ivfJoinRank(corpus, queries)
+  }
+
   /** Int8 embedding quantization (per-vector max-abs scaling) — the
     * standard storage/bandwidth reduction before ANN serving: q_i =
     * floor(x_i · 127/max|x| + 0.5). Outputs integer aggregates of the
@@ -1233,7 +1317,8 @@ object SimilarityQueries {
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_trained" -> simAnnIvfTrained,
     "sink_ann_index" -> sinkAnnIndex,
-    "source_ann_index" -> sourceAnnIndex)
+    "source_ann_index" -> sourceAnnIndex,
+    "stream_ann_index" -> streamAnnIndex)
 
   val oracleSql: Map[String, String] = Map(
     // unrolled greedy selection: every round's argmax replayed
@@ -1371,6 +1456,11 @@ object SimilarityQueries {
     // ...and search FROM the artifact must equal trained-IVF search
     // bit-for-bit: the oracle is sim_ann_ivf_trained's VERBATIM
     "source_ann_index" -> trainedIvfOracleSql,
+    // ...and the INCREMENTALLY maintained index (foreachBatch appends
+    // assigned by the fixed trained codebook) must serve the same
+    // search bit-for-bit: trainedIvfOracleSql VERBATIM again — one
+    // vector lost/duplicated/mis-assigned across micro-batches fails
+    "stream_ann_index" -> trainedIvfOracleSql,
     "sim_pq" -> pqOracleSql,
     "sim_ivf_pq" -> ivfPqOracleSql,
     // identical double arithmetic both sides: widen to double, one

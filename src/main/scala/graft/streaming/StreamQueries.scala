@@ -63,7 +63,7 @@ object StreamQueries {
     * making the source's (mtime, path) ordering deterministic instead
     * of timing-dependent. Writes the `in/_SUCCESS` marker itself to
     * preserve the cross-run reuse contract (content-tagged dirs). */
-  private def stageChunks(src: DataFrame, base: String, chunkExpr: String): Unit = {
+  private[graft] def stageChunks(src: DataFrame, base: String, chunkExpr: String): Unit = {
     val inDir = new java.io.File(s"$base/in")
     if (new java.io.File(inDir, "_SUCCESS").exists()) return
     val stage = s"$base/stage"

@@ -291,6 +291,25 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(again == inc)
   }
 
+  test("incremental stream_ann_index serves the one-shot trained-IVF search and is idempotent") {
+    val inc = operators.SimilarityQueries.streamAnnIndex(spark, sf).collect().toSeq
+    // the incrementally accumulated index must serve EXACTLY what the
+    // one-shot persisted index serves (both share trainedIvfOracleSql)
+    val oneShot = operators.SimilarityQueries.sourceAnnIndex(spark, sf).collect().toSeq
+    assert(inc == oneShot,
+      "incrementally maintained postings diverged from the one-shot index")
+    assert(inc.nonEmpty, "trained-IVF search returned no neighbors")
+    // the append genuinely ran across micro-batches (one per vec_id%4 chunk)
+    val tagDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_stream_ann_"))
+    assert(tagDirs.exists(d =>
+        Option(new java.io.File(d, "chk/commits").list()).exists(_.length >= 2)),
+      "expected at least 2 committed micro-batches")
+    // re-run with the same checkpoint processes nothing and is stable
+    val again = operators.SimilarityQueries.streamAnnIndex(spark, sf).collect().toSeq
+    assert(again == inc)
+  }
+
   test("streaming dropDuplicates dedups a doubled stream exactly") {
     val streamed = runStream(sample ++ sample, StreamQueries.dedupAgg, "t_dedup")
     val n = streamed.agg(sum("n")).collect()(0).getLong(0)

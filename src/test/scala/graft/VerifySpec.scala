@@ -44,7 +44,7 @@ class VerifySpec extends AnyFunSuite with SparkFixture {
     // COVERAGE.md satisfies the doc-derived guard alone — the known-
     // good constant cannot be lowered by regenerating a doc. Ratchet
     // it up by hand when the registry grows.
-    val hardFloor = 286
+    val hardFloor = 287
     val floor = math.max(hardFloor, docFloor.get)
     assert(SparkEntry.queries.size >= floor,
       s"declared query count shrank to ${SparkEntry.queries.size} (< $floor)")
@@ -102,6 +102,40 @@ class VerifySpec extends AnyFunSuite with SparkFixture {
       .findFirstMatchIn(doc).map(_.group(1).toInt)
     assert(declaredInDoc.contains(SparkEntry.queries.size),
       s"COVERAGE.md headline says $declaredInDoc, registry has ${SparkEntry.queries.size}")
+  }
+
+  test("README's stated query and test counts match the live registry and suite") {
+    // README counts drifted one commit behind twice in r9 (two fixup
+    // commits); pin every stated count so docs can't go stale silently
+    // (r9 verdict item 6)
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val declared = "`SparkEntry\\.queries` \\((\\d+) as of round"
+      .r.findFirstMatchIn(doc).map(_.group(1).toInt)
+    assert(declared.contains(SparkEntry.queries.size),
+      s"README declares $declared queries, registry has ${SparkEntry.queries.size}")
+    // every "ALL <n> do" / "for <n> queries" style count must agree too
+    val allN = "ALL (\\d+) do".r.findFirstMatchIn(doc).map(_.group(1).toInt)
+    assert(allN.contains(SparkEntry.queries.size),
+      s"README's 'ALL n do' says $allN, registry has ${SparkEntry.queries.size}")
+    // suite size: every test is a literal test(...) registration (no
+    // dynamic registration in this repo), so a source grep IS the count
+    val testDir = java.nio.file.Paths.get("src/test/scala/graft")
+    val liveTests = {
+      val stream = java.nio.file.Files.walk(testDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(_.toString.endsWith(".scala"))
+          .map(p => "test\\(\"".r
+            .findAllIn(new String(java.nio.file.Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8)).size)
+          .sum
+      } finally stream.close()
+    }
+    val readmeTests = "(\\d+) tests".r.findAllMatchIn(doc).map(_.group(1).toInt).toSeq
+    assert(readmeTests.nonEmpty && readmeTests.forall(_ == liveTests),
+      s"README states test counts $readmeTests, suite registers $liveTests")
   }
 
   test("Verify.main emits outputs for every query, valid JSON, and the manifest") {
