@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Spark-job-count probe backing SCALE.md's fixed-cost claims for the
+  * iterative queries: every localCheckpoint / broadcast / collect is
+  * one scheduled job, and at 100 TB each job is a full scheduling +
+  * (often) materialization round-trip — so "fewer materialization
+  * jobs per round" (the r9 graph_bfs 8→4 reshape, the r10 label_prop
+  * round-1 specialization) is verified here, not eyeballed. Counts
+  * onJobStart events for the SECOND (warm) execution of each named
+  * query so one-time builds don't blur the steady-state count.
+  *
+  *   sbt "runMain graft.JobCountProbe graph_label_prop graph_core"
+  */
+object JobCountProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    })
+    for (name <- args) {
+      val q = SparkEntry.queries(name)
+      q(spark, sfDir).write.mode("overwrite").format("noop").save() // warm
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+      jobs.set(0)
+      q(spark, sfDir).write.mode("overwrite").format("noop").save()
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+      println(s"JOBCOUNT $name ${jobs.get}")
+    }
+    spark.stop()
+  }
+}

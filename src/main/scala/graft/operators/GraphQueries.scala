@@ -289,10 +289,22 @@ object GraphQueries {
 
   def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
     val edges = coreEdges(s, dir)
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // Round-1 specialization (r10, the BFS fewer-jobs pattern): the
+    // initial labels map every node to itself, so joining edges
+    // against labels0 on src is the IDENTITY — the round-1 vote frame
+    // is just (dst, src) projected straight off the edge frame. This
+    // removes the nodes distinct+checkpoint job AND round 1's join;
+    // the vote/argmax arithmetic is untouched, so the oracle hash
+    // proves the specialization (node coverage is identical too: the
+    // symmetric edge union makes dst-set = src-set = all nodes).
+    var labels = edges
+      .select(col("dst").as("node"), col("src").as("label"))
+      .groupBy("node", "label").agg(count(lit(1)).as("c"))
+      .groupBy("node")
+      .agg(max_by(col("label"), struct(col("c"), -col("label")))
+        .as("label"))
       .localCheckpoint(true)
-    var labels = nodes.withColumn("label", col("node"))
-    for (_ <- 1 to LpIters) {
+    for (_ <- 2 to LpIters) {
       labels = labelPropStep(edges, labels).localCheckpoint(true)
     }
     labels.groupBy("label")
@@ -423,7 +435,12 @@ object GraphQueries {
     var deg = deg0
     val summaries = Seq.newBuilder[DataFrame]
     for (r <- 1 to CoreRounds) {
-      // a_r = survivors of this round's >= K test on deg(e_{r-1})
+      // a_r = survivors of this round's >= K test on deg(e_{r-1}).
+      // The checkpoint stays (r10 audit): dropping it and letting the
+      // two semi-join broadcasts re-derive the filter off the deg
+      // checkpoint MEASURED one job MORE per run (18 -> 19 in the
+      // job-count probe — each broadcast recomputes separately),
+      // so unlike label_prop's round-1 trim this one isn't free
       val alive = deg.filter(col("deg") >= k)
         .select(col("src").as("node")).localCheckpoint(true)
       summaries += deg.filter(col("deg") >= k)
