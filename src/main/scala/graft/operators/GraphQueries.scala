@@ -223,6 +223,57 @@ object GraphQueries {
       .orderBy("d")
   }
 
+  /** Seed classes for [[graphBfsMulti]]: nations 0..BfsClasses-1. */
+  val BfsClasses = 3
+
+  /** PARAMETERIZED multi-seed BFS (r10, the r9 verdict's last breadth
+    * axis): [[graphBfs]] runs one seed SET; real curation pipelines
+    * need distance-from-core for SEVERAL cores (per-source trust
+    * tiers), and running k sequential BFS passes would pay the edge
+    * materialization k times. Here the frontier carries a `cls`
+    * column (the seed class = nation id), so ONE loop runs
+    * [[BfsClasses]] BFS traversals simultaneously over ONE edge
+    * checkpoint: per-class first-discovery levels fall out of the
+    * same anti-join, now keyed (node, cls). Per round the joined
+    * frontier is ≤ classes × |frontier| — the per-class traversals
+    * share every scan, shuffle key and materialization, which is
+    * exactly how a 100 TB graph amortizes k distance signals.
+    * Checkpoint discipline is [[graphBfs]]'s verbatim: only each
+    * round's `next` frame materializes. Output: per (cls, hop)
+    * membership summary with id-sum checksums; the oracle replays
+    * min-hop per (node, cls) over a depth-capped recursive closure. */
+  def graphBfsMulti(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+      .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+      .localCheckpoint(true)
+    val seeds = t(s, dir, "customer").filter(col("c_nationkey") < BfsClasses)
+      .select((col("c_custkey") * 2).as("node"),
+        col("c_nationkey").cast("int").as("cls"))
+    val levels = scala.collection.mutable.ArrayBuffer(seeds)
+    var frontier = seeds
+    for (_ <- 1 to BfsMaxHops) {
+      val visited = levels.reduce(_ union _)
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), col("cls")).distinct()
+        .join(visited, Seq("node", "cls"), "left_anti")
+        .localCheckpoint(true)
+      levels += next
+      frontier = next
+    }
+    levels.zipWithIndex
+      .map { case (l, i) => l.withColumn("d", lit(i)) }
+      .reduce(_ union _)
+      .groupBy("cls", "d")
+      .agg(count(lit(1)).as("n_nodes"), sum("node").as("id_sum"),
+        min("node").as("min_node"), max("node").as("max_node"))
+      .orderBy("cls", "d")
+  }
+
   /** Degree distribution of the near-duplicate pair graph — the
     * first thing to look at before running any iterative algorithm on
     * it (hub detection, skew planning, arboricity sanity). One row
@@ -494,6 +545,7 @@ object GraphQueries {
     "graph_label_prop" -> graphLabelProp,
     "graph_jaccard" -> graphJaccard,
     "graph_bfs" -> graphBfs,
+    "graph_bfs_multi" -> graphBfsMulti,
     "graph_triangles" -> graphTriangles,
     "graph_degrees" -> graphDegrees,
     "graph_pagerank" -> graphPagerank)
@@ -572,6 +624,25 @@ object GraphQueries {
        |  min(node) AS min_node, max(node) AS max_node
        |FROM md GROUP BY d ORDER BY d""".stripMargin
 
+  /** [[bfsOracle]] generalized over the seed class: the recursive
+    * walk carries cls, min-hop is per (node, cls). */
+  private def bfsMultiOracle(hops: Int, classes: Int): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT c AS src, p AS dst FROM pairs
+       |      UNION ALL SELECT p, c FROM pairs),
+       |walk(node, cls, d) AS (
+       |  SELECT c_custkey * 2, CAST(c_nationkey AS INTEGER), 0
+       |  FROM customer WHERE c_nationkey < $classes
+       |  UNION
+       |  SELECT e.dst, w.cls, w.d + 1 FROM walk w JOIN e ON e.src = w.node
+       |  WHERE w.d < $hops),
+       |md AS (SELECT node, cls, min(d) AS d FROM walk GROUP BY node, cls)
+       |SELECT cls, d, count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS id_sum,
+       |  min(node) AS min_node, max(node) AS max_node
+       |FROM md GROUP BY cls, d ORDER BY cls, d""".stripMargin
+
   /** Same pair derivation as [[trianglesOracle]], then the two-level
     * degree → distribution aggregate. */
   private def degreesOracle: String = {
@@ -645,6 +716,7 @@ object GraphQueries {
     "graph_label_prop" -> labelPropOracle(LpIters),
     "graph_jaccard" -> jaccardOracle,
     "graph_bfs" -> bfsOracle(BfsMaxHops),
+    "graph_bfs_multi" -> bfsMultiOracle(BfsMaxHops, BfsClasses),
     "graph_triangles" -> trianglesOracle,
     "graph_degrees" -> degreesOracle,
     "graph_pagerank" -> pagerankOracle(PrIters))

@@ -265,6 +265,106 @@ object InferenceQueries {
       .orderBy("vec_id")
   }
 
+  /** Rows per Arrow record batch in [[inferArrowBatches]] — the
+    * Spark-side knob this mirrors is
+    * `spark.sql.execution.arrow.maxRecordsPerBatch` (10000 default;
+    * small here so the 500-row test corpus still crosses several
+    * batch boundaries). */
+  val ArrowBatchRows = 128
+
+  /** Arrow record batches actually built — InferenceSpec asserts the
+    * columnar boundary was genuinely crossed (≥ ceil(rows/batch)) and
+    * that batch boundaries never change results. */
+  val arrowBatchesBuilt = new AtomicLong(0)
+
+  /** The partition kernel of [[inferArrowBatches]], exposed so
+    * InferenceSpec can drive it directly with different batch sizes
+    * and prove batch-boundary invariance. Each group of
+    * `batchRows` rows is ENCODED into Arrow columnar vectors
+    * (BigInt/Int vectors + a Dim-strided Float4 vector — off-heap,
+    * the same memory layout an Arrow IPC record batch carries), then
+    * scored READING FROM the Arrow buffers, then released. The
+    * Float round-trip through Float4Vector is bit-exact and the
+    * per-row FP accumulation order is unchanged, so output is
+    * bit-identical to [[inferMapPartitions]] at any batch size. */
+  private[graft] def arrowScorePartition(
+      it: Iterator[(Long, Seq[Float], Int)],
+      w: Array[Array[Double]], batchRows: Int): Iterator[(Long, Int, Int)] = {
+    loadModel() // once per partition (R19's amortization contract)
+    it.grouped(batchRows).flatMap { rows =>
+      val n = rows.size
+      val alloc = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+      val vecId = new org.apache.arrow.vector.BigIntVector("vec_id", alloc)
+      val label = new org.apache.arrow.vector.IntVector("label", alloc)
+      val emb = new org.apache.arrow.vector.Float4Vector("emb", alloc)
+      try {
+        vecId.allocateNew(n); label.allocateNew(n); emb.allocateNew(n * Dim)
+        var r = 0
+        rows.foreach { case (id, e, lb) =>
+          require(e.length == Dim, s"ragged embedding: ${e.length} != $Dim")
+          vecId.setSafe(r, id); label.setSafe(r, lb)
+          var i = 0
+          while (i < Dim) { emb.setSafe(r * Dim + i, e(i)); i += 1 }
+          r += 1
+        }
+        vecId.setValueCount(n); label.setValueCount(n)
+        emb.setValueCount(n * Dim)
+        arrowBatchesBuilt.incrementAndGet()
+        // decode + score: every read goes through Arrow's off-heap
+        // buffers — the row->columnar->compute->row round trip the
+        // reference pays at its executor<->Python-worker boundary
+        val out = new Array[(Long, Int, Int)](n)
+        r = 0
+        while (r < n) {
+          var best = 0; var bestScore = Double.NegativeInfinity
+          var c = 0
+          while (c < NumClasses) {
+            var s0 = 0.0
+            var i = 0
+            while (i < Dim) { s0 += emb.get(r * Dim + i).toDouble * w(c)(i); i += 1 }
+            if (s0 > bestScore) { bestScore = s0; best = c }
+            c += 1
+          }
+          out(r) = (vecId.get(r), label.get(r), best)
+          r += 1
+        }
+        out.iterator
+      } finally {
+        vecId.close(); label.close(); emb.close(); alloc.close()
+      }
+    }
+  }
+
+  /** ARROW-BATCHED scoring twin of [[inferMapPartitions]] — the
+    * Python-boundary fidelity axis (SURVEY §3A stage 4): the
+    * reference's `mapPartitions(run_worker)` never hands the Python
+    * worker a JVM iterator — records cross the executor↔worker socket
+    * serialized (per-record pickle on its RDD path, ipynb:268; the
+    * modern DataFrame equivalent, `mapInPandas`, ships COLUMNAR ARROW
+    * RECORD BATCHES instead). This query implements that modern
+    * columnar boundary natively: rows are encoded into real Arrow
+    * vectors (off-heap), scored READING FROM the Arrow buffers, and
+    * decoded back to rows — per batch, init once per partition.
+    * Output and oracle are infer_mappartitions' VERBATIM, so the hash
+    * proves the columnar round trip is lossless, and InferenceSpec
+    * proves batch boundaries (8 vs 256 rows) never leak into
+    * results.
+    *
+    * Scale: the batch size bounds peak off-heap per task (batch ×
+    * row width, independent of partition size) — the same contract
+    * that lets a real `mapInPandas` pipeline stream 100 TB through
+    * fixed-memory workers. */
+  def inferArrowBatches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wBc = s.sparkContext.broadcast(weights)
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Seq[Float], Int)]
+      .mapPartitions(it => arrowScorePartition(it, wBc.value, ArrowBatchRows))
+      .toDF("vec_id", "label", "pred")
+      .orderBy("vec_id")
+  }
+
   val TrainIters = 5
   val TrainScale = 1000000L // fixed-point weight scale (1.0 == 1e6)
   val TrainLrDen = 6000L // lr = 1/6000 ≈ 1/(2·E[x²]) — x ≈ 50-60 words
@@ -553,6 +653,7 @@ object InferenceQueries {
     "udaf_agg" -> udafAgg,
     "udtf_explode" -> udtfExplode,
     "infer_mappartitions" -> inferMapPartitions,
+    "infer_arrow_batches" -> inferArrowBatches,
     "infer_mean_xml" -> inferMeanXml,
     "infer_batched" -> inferBatched,
     "infer_accuracy" -> inferAccuracy,
@@ -637,6 +738,12 @@ object InferenceQueries {
          |FROM ($posXDouble WHERE vec_id < 50) e
          |ORDER BY abs(floor((x) * 10000.0 + 0.5) / 10000.0) DESC, vec_id, pos LIMIT 100""".stripMargin,
     "infer_mappartitions" ->
+      s"""$inferCte
+         |SELECT vec_id, label, pred FROM preds ORDER BY vec_id""".stripMargin,
+    // infer_mappartitions' SQL VERBATIM: the Arrow columnar round
+    // trip must be lossless — one float perturbed by the
+    // encode/decode fails the hash
+    "infer_arrow_batches" ->
       s"""$inferCte
          |SELECT vec_id, label, pred FROM preds ORDER BY vec_id""".stripMargin,
     // the VALUES table replays the exact doubles Spark parsed from the

@@ -72,6 +72,51 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(expected.size >= 2, "degenerate fixture: BFS never left the seed set")
   }
 
+  test("graph_bfs_multi: per-class driver replay matches, classes traverse independently") {
+    // the simultaneous k-class BFS must equal k INDEPENDENT sequential
+    // BFS runs — sharing the edge frame and the (node, cls) anti-join
+    // must never let one class's visited set mask another's discovery
+    val pairs = Tables.t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+      .join(Tables.t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("c"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+    pairs.foreach { case (c, p) =>
+      adj.getOrElseUpdate(c, scala.collection.mutable.Set.empty) += p
+      adj.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += c
+    }
+    val expected = (0 until operators.GraphQueries.BfsClasses).flatMap { cls =>
+      val seeds = Tables.t(spark, sf, "customer")
+        .filter(col("c_nationkey") === cls)
+        .select((col("c_custkey") * 2).cast("long").as("n"))
+        .collect().map(_.getLong(0)).toSet
+      assert(seeds.nonEmpty, s"degenerate fixture: no nation-$cls customers")
+      val levels = scala.collection.mutable.ArrayBuffer(seeds)
+      var visited = seeds
+      var frontier = seeds
+      for (_ <- 1 to operators.GraphQueries.BfsMaxHops) {
+        val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty[Long])) -- visited
+        levels += next.toSet
+        visited ++= next
+        frontier = next.toSet
+      }
+      levels.zipWithIndex.filter(_._1.nonEmpty).map { case (s, d) =>
+        (cls, d) -> (s.size.toLong, s.sum, s.min, s.max)
+      }
+    }.toMap
+    val got = operators.GraphQueries.graphBfsMulti(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got == expected, s"multi-class BFS diverges: got $got expected $expected")
+    // classes 1 and 2 genuinely participated (not just class 0's rows)
+    assert((1 until operators.GraphQueries.BfsClasses)
+        .forall(cls => got.keys.exists(_._1 == cls)),
+      "degenerate fixture: a seed class produced no levels")
+  }
+
   /** Crafted hub: doc 0 shares a distinct window with each of docs
     * 1..40 (star, degree 42) plus docs 41/42 which also share a window
     * with each other — the boilerplate-heavy-doc shape the r4 verdict

@@ -19,6 +19,30 @@ class InferenceSpec extends AnyFunSuite with SparkFixture {
       s"expected $parts loads, got ${InferenceQueries.modelLoads.get()}")
   }
 
+  test("infer_arrow_batches: columnar round trip is lossless, batch boundaries invisible") {
+    // the Arrow path must equal the plain row-iterator path bit-for-bit
+    val arrow = InferenceQueries.inferArrowBatches(spark, sf).collect().toSeq
+    val plain = InferenceQueries.inferMapPartitions(spark, sf).collect().toSeq
+    assert(arrow == plain, "Arrow encode/score/decode diverged from row scoring")
+    // the columnar boundary was genuinely crossed: >= ceil(rows/batch)
+    // record batches were built for the 500-row corpus
+    InferenceQueries.arrowBatchesBuilt.set(0)
+    InferenceQueries.inferArrowBatches(spark, sf).count()
+    val rows = graft.Tables.t(spark, sf, "embeddings").count()
+    val minBatches = (rows + InferenceQueries.ArrowBatchRows - 1) /
+      InferenceQueries.ArrowBatchRows
+    assert(InferenceQueries.arrowBatchesBuilt.get() >= minBatches,
+      s"expected >= $minBatches Arrow batches, got ${InferenceQueries.arrowBatchesBuilt.get()}")
+    // batch-size invariance, driven directly on the partition kernel:
+    // 8-row and 256-row batching must emit identical rows in order
+    val sample = (0 until 40).map(i =>
+      (i.toLong, Seq.tabulate(InferenceQueries.Dim)(j => (i * 31 + j * 7 % 13 - 6).toFloat / 8f), i % 10))
+    val w = InferenceQueries.weights
+    val out8 = InferenceQueries.arrowScorePartition(sample.iterator, w, 8).toSeq
+    val out256 = InferenceQueries.arrowScorePartition(sample.iterator, w, 256).toSeq
+    assert(out8 == out256, "batch boundary leaked into scoring results")
+  }
+
   test("SparkFiles-distributed weights parse bit-identical to the in-JVM matrix (R15)") {
     InferenceQueries.ensureWeightsFile(spark)
     val fromFile = InferenceQueries.loadModelFromFile()
