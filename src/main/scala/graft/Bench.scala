@@ -94,6 +94,19 @@ object Bench {
     } else System.getProperty("java.io.tmpdir")
   }
 
+  /** Mute ONLY loggers whose every firing in this suite is proven
+    * benign, so the remaining WARN stream stays signal. The sole entry
+    * is WindowExec's "No Partition Defined" — fired by every
+    * INTENTIONALLY unpartitioned window, and PlanSweepSpec proves
+    * structurally that each such window in the registry sits above an
+    * aggregate/limit-bounded frame (never row-scale input; r9 verdict:
+    * log noise, not a scale hazard). Set AFTER setLogLevel, which
+    * (re)sets the root level. */
+  private[graft] def muteKnownBenignWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
@@ -133,6 +146,7 @@ object Bench {
       .config("spark.local.dir", scratchDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    muteKnownBenignWarnings()
     // absorb JVM/codegen/classloader warmup so the first timed query
     // isn't charged ~4s of one-time cost
     spark.range(1000).selectExpr("sum(id)").collect()

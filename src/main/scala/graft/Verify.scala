@@ -16,6 +16,7 @@ object Verify {
       .config("spark.local.dir", Bench.scratchDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Bench.muteKnownBenignWarnings()
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q1,q2 restricts the dump (local iteration aid;
     // the driver never sets it, so the official run is always full)
