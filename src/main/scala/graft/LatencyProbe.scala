@@ -68,17 +68,16 @@ object LatencyProbe {
     }
     // 5. pagerank decomposition: build vs iterations
     import graft.operators.GraphQueries
-    import org.apache.spark.sql.functions.lit
-    time("pagerank build (coreEdges+nodesDeg)", 3) {
+    time("pagerank build (coreEdges+round-1 ranks)", 3) {
       val e = GraphQueries.coreEdges(spark, sfDir)
-      GraphQueries.pagerankNodesDeg(spark, sfDir, e).count()
+      GraphQueries.pagerankRanks1(spark, sfDir, e).count()
     }
     val edges = GraphQueries.coreEdges(spark, sfDir)
-    val nodesDeg = GraphQueries.pagerankNodesDeg(spark, sfDir, edges)
-    time("pagerank 5 iterations", 3) {
-      var ranks = nodesDeg.withColumn("pr", lit(GraphQueries.PrScale))
-      for (_ <- 1 to GraphQueries.PrIters)
-        ranks = GraphQueries.pagerankStep(edges, nodesDeg, ranks)
+    val ranks1 = GraphQueries.pagerankRanks1(spark, sfDir, edges)
+    time("pagerank rounds 2..5", 3) {
+      var ranks = ranks1
+      for (_ <- 2 to GraphQueries.PrIters)
+        ranks = GraphQueries.pagerankStep(edges, ranks)
           .localCheckpoint(true)
       noop(ranks.select("node", "pr").orderBy("node"))
     }

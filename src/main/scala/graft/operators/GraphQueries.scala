@@ -40,63 +40,77 @@ object GraphQueries {
   val PrScale = 1000000000L // rank fixed-point scale (1.0 == 1e9)
   val PrIters = 5
 
-  /** (node, deg) — every node of the bipartite trading graph with its
-    * out-degree (NULL for isolated customers/suppliers that never
-    * trade; they match no edge, so the degree is never read). One
-    * |nodes|-bounded aggregate over the pinned [[coreEdges]]
-    * checkpoint plus one left join, materialized once.
+  /** The damped-rank update `15% + 85%·contrib`, all fixed-point
+    * integer (NULL contrib — no in-edge mass — coalesces to 0). Shared
+    * by the round-1 build and [[pagerankStep]] so the arithmetic
+    * cannot fork. */
+  private def prDamped =
+    (lit(PrScale * 15 / 100) +
+      expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100")).as("pr")
+
+  /** Round-1-FUSED rank state (node, deg, pr) — the r11 pagerank
+    * analogue of label_prop's round-1 identity specialization, one
+    * checkpoint where r8–r10 built two.
     *
-    * r8 redesign (the r7 verdict's pagerank-build A/B): r7
-    * materialized the degree NEXT TO EVERY EDGE ROW (a |edges|-wide
-    * join written to the block store twice — the adaptive join build
-    * plus the partition-pin). But `deg` is a per-NODE static, and the
-    * per-round join already brings the rank vector to each edge — so
-    * the degree now rides the rank-vector state instead, the edge
-    * frame is the degreeless [[coreEdges]] checkpoint shared with
-    * k-core and label_prop, and the build writes |edges| rows once
-    * instead of twice plus |edges| degree copies. Measured A/B in
-    * SCALE.md: 3.2 s → 1.7 s build at sf0.1; identical fixed-point
-    * arithmetic (`pr div deg` per matched edge), so the unrolled
-    * oracle hash is untouched. At 100 TB the economics sharpen: the
-    * state frame a round shuffles is |nodes|·3 columns either way,
-    * while the r7 shape ALSO stored the degree into the 100 TB edge
-    * frame. */
-  private[graft] def pagerankNodesDeg(s: SparkSession, dir: String,
+    * ranks0 is UNIFORM (pr = [[PrScale]] for every node), so round 1's
+    * contribution join against ranks0 is a join against the DEGREE
+    * frame with a literal pr column: contrib₁(dst) = Σ_{src→dst}
+    * PrScale div deg(src). `deg` rides the pinned hash(src) edge
+    * partitioning (both the groupBy(src) and the edges⋈deg probe plan
+    * ZERO exchanges on the |edges| side), and the (node, deg) spine —
+    * which r8 materialized as its own `nodesDeg` checkpoint — is fused
+    * INTO the round-1 state: rounds 2+ left-join against ranks_{i−1},
+    * which carries the identical node set and degrees (isolated
+    * customers/suppliers enter with NULL deg, match no edge, and hold
+    * pr = 15%·scale every round — exactly the r8 semantics). The
+    * arithmetic (`pr div deg` per matched edge, the [[prDamped]]
+    * update) is untouched, so the unrolled oracle hash proves the
+    * fusion. JobCountProbe (r11, SCALE.md): 37 → measured-below jobs —
+    * the nodesDeg checkpoint job plus its build broadcasts disappear.
+    *
+    * r8's lesson stands underneath: the degree is a per-NODE static
+    * riding the |nodes|-sized state, never stored into the 100 TB
+    * edge frame. */
+  private[graft] def pagerankRanks1(s: SparkSession, dir: String,
       edges: DataFrame): DataFrame = {
-    val deg = edges
-      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val contrib1 = edges.join(deg, "src")
+      .withColumn("pr", lit(PrScale))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(expr("pr div deg")).as("contrib"))
     t(s, dir, "customer").select((col("c_custkey") * 2).as("node"))
       .union(t(s, dir, "supplier").select((col("s_suppkey") * 2 + 1).as("node")))
-      .join(deg, Seq("node"), "left_outer")
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_outer")
+      .join(contrib1, Seq("node"), "left_outer")
+      .select(col("node"), col("deg"), prDamped)
       .localCheckpoint(true)
   }
 
   /** One damped-rank iteration (uncheckpointed — the caller owns the
     * per-round materialization). `ranks` carries (node, deg, pr); the
     * contribution join moves only that |nodes|-sized state to the
-    * pinned edge partitions. Exposed for ScaleSpec's exchange
+    * pinned edge partitions, and the state spine for the re-attach
+    * left join is ranks itself (same node set + degrees every round —
+    * see [[pagerankRanks1]]). Exposed for ScaleSpec's exchange
     * audit. */
-  private[graft] def pagerankStep(edges: DataFrame, nodesDeg: DataFrame,
+  private[graft] def pagerankStep(edges: DataFrame,
       ranks: DataFrame): DataFrame = {
     val contrib = edges
       .join(ranks.withColumnRenamed("node", "src"), "src")
       .groupBy(col("dst").as("node"))
       .agg(sum(expr("pr div deg")).as("contrib"))
-    nodesDeg.join(contrib, Seq("node"), "left_outer")
-      .select(col("node"), col("deg"),
-        (lit(PrScale * 15 / 100) +
-          expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100")).as("pr"))
+    ranks.select("node", "deg").join(contrib, Seq("node"), "left_outer")
+      .select(col("node"), col("deg"), prDamped)
   }
 
   /** Node ids: customers ↦ 2·key, suppliers ↦ 2·key+1 (disjoint). */
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
     val edges = coreEdges(s, dir)
-    val nodesDeg = pagerankNodesDeg(s, dir, edges)
-    var ranks = nodesDeg.withColumn("pr", lit(PrScale))
-    for (_ <- 1 to PrIters) {
+    var ranks = pagerankRanks1(s, dir, edges)
+    for (_ <- 2 to PrIters) {
       // eager checkpoint: iteration i's plan starts from materialized
       // partitions, not iteration i-1's full plan
-      ranks = pagerankStep(edges, nodesDeg, ranks).localCheckpoint(true)
+      ranks = pagerankStep(edges, ranks).localCheckpoint(true)
     }
     ranks.select("node", "pr").orderBy("node")
   }

@@ -102,11 +102,8 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     // shuffle only rank-vector-sized frames — an exchange ABOVE the
     // (src, dst, deg) scan would mean the 100 TB side moves every round
     val edges = GraphQueries.coreEdges(spark, sf)
-    val nodesDeg = GraphQueries.pagerankNodesDeg(spark, sf, edges)
-    val ranks0 = nodesDeg.withColumn("pr",
-      org.apache.spark.sql.functions.lit(GraphQueries.PrScale))
-      .localCheckpoint(true)
-    val step = GraphQueries.pagerankStep(edges, nodesDeg, ranks0)
+    val ranks1 = GraphQueries.pagerankRanks1(spark, sf, edges)
+    val step = GraphQueries.pagerankStep(edges, ranks1)
     step.collect() // finalize any adaptive re-planning before auditing
     // AQE buries materialized exchanges inside QueryStageExec LEAVES —
     // a plain collect() sees zero exchanges and the audit is vacuous;
