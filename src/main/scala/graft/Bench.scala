@@ -81,14 +81,20 @@ object Bench {
       // while its spark-* root stays untouched — root mtime alone
       // could sweep a live session's scratch mid-run (shuffle-fetch
       // failures). Concurrent fresh runs are never swept either way.
+      // r11 (ADVICE low): the liveness walk SHORT-CIRCUITS on the first
+      // recent mtime — a live session's tree (thousands of blockmgr
+      // shuffle files, all recent) answers in one stat instead of a
+      // full recursive stat storm at every Bench/Verify startup — and
+      // never follows symlinks (isDirectory does, so a cycle would
+      // otherwise recurse forever).
       val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
-      def newestMtime(f: java.io.File): Long =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty)
-            .foldLeft(f.lastModified)((m, c) => math.max(m, newestMtime(c)))
-        else f.lastModified
+      def anyLive(f: java.io.File): Boolean =
+        !java.nio.file.Files.isSymbolicLink(f.toPath) &&
+          (f.lastModified >= cutoff ||
+            (f.isDirectory && Option(f.listFiles()).getOrElse(Array.empty)
+              .exists(anyLive)))
       Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("spark-") && newestMtime(f) < cutoff)
+        .filter(f => f.getName.startsWith("spark-") && !anyLive(f))
         .foreach(deleteRecursively)
       d.getAbsolutePath
     } else System.getProperty("java.io.tmpdir")
@@ -120,13 +126,20 @@ object Bench {
     * min-folded total by >2% — still measurably converging. */
   private[graft] def converging(prevTotal: Double, curTotal: Double): Boolean =
     prevTotal > 0 && (prevTotal - curTotal) / prevTotal > 0.02
-  /** Adaptive-pass test (b): pass totals AFTER the first disperse
-    * >1.3× — the run was demonstrably noisy, another pass has a real
-    * chance at quieter air. Pass 1 is excluded (cold page cache makes
-    * it slow even on a quiet host: 210/154/154 must stop at 3). */
+  /** Adaptive-pass test (b): the LAST ≤3 post-first pass totals
+    * disperse >1.3× — the run is STILL demonstrably noisy, another
+    * pass has a real chance at quieter air. Pass 1 is excluded (cold
+    * page cache makes it slow even on a quiet host: 210/154/154 must
+    * stop at 3). r11 (r10 ADVICE low, taken behind the VerifySpec
+    * predicate pin per the protocol-freeze rule): the test is WINDOWED
+    * to the last 3 passes — judging ALL post-first passes let one
+    * early noisy pass pin the loop at the 6-pass cap even after three
+    * consecutive quiet passes agreed (the min is monotone, so only
+    * wall time was at stake — but the r10 driver run burned 431 s of
+    * it). */
   private[graft] def tailDispersed(passTotals: Seq[Double]): Boolean = {
-    val tail = passTotals.drop(1)
-    tail.nonEmpty && tail.min > 0 && tail.max / tail.min > 1.3
+    val window = passTotals.drop(1).takeRight(3)
+    window.nonEmpty && window.min > 0 && window.max / window.min > 1.3
   }
   /** Targeted-re-measurement membership: all passes succeeded and the
     * spread exceeds 2× AND 0.1 s absolute (micro-query ratios are

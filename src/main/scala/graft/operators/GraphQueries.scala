@@ -483,7 +483,11 @@ object GraphQueries {
   /** One peel round's degree recount: edges induced on `alive` (two
     * semi-joins; src side rides the pinned hash(src) partitioning, the
     * alive vector is the only thing that moves) → per-src degree.
-    * Exposed for ScaleSpec's exchange audit. */
+    * The two per-side renames do NOT double-broadcast the alive
+    * vector: exchange reuse canonicalizes the rename away, so the dst
+    * probe is a ReusedExchange of the src probe's broadcast (r11
+    * plan audit; a condition-join rewrite measured job-neutral and
+    * was not taken). Exposed for ScaleSpec's exchange audit. */
   private[graft] def corePeelStep(edges: DataFrame, alive: DataFrame): DataFrame =
     edges
       .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")

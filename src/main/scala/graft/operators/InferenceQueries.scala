@@ -291,14 +291,30 @@ object InferenceQueries {
       it: Iterator[(Long, Seq[Float], Int)],
       w: Array[Array[Double]], batchRows: Int): Iterator[(Long, Int, Int)] = {
     loadModel() // once per partition (R19's amortization contract)
-    it.grouped(batchRows).flatMap { rows =>
-      val n = rows.size
-      val alloc = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
-      val vecId = new org.apache.arrow.vector.BigIntVector("vec_id", alloc)
-      val label = new org.apache.arrow.vector.IntVector("label", alloc)
-      val emb = new org.apache.arrow.vector.Float4Vector("emb", alloc)
+    // ONE allocator + vector set per PARTITION (r10 verdict item 4 /
+    // ADVICE: allocator create/teardown per 128-row batch was pure
+    // churn on the hot scoring path) — buffers are sized once to the
+    // batch cap and reused; each batch overwrites rows 0..n-1 and
+    // setValueCount caps the reads, so nothing stale is ever read.
+    // Closed when the batch iterator exhausts; under a real task a
+    // completion listener also closes on abnormal exit so an aborted
+    // task cannot leak off-heap memory.
+    val alloc = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+    val vecId = new org.apache.arrow.vector.BigIntVector("vec_id", alloc)
+    val label = new org.apache.arrow.vector.IntVector("label", alloc)
+    val emb = new org.apache.arrow.vector.Float4Vector("emb", alloc)
+    vecId.allocateNew(batchRows); label.allocateNew(batchRows)
+    emb.allocateNew(batchRows * Dim)
+    var closed = false
+    def closeAll(): Unit = if (!closed) {
+      closed = true
+      vecId.close(); label.close(); emb.close(); alloc.close()
+    }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+    val scored = it.grouped(batchRows).flatMap { rows =>
       try {
-        vecId.allocateNew(n); label.allocateNew(n); emb.allocateNew(n * Dim)
+        val n = rows.size
         var r = 0
         rows.foreach { case (id, e, lb) =>
           require(e.length == Dim, s"ragged embedding: ${e.length} != $Dim")
@@ -329,9 +345,15 @@ object InferenceQueries {
           r += 1
         }
         out.iterator
-      } finally {
-        vecId.close(); label.close(); emb.close(); alloc.close()
+      } catch { case t: Throwable => closeAll(); throw t }
+    }
+    new Iterator[(Long, Int, Int)] {
+      def hasNext: Boolean = {
+        val h = scored.hasNext
+        if (!h) closeAll()
+        h
       }
+      def next(): (Long, Int, Int) = scored.next()
     }
   }
 

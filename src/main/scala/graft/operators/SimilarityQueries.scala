@@ -245,6 +245,11 @@ object SimilarityQueries {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_") +
       "_" + java.lang.Long.toHexString(
         graft.Tables.contentSig(s"$dir/embeddings.parquet"))
+    // superseded-signature eviction (r11): a regenerated
+    // embeddings.parquet changes the signature; drop the stale index
+    // tree instead of stranding one per generation
+    graft.streaming.StreamQueries.evictSuperseded(
+      "graft_ann_index_", dir, s"graft_ann_index_$tag")
     s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_$tag"
   }
 
@@ -375,14 +380,26 @@ object SimilarityQueries {
     * follows probed partitions, exactly like source_ann_index. At
     * 100 TB the same shape holds: micro-batch-sized appends, never a
     * corpus-wide rebuild. */
-  def streamAnnIndex(s: SparkSession, dir: String): DataFrame = {
-    val cb = trainedCodebookInt(s, dir)
-    // v1: content-fingerprinted like annIndexDir — a regenerated
-    // corpus restages + rebuilds instead of serving a stale index
+  /** Content-fingerprinted staging root of the incrementally
+    * maintained index (v1: like annIndexDir — a regenerated corpus
+    * restages + rebuilds instead of serving a stale index), with
+    * superseded-signature eviction (r10 verdict item 3): every
+    * testdata regeneration otherwise strands a full postings +
+    * checkpoint tree under the old signature. private[graft] so
+    * StreamingSpec asserts micro-batch commits on THIS exact dir,
+    * not on whatever graft_stream_ann_* leftovers the tmpdir holds. */
+  private[graft] def streamAnnBase(s: SparkSession, dir: String): String = {
     val tag = "v1_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
       "_" + java.lang.Long.toHexString(
         graft.Tables.contentSig(s"$dir/embeddings.parquet"))
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_ann_$tag"
+    graft.streaming.StreamQueries.evictSuperseded(
+      "graft_stream_ann_", dir, s"graft_stream_ann_$tag")
+    s"${System.getProperty("java.io.tmpdir")}/graft_stream_ann_$tag"
+  }
+
+  def streamAnnIndex(s: SparkSession, dir: String): DataFrame = {
+    val cb = trainedCodebookInt(s, dir)
+    val base = streamAnnBase(s, dir)
     val src = t(s, dir, "embeddings").select("vec_id", "embedding")
     graft.streaming.StreamQueries.stageChunks(src, base, "vec_id % 4")
     val postingsDir = s"$base/postings"

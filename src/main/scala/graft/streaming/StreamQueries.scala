@@ -45,6 +45,44 @@ object StreamQueries {
       s"v3_${slug}_${r.getLong(0)}_${r.getLong(1)}_${r.getLong(2)}"
     })
 
+  /** tmp staging root for one checkpointed streaming family at the
+    * current content tag, EVICTING superseded siblings first (r11,
+    * r10 verdict item 3 — the BPE model-cache eviction precedent
+    * applied on disk): the content tag changes on every testdata
+    * regeneration, and without eviction each regeneration strands the
+    * family's whole previous tree (staged input + checkpoint +
+    * postings) in the JVM tmpdir forever. */
+  private[graft] def stagingBase(family: String, s: SparkSession,
+      dir: String): String = {
+    val name = s"graft_stream_${family}_${contentTag(s, dir)}"
+    evictSuperseded(s"graft_stream_${family}_", dir, name)
+    s"${System.getProperty("java.io.tmpdir")}/$name"
+  }
+
+  /** Delete tmpdir trees `<familyPrefix>…` that reference `dir`'s
+    * slug but are not `keepName` — i.e. the SAME family over the SAME
+    * sfDir at a superseded signature or layout version. Other sfDirs
+    * have a different slug and are never touched; the current tree is
+    * `keepName` and is kept (the cross-run reuse contract). Shared
+    * with the ANN index family (SimilarityQueries), whose tags carry a
+    * different signature shape but the same `…_<slug>_<sig>` layout. */
+  private[graft] def evictSuperseded(familyPrefix: String, dir: String,
+      keepName: String): Unit = {
+    val slug = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName != keepName &&
+        f.getName.startsWith(familyPrefix) &&
+        f.getName.contains(s"_${slug}_"))
+      .foreach(rmTree)
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
+
   /** Stage `src` into `base/in` as ONE parquet file per value of
     * `chunkExpr`, in a SINGLE distributed pass. The earlier shape
     * (driver-collected chunk list, then one filtered full scan + one
@@ -247,8 +285,7 @@ object StreamQueries {
     * filter/bucket arithmetic (one multiply + floor on a stored
     * double — no accumulation) over the events table directly. */
   def streamFileSink(s: SparkSession, dir: String): DataFrame = {
-    val tag = contentTag(s, dir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sink_$tag"
+    val base = stagingBase("sink", s, dir)
     val src = t(s, dir, "events")
       .select("event_id", "event_type", "ts_s", "value")
     if (!new java.io.File(s"$base/in/_SUCCESS").exists())
@@ -285,8 +322,7 @@ object StreamQueries {
     * the merge algebra — partial agg per batch, associative combine
     * into state — is identical. */
   def streamForeachBatch(s: SparkSession, dir: String): DataFrame = {
-    val tag = contentTag(s, dir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_feb_$tag"
+    val base = stagingBase("feb", s, dir)
     val src = t(s, dir, "events")
       .select("event_id", "event_type", "user_id", "ts_s", "value")
     if (!new java.io.File(s"$base/in/_SUCCESS").exists())
@@ -354,8 +390,7 @@ object StreamQueries {
     * one-shot batch SCD2 over all events (pipeline_scd2's SQL) and the
     * incrementally-merged table must hash-match it. */
   def streamScd2(s: SparkSession, dir: String): DataFrame = {
-    val tag = contentTag(s, dir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_scd2_$tag"
+    val base = stagingBase("scd2", s, dir)
     val src = t(s, dir, "events")
       .select("event_id", "user_id", "event_type", "ts_s")
     // in-order delivery precondition satisfied by [[stageChunks]]'s
@@ -473,8 +508,7 @@ object StreamQueries {
     * compaction is invisible. */
   def streamConcurrency(s: SparkSession, dir: String): DataFrame = {
     val DayS = 86400L
-    val tag = contentTag(s, dir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_conc_$tag"
+    val base = stagingBase("conc", s, dir)
     val sessions = graft.operators.WindowQueries.concurrencySessions(s, dir)
     stageChunks(sessions, base, s"start_s div $ConcChunkS")
     val statePath = s"$base/state"
@@ -539,8 +573,7 @@ object StreamQueries {
     * size, the whole point of the incremental formulation.
     * Oracle = agg_ohlc verbatim. */
   def streamOhlc(s: SparkSession, dir: String): DataFrame = {
-    val tag = contentTag(s, dir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_ohlc_$tag"
+    val base = stagingBase("ohlc", s, dir)
     val src = t(s, dir, "events")
       .select("event_type", "ts_ns", "ts_s", "event_id", "value")
     stageChunks(src, base, s"ts_s div $OhlcChunkS")
@@ -612,8 +645,7 @@ object StreamQueries {
     * batch LSH exactly: the oracle is dedup_minhash's generated SQL
     * verbatim. */
   def streamMinhash(s: SparkSession, dir: String): DataFrame = {
-    val tag = contentTag(s, dir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_minhash_$tag"
+    val base = stagingBase("minhash", s, dir)
     val docs = t(s, dir, "documents").select("doc_id", "text")
     if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
       val maxDoc = docs.agg(max("doc_id")).head().getLong(0)
@@ -681,8 +713,7 @@ object StreamQueries {
   val BasketChunks = 5
   def streamBasket(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.AggQueries
-    val tag = contentTag(s, dir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_basket_$tag"
+    val base = stagingBase("basket", s, dir)
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
     val partDim = t(s, dir, "part").select("p_partkey", "p_brand")
     if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
@@ -741,14 +772,12 @@ object StreamQueries {
   val BloomChunks = 4
   def streamBloom(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.AggQueries
-    val tag = contentTag(s, dir)
     // the layout constant is baked into the WHOLE staging dir (inputs,
     // checkpoint, state): a BloomBits change must invalidate not just
     // the bit rows but the stream's committed-batch bookkeeping — a
     // versioned state path alone leaves the checkpoint believing every
     // batch is already processed, so nothing would ever rebuild
-    val base = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_stream_bloom_${AggQueries.BloomBits}_$tag"
+    val base = stagingBase(s"bloom_${AggQueries.BloomBits}", s, dir)
     val events = t(s, dir, "events").select("user_id", "event_type", "event_id")
     if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
       val maxId = events.agg(max("event_id")).head().getLong(0)
@@ -792,8 +821,7 @@ object StreamQueries {
   val RfmChunks = 4
   def streamRfm(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.AggQueries
-    val tag = contentTag(s, dir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_rfm_$tag"
+    val base = stagingBase("rfm", s, dir)
     val orders = t(s, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
@@ -833,8 +861,7 @@ object StreamQueries {
   val CmsChunks = 4
   def streamCms(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.AggQueries
-    val tag = contentTag(s, dir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_cms_$tag"
+    val base = stagingBase("cms", s, dir)
     val events = t(s, dir, "events").select("event_id", "user_id")
     if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
       val maxId = events.agg(max("event_id")).head().getLong(0)
@@ -880,8 +907,7 @@ object StreamQueries {
     * assembly and oracle shared verbatim with the batch query. */
   def streamDqGate(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.AggQueries
-    val tag = contentTag(s, dir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_dq_$tag"
+    val base = stagingBase("dq", s, dir)
     val events = t(s, dir, "events")
       .select("event_id", "event_type", "value", "props")
     if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
@@ -928,8 +954,7 @@ object StreamQueries {
     * static table at read time, exactly like stream_cms's probe). */
   def streamKmv(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.AggQueries
-    val tag = contentTag(s, dir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_kmv_$tag"
+    val base = stagingBase("kmv", s, dir)
     val events = t(s, dir, "events")
       .select("event_id", "event_type", "user_id", "ts_s")
     if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
@@ -983,9 +1008,7 @@ object StreamQueries {
     * bounded, never input-scale. */
   def streamReservoir(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.SampleQueries
-    val tag = contentTag(s, dir)
-    val base =
-      s"${System.getProperty("java.io.tmpdir")}/graft_stream_reservoir_$tag"
+    val base = stagingBase("reservoir", s, dir)
     val events = t(s, dir, "events").select("event_id", "user_id")
     if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
       val maxId = events.agg(max("event_id")).head().getLong(0)
@@ -1100,8 +1123,7 @@ object StreamQueries {
     * rows, never events. */
   def streamTransformWithState(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tag = contentTag(s, dir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_tws_$tag"
+    val base = stagingBase("tws", s, dir)
     val src = t(s, dir, "events").select("event_id", "user_id", "ts_s")
     stageChunks(src, base, "event_id % 4")
     val key = "spark.sql.streaming.stateStore.providerClass"
@@ -1160,8 +1182,7 @@ object StreamQueries {
     * (stream_dedup_late territory). Final stage classification and
     * the oracle are agg_funnel_window's, verbatim. */
   def streamFunnel(s: SparkSession, dir: String): DataFrame = {
-    val tag = contentTag(s, dir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_funnel_$tag"
+    val base = stagingBase("funnel", s, dir)
     val src = t(s, dir, "events").select("user_id", "event_type", "ts_s")
     // in-order first-write-wins precondition: see [[stageChunks]]
     stageChunks(src, base, s"ts_s div $FunnelChunkS")
@@ -1243,8 +1264,7 @@ object StreamQueries {
     * the countDistinct of the batch form becomes a plain count.
     * Oracle = agg_retention verbatim. */
   def streamRetention(s: SparkSession, dir: String): DataFrame = {
-    val tag = contentTag(s, dir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_reten_$tag"
+    val base = stagingBase("reten", s, dir)
     val src = t(s, dir, "events")
       .select(col("user_id"), expr("ts_s div 86400").as("day"))
     stageChunks(src, base, "day div 10")
@@ -1308,8 +1328,7 @@ object StreamQueries {
     * Misra–Gries route (text_heavy_hitters), whose summary is
     * mergeable the same way. Oracle = text_top_words verbatim. */
   def streamTopWords(s: SparkSession, dir: String): DataFrame = {
-    val tag = contentTag(s, dir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_topw_$tag"
+    val base = stagingBase("topw", s, dir)
     val src = t(s, dir, "documents").select("doc_id", "text")
     stageChunks(src, base, "doc_id div 100")
     val statePath = s"$base/state"
@@ -1351,8 +1370,7 @@ object StreamQueries {
     * production that final pass is the live scoring job reading the
     * continuously-maintained moments. Oracle = agg_zscore verbatim. */
   def streamZscore(s: SparkSession, dir: String): DataFrame = {
-    val tag = contentTag(s, dir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_zsc_$tag"
+    val base = stagingBase("zsc", s, dir)
     val src = t(s, dir, "events")
       .select(col("event_type"), col("ts_s"),
         floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
@@ -1406,8 +1424,7 @@ object StreamQueries {
     * derives the conditional exactly like the batch query. Oracle =
     * agg_transitions verbatim. */
   def streamTransitions(s: SparkSession, dir: String): DataFrame = {
-    val tag = contentTag(s, dir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_trans_$tag"
+    val base = stagingBase("trans", s, dir)
     val src = t(s, dir, "events")
       .select("user_id", "event_type", "ts_ns", "event_id")
     // in-order delivery precondition: see [[stageChunks]]
@@ -1478,8 +1495,7 @@ object StreamQueries {
     * dashboard maintenance job. Oracle = agg_heatmap verbatim;
     * StreamingSpec asserts multi-batch + idempotent re-run. */
   def streamHeatmap(s: SparkSession, dir: String): DataFrame = {
-    val tag = contentTag(s, dir)
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_heat_$tag"
+    val base = stagingBase("heat", s, dir)
     val src = t(s, dir, "events").select(col("event_id"), col("ts_s"))
     stageChunks(src, base, "ts_s div 864000")
     val statePath = s"$base/state"

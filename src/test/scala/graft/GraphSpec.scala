@@ -40,6 +40,13 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       .select((col("o_custkey") * 2).cast("long").as("c"),
         (col("l_suppkey") * 2 + 1).cast("long").as("p"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    // fixture-scale ceiling (r10 ADVICE low): this replay builds the
+    // whole adjacency map in test-JVM memory, which is the point at
+    // sf0.01/0.1 but an OOM trap if the spec is ever pointed at a big
+    // sf dir — fail fast by name instead
+    assert(pairs.length < 2000000,
+      s"driver-side BFS replay is fixture-only; ${pairs.length} edges " +
+        "exceed the in-memory adjacency-map ceiling")
     val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
     pairs.foreach { case (c, p) =>
       adj.getOrElseUpdate(c, scala.collection.mutable.Set.empty) += p
@@ -82,6 +89,13 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       .select((col("o_custkey") * 2).cast("long").as("c"),
         (col("l_suppkey") * 2 + 1).cast("long").as("p"))
       .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    // fixture-scale ceiling (r10 ADVICE low): this replay builds the
+    // whole adjacency map in test-JVM memory, which is the point at
+    // sf0.01/0.1 but an OOM trap if the spec is ever pointed at a big
+    // sf dir — fail fast by name instead
+    assert(pairs.length < 2000000,
+      s"driver-side BFS replay is fixture-only; ${pairs.length} edges " +
+        "exceed the in-memory adjacency-map ceiling")
     val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
     pairs.foreach { case (c, p) =>
       adj.getOrElseUpdate(c, scala.collection.mutable.Set.empty) += p

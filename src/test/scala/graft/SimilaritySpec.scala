@@ -341,4 +341,38 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(got.map(_._1) != pool.take(sel.size).map(_._1),
       "MMR selected exactly the top-relevance prefix — penalty inert")
   }
+
+  test("superseded ANN staging trees are evicted on rebuild, other dirs untouched") {
+    // r10 verdict item 3: the index family keys its tmpdir trees by
+    // content signature, so every testdata regeneration used to strand
+    // a full postings/checkpoint tree under the old signature. Plant
+    // stale same-dir trees (a fake superseded signature) plus a
+    // foreign-dir tree, rebuild at the CURRENT signature, and assert
+    // exactly the stale ones are gone.
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val slug = sf.replaceAll("[^a-zA-Z0-9]", "_")
+    val staleStream = new java.io.File(tmp, s"graft_stream_ann_v1_${slug}_deadf00d")
+    val staleIndex = new java.io.File(tmp, s"graft_ann_index_${slug}_deadf00d")
+    // different sfDir slug — must survive (another dataset's live tree)
+    val foreign = new java.io.File(tmp, s"graft_stream_ann_v1_${slug}x_deadf00d")
+    Seq(staleStream, staleIndex, foreign)
+      .foreach(d => assert(new java.io.File(d, "postings").mkdirs()))
+    try {
+      val served = SimilarityQueries.streamAnnIndex(spark, sf).collect()
+      SimilarityQueries.sourceAnnIndex(spark, sf).collect(): Unit
+      assert(served.nonEmpty)
+      assert(!staleStream.exists, "superseded stream_ann tree survived rebuild")
+      assert(!staleIndex.exists, "superseded ann_index tree survived rebuild")
+      assert(foreign.exists, "eviction crossed into another sfDir's tree")
+      // the current-signature tree is the keep — still present and serving
+      val again = SimilarityQueries.streamAnnIndex(spark, sf).collect()
+      assert(again.toSeq == served.toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      Seq(staleStream, staleIndex, foreign).foreach(rm)
+    }
+  }
 }

@@ -280,12 +280,15 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val batch = operators.DedupQueries.dedupMinhash(spark, sf).collect().toSeq
     assert(inc == batch, "accumulated pair state diverged from one-shot LSH")
     assert(inc.nonEmpty, "fixture corpus should contain near-duplicates")
-    // the accumulation genuinely ran across micro-batches
-    val tagDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
-      .listFiles().filter(_.getName.startsWith("graft_stream_minhash_"))
-    assert(tagDirs.exists(d =>
-        Option(new java.io.File(d, "chk/commits").list()).exists(_.length >= 2)),
-      "expected at least 2 committed micro-batches")
+    // the accumulation genuinely ran across micro-batches — asserted
+    // on THIS run's exact staging dir (r10 ADVICE low: a stale
+    // graft_stream_minhash_* tree from an earlier corpus signature
+    // must not be able to satisfy the check)
+    val mhBase = new java.io.File(
+      streaming.StreamQueries.stagingBase("minhash", spark, sf))
+    assert(Option(new java.io.File(mhBase, "chk/commits").list())
+        .exists(_.length >= 2),
+      s"expected at least 2 committed micro-batches in $mhBase")
     // re-run with the same checkpoint processes nothing and is stable
     val again = StreamQueries.streamMinhash(spark, sf).collect().toSeq
     assert(again == inc)
@@ -299,12 +302,15 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(inc == oneShot,
       "incrementally maintained postings diverged from the one-shot index")
     assert(inc.nonEmpty, "trained-IVF search returned no neighbors")
-    // the append genuinely ran across micro-batches (one per vec_id%4 chunk)
-    val tagDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
-      .listFiles().filter(_.getName.startsWith("graft_stream_ann_"))
-    assert(tagDirs.exists(d =>
-        Option(new java.io.File(d, "chk/commits").list()).exists(_.length >= 2)),
-      "expected at least 2 committed micro-batches")
+    // the append genuinely ran across micro-batches (one per vec_id%4
+    // chunk) — asserted on THIS run's exact staging dir (r10 ADVICE
+    // low: a stale tree from an earlier corpus signature must not be
+    // able to satisfy the check)
+    val annBase = new java.io.File(
+      operators.SimilarityQueries.streamAnnBase(spark, sf))
+    assert(Option(new java.io.File(annBase, "chk/commits").list())
+        .exists(_.length >= 2),
+      s"expected at least 2 committed micro-batches in $annBase")
     // re-run with the same checkpoint processes nothing and is stable
     val again = operators.SimilarityQueries.streamAnnIndex(spark, sf).collect().toSeq
     assert(again == inc)
