@@ -389,12 +389,15 @@ object SimilarityQueries {
     * StreamingSpec asserts micro-batch commits on THIS exact dir,
     * not on whatever graft_stream_ann_* leftovers the tmpdir holds. */
   private[graft] def streamAnnBase(s: SparkSession, dir: String): String = {
+    // familySuffix: StreamingSpec's crash-recovery test isolation,
+    // same contract as StreamQueries.stagingBase (empty in production)
+    val fam = s"ann${graft.streaming.StreamQueries.familySuffix}"
     val tag = "v1_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
       "_" + java.lang.Long.toHexString(
         graft.Tables.contentSig(s"$dir/embeddings.parquet"))
     graft.streaming.StreamQueries.evictSuperseded(
-      "graft_stream_ann_", dir, s"graft_stream_ann_$tag")
-    s"${System.getProperty("java.io.tmpdir")}/graft_stream_ann_$tag"
+      s"graft_stream_${fam}_", dir, s"graft_stream_${fam}_$tag")
+    s"${System.getProperty("java.io.tmpdir")}/graft_stream_${fam}_$tag"
   }
 
   def streamAnnIndex(s: SparkSession, dir: String): DataFrame = {
@@ -414,7 +417,10 @@ object SimilarityQueries {
               .getField("cid").as("cluster"))
           .write.mode("overwrite").partitionBy("cluster")
           .parquet(s"$postingsDir/batch=$batchId")
-        ()
+        // postings dirs are batch-keyed and overwritten whole, so a
+        // replayed batch rewrites the same bytes — crash-exactly-once
+        // by construction; the hook lets StreamingSpec prove it
+        graft.streaming.BatchState.maybeCrash(postingsDir, batchId)
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned parquet state for `foreachBatch` sinks — EXACTLY-ONCE
+  * state maintenance over Structured Streaming's at-least-once
+  * `foreachBatch` contract.
+  *
+  * The r10 shape (read `state/`, merge the batch delta, eagerly
+  * localCheckpoint, overwrite `state/`) is exactly-once only for
+  * CLEAN reruns: the checkpoint makes a finished run process zero
+  * batches. But `foreachBatch` itself is at-least-once — if the
+  * process dies AFTER the state overwrite and BEFORE the streaming
+  * checkpoint commits the batch, the restart REPLAYS the batch
+  * against a state that already contains its delta, double-applying
+  * every sum/count merge (r10 verdict item 7: the mid-batch crash
+  * window no test covered).
+  *
+  * Here state is versioned by batch id: batch N merges the latest
+  * committed version `< N` (never the path it writes) and commits
+  * `state/vN`. Every crash window is closed by construction:
+  *
+  *  - die DURING the `vN` write → no `_SUCCESS`; the replay re-merges
+  *    from the still-present predecessor and overwrites the partial
+  *    dir — same bytes, one application;
+  *  - die AFTER `vN` commits, BEFORE the checkpoint commit → the
+  *    replay finds `vN` committed and SKIPS the merge (the
+  *    idempotent no-op), whether or not the predecessor was already
+  *    evicted.
+  *
+  * Two smaller wins fall out. The eager per-batch `localCheckpoint`
+  * dies: it existed only because the merge read the very files the
+  * overwrite replaced; reading the predecessor version makes the
+  * write safe to stream straight off the merge plan — one
+  * materialization per batch instead of two, across every
+  * incremental sink. And superseded versions are evicted as soon as
+  * the successor commits, so the store holds ≤ 2 versions at any
+  * instant — the same bounded-state guarantee as before.
+  *
+  * At cluster scale this is the minimal homegrown analogue of a
+  * transactional table format's commit protocol (snapshot versions +
+  * idempotent replay by version id); the sink algebra above it is
+  * unchanged. */
+object BatchState {
+
+  /** Test-only crash injection: when set to `(path, batchId)`, the
+    * next [[swap]] (or [[maybeCrash]] call) matching it throws AFTER
+    * the state write and BEFORE returning control to the streaming
+    * engine — i.e. inside the at-least-once replay window, simulating
+    * an executor/driver death between the postings write and the
+    * checkpoint commit. One-shot: consumed when it fires, so the
+    * restarted run proceeds normally. */
+  @volatile private[graft] var crashAfter: Option[(String, Long)] = None
+
+  /** Throw iff the one-shot [[crashAfter]] hook matches — shared by
+    * [[swap]] and the sinks whose idempotent writes live outside this
+    * helper (batch-keyed postings dirs: stream_ann_index,
+    * stream_minhash's band store). */
+  private[graft] def maybeCrash(path: String, batchId: Long): Unit =
+    crashAfter.filter(_ == ((path, batchId))).foreach { _ =>
+      crashAfter = None
+      throw new IllegalStateException(
+        s"graft test crash: state written, checkpoint uncommitted ($path v$batchId)")
+    }
+
+  private def versionDirs(statePath: String): Array[(Long, java.io.File)] =
+    Option(new java.io.File(statePath).listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        val n = f.getName
+        if (f.isDirectory && n.length > 1 && n.startsWith("v") &&
+            n.drop(1).forall(_.isDigit)) Some((n.drop(1).toLong, f))
+        else None
+      }
+
+  private def committed(statePath: String): Array[(Long, java.io.File)] =
+    versionDirs(statePath)
+      .filter { case (_, f) => new java.io.File(f, "_SUCCESS").exists() }
+
+  /** Whether any committed version exists (the "state initialized"
+    * test the sinks previously ran against `state/_SUCCESS`). */
+  def exists(statePath: String): Boolean = committed(statePath).nonEmpty
+
+  /** Read the latest committed version — the post-stream serving
+    * read. Errors loudly if the store is empty: a sink reading state
+    * before its first commit is a bug, not an empty result. */
+  def read(s: SparkSession, statePath: String): DataFrame = {
+    val (v, _) = committed(statePath).maxByOption(_._1).getOrElse(
+      sys.error(s"no committed state version under $statePath"))
+    s.read.parquet(s"$statePath/v$v")
+  }
+
+  /** Latest committed version strictly below `batchId` — what a
+    * batch's merge is allowed to see. Exposed for sinks whose merge
+    * reads a SECOND store (stream_transitions' last-event slot): the
+    * bound keeps a replayed batch from reading state its own first
+    * attempt already advanced. */
+  def readBelow(s: SparkSession, statePath: String,
+      batchId: Long): Option[DataFrame] =
+    committed(statePath).filter(_._1 < batchId).maxByOption(_._1)
+      .map { case (v, _) => s.read.parquet(s"$statePath/v$v") }
+
+  /** Exactly-once versioned state swap for one micro-batch. `merge`
+    * receives the previous committed state (None before the first
+    * batch) and returns the NEW full state, which is committed as
+    * `statePath/v<batchId>`; superseded versions are evicted after
+    * the commit. Replaying an already-committed batch is a no-op. */
+  def swap(sess: SparkSession, statePath: String, batchId: Long)
+      (merge: Option[DataFrame] => DataFrame): Unit = {
+    val cur = s"$statePath/v$batchId"
+    if (!new java.io.File(cur, "_SUCCESS").exists()) {
+      // the merge plan reads the PREDECESSOR version, never `cur`,
+      // so the write streams straight off it — no eager
+      // localCheckpoint materialization needed (or wanted)
+      merge(readBelow(sess, statePath, batchId))
+        .write.mode("overwrite").parquet(cur)
+    }
+    maybeCrash(statePath, batchId)
+    // safe once vN is committed: a replay of THIS batch skips the
+    // merge, so predecessors are unreachable from any future read
+    versionDirs(statePath).filter(_._1 < batchId).map(_._2).foreach(rmTree)
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
+}

@@ -41,9 +41,18 @@ object StreamQueries {
       val r = t(s, dir, "events")
         .agg(count(lit(1)), sum("event_id"), sum("user_id")).head()
       val slug = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      // v3: single-pass stageChunks layout (chunkNNNNN.parquet names)
-      s"v3_${slug}_${r.getLong(0)}_${r.getLong(1)}_${r.getLong(2)}"
+      // v4: BatchState versioned state layout (state/vN dirs; v3 was
+      // the flat overwrite-in-place store) — bumping the tag evicts
+      // every old-layout tree and invalidates its checkpoint together
+      s"v4_${slug}_${r.getLong(0)}_${r.getLong(1)}_${r.getLong(2)}"
     })
+
+  /** Test-only staging isolation: StreamingSpec's crash-recovery
+    * tests append this to the family name so a deliberately-crashed
+    * run gets a fresh staging tree + checkpoint (on the SHARED tree
+    * the target batch may already be committed and the injected crash
+    * would silently never fire). Empty in production. */
+  @volatile private[graft] var familySuffix: String = ""
 
   /** tmp staging root for one checkpointed streaming family at the
     * current content tag, EVICTING superseded siblings first (r11,
@@ -54,8 +63,8 @@ object StreamQueries {
     * postings) in the JVM tmpdir forever. */
   private[graft] def stagingBase(family: String, s: SparkSession,
       dir: String): String = {
-    val name = s"graft_stream_${family}_${contentTag(s, dir)}"
-    evictSuperseded(s"graft_stream_${family}_", dir, name)
+    val name = s"graft_stream_${family}${familySuffix}_${contentTag(s, dir)}"
+    evictSuperseded(s"graft_stream_${family}${familySuffix}_", dir, name)
     s"${System.getProperty("java.io.tmpdir")}/$name"
   }
 
@@ -312,15 +321,17 @@ object StreamQueries {
     * (1) pre-aggregates the batch per user (map-side shrink — only
     * |keys| rows leave the batch), (2) MERGEs into the keyed parquet
     * state by unioning current state with the delta and re-aggregating
-    * (sum/sum/max are all merge-associative), (3) atomically swaps the
-    * state via an eager localCheckpoint before the overwrite — the
-    * merged frame must be MATERIALIZED before the path it reads from
-    * is rewritten. Exactly-once: the checkpoint makes a re-run with
-    * the same input process zero batches, so Verify and every Bench
-    * pass read the identical state (idempotent upsert, not
-    * append-twice). At scale state would live in a keyed table format;
-    * the merge algebra — partial agg per batch, associative combine
-    * into state — is identical. */
+    * (sum/sum/max are all merge-associative), (3) commits the new
+    * state through [[BatchState.swap]] — versioned by batch id, so
+    * the upsert is exactly-once even across a MID-BATCH crash: die
+    * between the state write and the checkpoint commit and the replay
+    * finds its version already committed and no-ops instead of
+    * double-applying the delta (r10 verdict item 7; proven by
+    * StreamingSpec's crash-recovery test). Clean re-runs process zero
+    * batches, so Verify and every Bench pass read the identical
+    * state. At scale state would live in a keyed table format whose
+    * commit protocol BatchState mirrors; the merge algebra — partial
+    * agg per batch, associative combine into state — is identical. */
   def streamForeachBatch(s: SparkSession, dir: String): DataFrame = {
     val base = stagingBase("feb", s, dir)
     val src = t(s, dir, "events")
@@ -331,27 +342,24 @@ object StreamQueries {
     val q = s.readStream.schema(src.schema).parquet(s"$base/in")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          bid: Long) =>
         val sess = batch.sparkSession
         val delta = batch.groupBy("user_id")
           .agg(count(lit(1)).as("n_events"), sum("event_id").as("id_sum"),
             max("ts_s").as("last_ts_s"), sum("value").as("value_sum"))
-        val merged =
-          if (new java.io.File(s"$statePath/_SUCCESS").exists())
-            sess.read.parquet(statePath).unionByName(delta)
-              .groupBy("user_id")
-              .agg(sum("n_events").as("n_events"), sum("id_sum").as("id_sum"),
-                max("last_ts_s").as("last_ts_s"), sum("value_sum").as("value_sum"))
-          else delta
-        val out = merged.localCheckpoint(true)
-        out.write.mode("overwrite").parquet(statePath)
-        ()
+        BatchState.swap(sess, statePath, bid) {
+          case Some(state) => state.unionByName(delta)
+            .groupBy("user_id")
+            .agg(sum("n_events").as("n_events"), sum("id_sum").as("id_sum"),
+              max("last_ts_s").as("last_ts_s"), sum("value_sum").as("value_sum"))
+          case None => delta
+        }
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(statePath)
+    BatchState.read(s, statePath)
       .select(col("user_id"), col("n_events"), col("id_sum"), col("last_ts_s"),
         Fp.r4(col("value_sum")).as("sum_value"))
       .orderBy("user_id")
@@ -381,8 +389,8 @@ object StreamQueries {
     *     span — the first batch event was not a global change); new
     *     type → open row CLOSES at the batch's first change ts;
     *  3. closed state rows and later batch rows pass through, and the
-    *     new state swaps in via eager localCheckpoint + overwrite
-    *     (the stream_foreachbatch pattern).
+    *     new state commits via [[BatchState.swap]] (versioned,
+    *     crash-exactly-once — the stream_foreachbatch pattern).
     *
     * The checkpoint makes re-runs process zero batches (idempotent),
     * and the final history is BATCH-SPLIT-INVARIANT given time-ordered
@@ -401,7 +409,7 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          bid: Long) =>
         val sess = batch.sparkSession
         val byTime = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
         val bscd = batch
@@ -410,10 +418,9 @@ object StreamQueries {
           .withColumn("valid_to", lead("ts_s", 1).over(byTime))
           .select(col("user_id"), col("event_id").as("first_event_id"),
             col("event_type"), col("ts_s").as("valid_from"), col("valid_to"))
-        val merged =
-          if (!new java.io.File(s"$statePath/_SUCCESS").exists()) bscd
-          else {
-            val state = sess.read.parquet(statePath)
+        BatchState.swap(sess, statePath, bid) {
+          case None => bscd
+          case Some(state) =>
             val sOpen = state.filter(col("valid_to").isNull)
               .select(col("user_id"), col("first_event_id").as("s_fid"),
                 col("event_type").as("s_type"), col("valid_from").as("s_from"))
@@ -459,16 +466,13 @@ object StreamQueries {
                 col("b_to").as("valid_to"))
             Seq(sClosed, keepOpen, newUser, extended, closedAtBatch,
               changedNew, bRest).reduce(_ unionByName _)
-          }
-        val out = merged.localCheckpoint(true)
-        out.write.mode("overwrite").parquet(statePath)
-        ()
+        }
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(statePath)
+    BatchState.read(s, statePath)
       .select("user_id", "first_event_id", "event_type", "valid_from", "valid_to")
       .orderBy("user_id", "valid_from", "first_event_id")
   }
@@ -491,9 +495,8 @@ object StreamQueries {
     *     are merge-associative AND commutative, so unlike
     *     [[streamScd2]] no file-order precondition exists — batches
     *     may arrive in any order);
-    *  3. swaps state via eager localCheckpoint + overwrite (the
-    *     [[streamForeachBatch]] pattern; checkpoint ⇒ idempotent
-    *     re-runs).
+    *  3. commits state via [[BatchState.swap]] (versioned,
+    *     crash-exactly-once — the [[streamForeachBatch]] pattern).
     *
     * The final sweep runs win_concurrency's two-level prefix sum over
     * the COMPACT state. Merging endpoints at one (t, delta) into a
@@ -516,26 +519,23 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          bid: Long) =>
         val sess = batch.sparkSession
         val delta = batch.select(col("start_s").as("t"), lit(1L).as("delta"))
           .unionAll(batch.select(col("end_s").as("t"), lit(-1L).as("delta")))
           .withColumn("bin", expr(s"t div $DayS"))
           .groupBy("bin", "t", "delta").agg(count(lit(1)).as("cnt"))
-        val merged =
-          if (new java.io.File(s"$statePath/_SUCCESS").exists())
-            sess.read.parquet(statePath).unionByName(delta)
-              .groupBy("bin", "t", "delta").agg(sum("cnt").as("cnt"))
-          else delta
-        val out = merged.localCheckpoint(true)
-        out.write.mode("overwrite").parquet(statePath)
-        ()
+        BatchState.swap(sess, statePath, bid) {
+          case Some(state) => state.unionByName(delta)
+            .groupBy("bin", "t", "delta").agg(sum("cnt").as("cnt"))
+          case None => delta
+        }
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val st = s.read.parquet(statePath)
+    val st = BatchState.read(s, statePath)
       .withColumn("net", col("delta") * col("cnt"))
     val local = st.withColumn("run",
       sum("net").over(Window.partitionBy("bin").orderBy("t", "delta")
@@ -582,7 +582,7 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          bid: Long) =>
         val sess = batch.sparkSession
         val delta = batch.withColumn("bar", expr("ts_s div 86400"))
           .groupBy("event_type", "bar")
@@ -593,9 +593,9 @@ object StreamQueries {
             min("value").as("low"),
             count(lit(1)).as("n_events"),
             sum("value").as("vol"))
-        val merged =
-          if (!new java.io.File(s"$statePath/_SUCCESS").exists()) delta
-          else sess.read.parquet(statePath).unionByName(delta)
+        BatchState.swap(sess, statePath, bid) {
+          case None => delta
+          case Some(state) => state.unionByName(delta)
             .groupBy("event_type", "bar")
             .agg(
               min("open_k").as("open_k"),
@@ -604,15 +604,13 @@ object StreamQueries {
               min("low").as("low"),
               sum("n_events").as("n_events"),
               sum("vol").as("vol"))
-        val out = merged.localCheckpoint(true)
-        out.write.mode("overwrite").parquet(statePath)
-        ()
+        }
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(statePath)
+    BatchState.read(s, statePath)
       .select(col("event_type"), col("bar"),
         col("open_k.value").as("open"), col("high"), col("low"),
         col("close_k.value").as("close"), col("n_events"),
@@ -629,8 +627,10 @@ object StreamQueries {
     * is the O(n²-over-time) trap. State here is exactly what scales:
     *
     *  - `sigs/`: the (doc_id, band, key) LSH band rows seen so far —
-    *    APPEND-ONLY (no O(state) rewrite per batch; at cluster scale
-    *    this is a table bucketed by (band, key));
+    *    APPEND-ONLY, one overwrite-idempotent dir per batch so a
+    *    replayed batch rewrites rather than duplicates its rows (no
+    *    O(state) rewrite per batch; at cluster scale this is a table
+    *    bucketed by (band, key));
     *  - `pairs/`: the accumulated candidate-pair set — bounded by the
     *    true near-dup count, merged by union+distinct (commutative, so
     *    batch order is irrelevant).
@@ -657,15 +657,21 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          bid: Long) =>
         val sess = batch.sparkSession
         // banded once, reused by the join AND the state append
         val bands = graft.operators.DedupQueries.minhashBands(batch)
           .localCheckpoint(true)
-        val all =
-          if (new java.io.File(s"$sigPath/_SUCCESS").exists())
-            sess.read.parquet(sigPath).unionByName(bands)
-          else bands
+        // append-only band store as ONE OVERWRITE-IDEMPOTENT DIR PER
+        // BATCH (was mode("append") — a replayed batch would duplicate
+        // its band rows); a replay rewrites b<bid> with the same bytes
+        bands.write.mode("overwrite").parquet(s"$sigPath/b$bid")
+        val committedSigs = Option(new java.io.File(sigPath).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("b") &&
+            new java.io.File(f, "_SUCCESS").exists())
+          .map(_.getAbsolutePath).sorted
+        val all = sess.read.parquet(committedSigs.toIndexedSeq: _*)
         val fresh = bands.select(col("band"), col("key"), col("doc_id").as("d1"))
           .join(all.select(col("band"), col("key"), col("doc_id").as("d2")),
             Seq("band", "key"))
@@ -673,21 +679,16 @@ object StreamQueries {
           .select(least(col("d1"), col("d2")).as("doc_a"),
             greatest(col("d1"), col("d2")).as("doc_b"))
           .distinct()
-        val merged =
-          if (new java.io.File(s"$pairPath/_SUCCESS").exists())
-            sess.read.parquet(pairPath).unionByName(fresh).distinct()
-          else fresh
-        // eager checkpoint BEFORE the overwrite — the merge reads the
-        // same files the write replaces (the streamForeachBatch pattern)
-        merged.localCheckpoint(true).write.mode("overwrite").parquet(pairPath)
-        bands.write.mode("append").parquet(sigPath)
-        ()
+        BatchState.swap(sess, pairPath, bid) {
+          case Some(state) => state.unionByName(fresh).distinct()
+          case None => fresh
+        }
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(pairPath).orderBy("doc_a", "doc_b")
+    BatchState.read(s, pairPath).orderBy("doc_a", "doc_b")
   }
 
   /** INCREMENTAL Count-Min sketch — the streaming twin of
@@ -726,7 +727,7 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          bid: Long) =>
         val sess = batch.sparkSession
         val baskets = AggQueries.basketSets(batch.toDF(), partDim)
           .localCheckpoint(true)
@@ -740,21 +741,17 @@ object StreamQueries {
           .unionByName(baskets.agg(count(lit(1)).as("n"))
             .select(lit("").as("ba"), lit("").as("bb"),
               lit("t").as("kind"), col("n")))
-        val merged =
-          if (new java.io.File(s"$statePath/_SUCCESS").exists())
-            sess.read.parquet(statePath).unionByName(delta)
-              .groupBy("ba", "bb", "kind").agg(sum("n").as("n"))
-          else delta
-        // eager checkpoint BEFORE the overwrite — the merge reads the
-        // same files the write replaces (the streamForeachBatch pattern)
-        merged.localCheckpoint(true).write.mode("overwrite").parquet(statePath)
-        ()
+        BatchState.swap(sess, statePath, bid) {
+          case Some(state) => state.unionByName(delta)
+            .groupBy("ba", "bb", "kind").agg(sum("n").as("n"))
+          case None => delta
+        }
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val state = s.read.parquet(statePath)
+    val state = BatchState.read(s, statePath)
     AggQueries.basketAssemble(
       state.filter(col("kind") === "p").select("ba", "bb",
         "n").withColumnRenamed("n", "n_ab"),
@@ -789,23 +786,19 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          bid: Long) =>
         val sess = batch.sparkSession
         val bits = AggQueries.bloomBuild(AggQueries.bloomRefKeys(batch.toDF()))
-        val merged =
-          if (new java.io.File(s"$statePath/_SUCCESS").exists())
-            sess.read.parquet(statePath).unionByName(bits).distinct()
-          else bits
-        // eager checkpoint BEFORE the overwrite — the merge reads the
-        // same files the write replaces (the streamForeachBatch pattern)
-        merged.localCheckpoint(true).write.mode("overwrite").parquet(statePath)
-        ()
+        BatchState.swap(sess, statePath, bid) {
+          case Some(state) => state.unionByName(bits).distinct()
+          case None => bits
+        }
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    AggQueries.bloomProbe(s.read.parquet(statePath),
+    AggQueries.bloomProbe(BatchState.read(s, statePath),
       events.select("user_id", "event_type"))
   }
 
@@ -834,26 +827,22 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          bid: Long) =>
         val sess = batch.sparkSession
         val delta = AggQueries.rfmState(AggQueries.rfmOrders(batch.toDF()))
-        val merged =
-          if (new java.io.File(s"$statePath/_SUCCESS").exists())
-            sess.read.parquet(statePath).unionByName(delta)
-              .groupBy("o_custkey")
-              .agg(max("last_day").as("last_day"), sum("f").as("f"),
-                sum("m").as("m"))
-          else delta
-        // eager checkpoint BEFORE the overwrite — the merge reads the
-        // same files the write replaces (the streamForeachBatch pattern)
-        merged.localCheckpoint(true).write.mode("overwrite").parquet(statePath)
-        ()
+        BatchState.swap(sess, statePath, bid) {
+          case Some(state) => state.unionByName(delta)
+            .groupBy("o_custkey")
+            .agg(max("last_day").as("last_day"), sum("f").as("f"),
+              sum("m").as("m"))
+          case None => delta
+        }
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val state = s.read.parquet(statePath)
+    val state = BatchState.read(s, statePath)
     AggQueries.rfmAssemble(state,
       state.agg(max("last_day").as("now_day")))
   }
@@ -873,24 +862,20 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          bid: Long) =>
         val sess = batch.sparkSession
         val bs = AggQueries.cmsSketch(batch.select("user_id"))
-        val merged =
-          if (new java.io.File(s"$statePath/_SUCCESS").exists())
-            sess.read.parquet(statePath).unionByName(bs)
-              .groupBy("r", "b").agg(sum("cnt").as("cnt"))
-          else bs
-        // eager checkpoint BEFORE the overwrite — the merge reads the
-        // same files the write replaces (the streamForeachBatch pattern)
-        merged.localCheckpoint(true).write.mode("overwrite").parquet(statePath)
-        ()
+        BatchState.swap(sess, statePath, bid) {
+          case Some(state) => state.unionByName(bs)
+            .groupBy("r", "b").agg(sum("cnt").as("cnt"))
+          case None => bs
+        }
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    AggQueries.cmsProbe(s.read.parquet(statePath), events.select("user_id"))
+    AggQueries.cmsProbe(BatchState.read(s, statePath), events.select("user_id"))
   }
 
   /** INCREMENTAL data-quality gate — the streaming twin of
@@ -920,24 +905,22 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          bid: Long) =>
         val sess = batch.sparkSession
         val bm = AggQueries.dqMetrics(batch.toDF())
-        val merged =
-          if (new java.io.File(s"$statePath/_SUCCESS").exists())
-            sess.read.parquet(statePath).unionByName(bm)
-              .agg(sum("n").as("n"), sum("n_props").as("n_props"),
-                sum("n_nonneg").as("n_nonneg"), sum("n_r100").as("n_r100"),
-                sum("n_domain").as("n_domain"))
-          else bm
-        merged.localCheckpoint(true).write.mode("overwrite").parquet(statePath)
-        ()
+        BatchState.swap(sess, statePath, bid) {
+          case Some(state) => state.unionByName(bm)
+            .agg(sum("n").as("n"), sum("n_props").as("n_props"),
+              sum("n_nonneg").as("n_nonneg"), sum("n_r100").as("n_r100"),
+              sum("n_domain").as("n_domain"))
+          case None => bm
+        }
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    AggQueries.dqAssemble(s.read.parquet(statePath),
+    AggQueries.dqAssemble(BatchState.read(s, statePath),
       AggQueries.dqUniq(t(s, dir, "events")))
   }
 
@@ -967,31 +950,29 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          bid: Long) =>
         val sess = batch.sparkSession
         val keysB = batch
           .select(col("event_type"), expr(AggQueries.kmvAkSqlSpark).as("ak"))
           .distinct()
         val bk = AggQueries.kmvBottom(keysB)
-        val merged0 =
-          if (new java.io.File(s"$statePath/_SUCCESS").exists())
-            sess.read.parquet(statePath).unionByName(bk)
+        BatchState.swap(sess, statePath, bid) { prev =>
+          val merged0 = prev match {
+            case Some(state) => state.unionByName(bk)
               .distinct() // same activity key can recur across batches
-          else bk
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("event_type").orderBy("h")
-        val merged = merged0.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= AggQueries.KmvK).select("event_type", "h")
-        // eager checkpoint BEFORE the overwrite — the merge reads the
-        // same files the write replaces
-        merged.localCheckpoint(true).write.mode("overwrite").parquet(statePath)
-        ()
+            case None => bk
+          }
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type").orderBy("h")
+          merged0.withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= AggQueries.KmvK).select("event_type", "h")
+        }
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    AggQueries.kmvAssemble(s.read.parquet(statePath),
+    AggQueries.kmvAssemble(BatchState.read(s, statePath),
       AggQueries.kmvKeys(s, dir))
   }
 
@@ -1020,25 +1001,21 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          bid: Long) =>
         val sess = batch.sparkSession
         val bk = SampleQueries.reservoirBottomK(batch.toDF())
-        val merged =
-          if (new java.io.File(s"$statePath/_SUCCESS").exists())
-            SampleQueries.reservoirTrim(
-              sess.read.parquet(statePath).unionByName(bk))
-          else bk
-        // eager checkpoint BEFORE the overwrite — the merge reads the
-        // same files the write replaces
-        merged.localCheckpoint(true).write.mode("overwrite").parquet(statePath)
-        ()
+        BatchState.swap(sess, statePath, bid) {
+          case Some(state) =>
+            SampleQueries.reservoirTrim(state.unionByName(bk))
+          case None => bk
+        }
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     SampleQueries.reservoirPresent(
-      SampleQueries.reservoirTrim(s.read.parquet(statePath)))
+      SampleQueries.reservoirTrim(BatchState.read(s, statePath)))
   }
 
   /** Static dimension for stream_enrich: event_type → (weight,
@@ -1191,15 +1168,13 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          bid: Long) =>
         val sess = batch.sparkSession
-        val st0 =
-          if (new java.io.File(s"$statePath/_SUCCESS").exists())
-            sess.read.parquet(statePath)
-          else sess.createDataFrame(
+        BatchState.swap(sess, statePath, bid) { prev =>
+        val st0 = prev.getOrElse(sess.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](),
             org.apache.spark.sql.types.StructType.fromDDL(
-              "user_id LONG, t_view LONG, t_click LONG, t_purchase LONG"))
+              "user_id LONG, t_view LONG, t_click LONG, t_purchase LONG")))
         val bv = batch.filter(col("event_type") === "view")
           .groupBy("user_id").agg(min("ts_s").as("bv"))
         // views: least() skips NULLs, so new users and earlier views
@@ -1228,18 +1203,16 @@ object StreamQueries {
           .filter(col("ts_s") > col("t_click") &&
             col("ts_s") <= col("t_click") + 7L * 86400L)
           .groupBy("user_id").agg(min("ts_s").as("cand_purchase"))
-        val s3 = s2.join(cp, Seq("user_id"), "left")
+        s2.join(cp, Seq("user_id"), "left")
           .select(col("user_id"), col("t_view"), col("t_click"),
             coalesce(col("t_purchase"), col("cand_purchase")).as("t_purchase"))
-        val out = s3.localCheckpoint(true)
-        out.write.mode("overwrite").parquet(statePath)
-        ()
+        }
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(statePath)
+    BatchState.read(s, statePath)
       .withColumn("stage",
         when(col("t_purchase").isNotNull, lit(3))
           .when(col("t_click").isNotNull, lit(2))
@@ -1273,38 +1246,34 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          bid: Long) =>
         val sess = batch.sparkSession
-        val st0 =
-          if (new java.io.File(s"$statePath/_SUCCESS").exists())
-            sess.read.parquet(statePath)
-          else sess.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "user_id LONG, cohort_day LONG, seen_mask LONG"))
         val bdays = batch.groupBy("user_id")
           .agg(min("day").as("b_cohort"),
             collect_set("day").as("b_days"))
-        // batch days are a SET, so distinct offsets: Σ 2^off ≡ bitwise OR
-        val merged = st0.join(bdays, Seq("user_id"), "full_outer")
-          .withColumn("cohort", least(col("cohort_day"), col("b_cohort")))
-          .withColumn("b_mask", coalesce(expr(
-            """aggregate(
-              |  filter(b_days, d -> d - cohort >= 0L AND d - cohort <= 7L),
-              |  0L, (a, d) -> a + shiftleft(1L, int(d - cohort)))""".stripMargin),
-            lit(0L)))
-          .select(col("user_id"), col("cohort").as("cohort_day"),
-            (coalesce(col("seen_mask"), lit(0L))
-              .bitwiseOR(col("b_mask"))).as("seen_mask"))
-        val out = merged.localCheckpoint(true)
-        out.write.mode("overwrite").parquet(statePath)
-        ()
+        BatchState.swap(sess, statePath, bid) { prev =>
+          val st0 = prev.getOrElse(sess.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "user_id LONG, cohort_day LONG, seen_mask LONG")))
+          // batch days are a SET, so distinct offsets: Σ 2^off ≡ bitwise OR
+          st0.join(bdays, Seq("user_id"), "full_outer")
+            .withColumn("cohort", least(col("cohort_day"), col("b_cohort")))
+            .withColumn("b_mask", coalesce(expr(
+              """aggregate(
+                |  filter(b_days, d -> d - cohort >= 0L AND d - cohort <= 7L),
+                |  0L, (a, d) -> a + shiftleft(1L, int(d - cohort)))""".stripMargin),
+              lit(0L)))
+            .select(col("user_id"), col("cohort").as("cohort_day"),
+              (coalesce(col("seen_mask"), lit(0L))
+                .bitwiseOR(col("b_mask"))).as("seen_mask"))
+        }
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(statePath)
+    BatchState.read(s, statePath)
       .select(col("cohort_day"), explode(expr(
         """filter(sequence(0L, 7L),
           |  o -> (seen_mask div shiftleft(1L, int(o))) % 2 = 1)""".stripMargin))
@@ -1336,25 +1305,23 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          bid: Long) =>
         val sess = batch.sparkSession
         val delta = batch
           .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
           .distinct()
           .groupBy("word").agg(count(lit(1)).as("df"))
-        val merged =
-          if (!new java.io.File(s"$statePath/_SUCCESS").exists()) delta
-          else sess.read.parquet(statePath).unionByName(delta)
+        BatchState.swap(sess, statePath, bid) {
+          case None => delta
+          case Some(state) => state.unionByName(delta)
             .groupBy("word").agg(sum("df").as("df"))
-        val out = merged.localCheckpoint(true)
-        out.write.mode("overwrite").parquet(statePath)
-        ()
+        }
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(statePath)
+    BatchState.read(s, statePath)
       .orderBy(desc("df"), asc("word"))
       .limit(25)
   }
@@ -1380,25 +1347,23 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          bid: Long) =>
         val sess = batch.sparkSession
         val delta = batch.groupBy("event_type")
           .agg(count(lit(1)).as("n"), sum("cents").as("s"),
             sum(col("cents") * col("cents")).as("q"))
-        val merged =
-          if (!new java.io.File(s"$statePath/_SUCCESS").exists()) delta
-          else sess.read.parquet(statePath).unionByName(delta)
+        BatchState.swap(sess, statePath, bid) {
+          case None => delta
+          case Some(state) => state.unionByName(delta)
             .groupBy("event_type")
             .agg(sum("n").as("n"), sum("s").as("s"), sum("q").as("q"))
-        val out = merged.localCheckpoint(true)
-        out.write.mode("overwrite").parquet(statePath)
-        ()
+        }
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val m = s.read.parquet(statePath)
+    val m = BatchState.read(s, statePath)
     t(s, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"),
         floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
@@ -1435,7 +1400,7 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          bid: Long) =>
         val sess = batch.sparkSession
         val w = Window.partitionBy("user_id").orderBy(asc("ts_ns"), asc("event_id"))
         val withPrev = batch
@@ -1449,35 +1414,36 @@ object StreamQueries {
         val lasts = batch.groupBy("user_id")
           .agg(max(struct(col("ts_ns"), col("event_id"), col("event_type")))
             .as("l"))
-        val boundary =
-          if (!new java.io.File(s"$lastPath/_SUCCESS").exists())
-            inner.limit(0)
-          else sess.read.parquet(lastPath)
-            .select(col("user_id"), col("l.event_type").as("prev_type"))
-            .join(firsts, "user_id")
-            .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
-        val deltas = inner.unionByName(boundary)
-        val mergedCounts =
-          if (!new java.io.File(s"$countPath/_SUCCESS").exists()) deltas
-          else sess.read.parquet(countPath).unionByName(deltas)
-        val outCounts = mergedCounts
-          .groupBy("prev_type", "event_type").agg(sum("n").as("n"))
-          .localCheckpoint(true)
+        // TWO coupled stores, committed counts-then-last. The counts
+        // merge reads the last-event slot at a version STRICTLY BELOW
+        // this batch (readBelow): last vN only commits after counts
+        // vN, so a replay that finds counts vN committed skips its
+        // merge and only the independent last-slot merge re-runs —
+        // the stores can never drift apart across a crash.
+        BatchState.swap(sess, countPath, bid) { prevCounts =>
+          val boundary = BatchState.readBelow(sess, lastPath, bid) match {
+            case None => inner.limit(0)
+            case Some(last) => last
+              .select(col("user_id"), col("l.event_type").as("prev_type"))
+              .join(firsts, "user_id")
+              .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+          }
+          val deltas = inner.unionByName(boundary)
+          prevCounts.map(_.unionByName(deltas)).getOrElse(deltas)
+            .groupBy("prev_type", "event_type").agg(sum("n").as("n"))
+        }
         // last-event slot: lexicographic max over (old last ∪ batch last)
-        val mergedLast =
-          if (!new java.io.File(s"$lastPath/_SUCCESS").exists()) lasts
-          else sess.read.parquet(lastPath).unionByName(lasts)
+        BatchState.swap(sess, lastPath, bid) {
+          case None => lasts
+          case Some(last) => last.unionByName(lasts)
             .groupBy("user_id").agg(max("l").as("l"))
-        val outLast = mergedLast.localCheckpoint(true)
-        outCounts.write.mode("overwrite").parquet(countPath)
-        outLast.write.mode("overwrite").parquet(lastPath)
-        ()
+        }
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val tr = s.read.parquet(countPath)
+    val tr = BatchState.read(s, countPath)
     val totals = tr.groupBy("prev_type").agg(sum("n").as("row_total"))
     tr.join(broadcast(totals), "prev_type")
       .select(col("prev_type"), col("event_type"), col("n"),
@@ -1503,27 +1469,25 @@ object StreamQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
+          bid: Long) =>
         val sess = batch.sparkSession
         val delta = batch
           .select(expr("(ts_s div 86400 + 4) % 7").as("dow"),
             expr("(ts_s % 86400) div 3600").as("hour"), col("event_id"))
           .groupBy("dow", "hour")
           .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
-        val merged =
-          if (!new java.io.File(s"$statePath/_SUCCESS").exists()) delta
-          else sess.read.parquet(statePath).unionByName(delta)
+        BatchState.swap(sess, statePath, bid) {
+          case None => delta
+          case Some(state) => state.unionByName(delta)
             .groupBy("dow", "hour")
             .agg(sum("n").as("n"), sum("id_sum").as("id_sum"))
-        val out = merged.localCheckpoint(true)
-        out.write.mode("overwrite").parquet(statePath)
-        ()
+        }
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(statePath).orderBy("dow", "hour")
+    BatchState.read(s, statePath).orderBy("dow", "hour")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
