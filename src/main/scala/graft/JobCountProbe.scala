@@ -31,9 +31,15 @@ object JobCountProbe {
       q(spark, sfDir).write.mode("overwrite").format("noop").save() // warm
       org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
       jobs.set(0)
+      // wall time of the SAME warm execution the count describes — a
+      // job trim that merely shifts work into fewer, fatter jobs
+      // (e.g. dropping a checkpoint so two consumers recompute the
+      // subtree) shows up here even when the count "improves"
+      val t0 = System.nanoTime()
       q(spark, sfDir).write.mode("overwrite").format("noop").save()
+      val dt = (System.nanoTime() - t0) / 1e9
       org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
-      println(s"JOBCOUNT $name ${jobs.get}")
+      println(f"JOBCOUNT $name ${jobs.get} wall ${dt}%.3f s")
     }
     spark.stop()
   }

@@ -392,28 +392,43 @@ object GraphQueries {
     * customer-neighbor sets of the bipartite trading graph — the
     * classic "entities that share audiences" signal.
     *
-    * Scale: candidate pairs come from a WEDGE JOIN through shared
-    * customers (suppliers with no common customer never materialize —
-    * the all-pairs matrix is never formed), with customer hubs capped
-    * at [[JacMaxDeg]] first. Degrees and the union size are computed
-    * on the SAME capped graph so the similarity is exact for the
-    * graph actually analyzed. jac_pct = (100·common) div (da+db−common)
-    * — all-integer, exact oracle; top-[[JacTopK]] with full
-    * deterministic tie-break compiles to TakeOrderedAndProject. */
+    * Scale: candidate pairs come from WEDGES through shared customers
+    * (suppliers with no common customer never materialize — the
+    * all-pairs matrix is never formed), with customer hubs capped at
+    * [[JacMaxDeg]] first. r11 (JobCountProbe-verified, 12 → 8 jobs,
+    * oracle hash unchanged): the cap and the wedge emission collapse
+    * into ONE shuffle on the customer key — group each customer's
+    * sorted supplier NEIGHBOR LIST, drop hubs by list size, and
+    * explode the within-list ordered pairs (the dedup
+    * minhashPairsFromBands bucket shape) — where the previous shape
+    * paid a count-groupBy, a cap join-back, and a self-join's two
+    * exchanges over the same key. Per-group memory is one ≤ deg-sized
+    * array, bounded by a customer's distinct suppliers upstream and
+    * by [[JacMaxDeg]] immediately after; the explode sits downstream
+    * of the aggregate, so skewed groups stay AQE-splittable. Degrees
+    * and the union size are computed on the SAME capped graph so the
+    * similarity is exact for the graph actually analyzed. jac_pct =
+    * (100·common) div (da+db−common) — all-integer, exact oracle;
+    * top-[[JacTopK]] with full deterministic tie-break compiles to
+    * TakeOrderedAndProject. */
   def graphJaccard(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
       .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
       .distinct()
-    val custDeg = pairs.groupBy("c").agg(count(lit(1)).as("dc"))
-    val capped = pairs.join(custDeg.filter(col("dc") <= JacMaxDeg), "c")
-      .select("c", "p").localCheckpoint(true)
-    val suppDeg = capped.groupBy("p").agg(count(lit(1)).as("d"))
-    val common = capped.as("a")
-      .join(capped.as("b"),
-        col("a.c") === col("b.c") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+    // |customers| rows × ≤JacMaxDeg arrays; checkpointed once for its
+    // two consumers (degree explode + wedge explode)
+    val lists = pairs.groupBy("c")
+      .agg(array_sort(collect_list("p")).as("ps"))
+      .filter(size(col("ps")) <= JacMaxDeg)
+      .localCheckpoint(true)
+    val suppDeg = lists.select(explode(col("ps")).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("d"))
+    val common = lists.select(explode(flatten(transform(col("ps"), (a, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))),
+          b => struct(a.as("pa"), b.as("pb")))))).as("w"))
+      .groupBy(col("w.pa").as("pa"), col("w.pb").as("pb"))
       .agg(count(lit(1)).as("common"))
     common
       .join(suppDeg.select(col("p").as("pa"), col("d").as("da")), "pa")
