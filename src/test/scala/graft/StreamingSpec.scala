@@ -416,6 +416,90 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         "(a vector lost, duplicated, or mis-assigned across the replay)")
   }
 
+  test("BatchState: replayed batch skips its merge; predecessors evicted after commit") {
+    import graft.streaming.BatchState
+    val root = java.nio.file.Files.createTempDirectory("graft_bstate").toString
+    val st = s"$root/state"
+    try {
+      BatchState.swap(spark, st, 0L) {
+        case None => Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+        case Some(_) => fail("first batch must see no previous state")
+      }
+      assert(BatchState.read(spark, st).count() == 2)
+      BatchState.swap(spark, st, 1L) {
+        case Some(state) => state.withColumn("v", col("v") * 2)
+        case None => fail("batch 1 must see batch 0's state")
+      }
+      assert(BatchState.read(spark, st).agg(sum("v")).head().getLong(0) == 60L)
+      // v0 evicted once v1 committed — the store stays ≤ 2 versions
+      assert(!new java.io.File(s"$st/v0").exists())
+      // replay of batch 1 (checkpoint never committed): the merge
+      // must NOT run again — a second doubling would corrupt state
+      BatchState.swap(spark, st, 1L) { _ =>
+        fail("replay of a committed batch must not re-run its merge")
+      }
+      assert(BatchState.read(spark, st).agg(sum("v")).head().getLong(0) == 60L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("BatchState: a partial version dir (death DURING the write) is overwritten from the predecessor") {
+    import graft.streaming.BatchState
+    val root = java.nio.file.Files.createTempDirectory("graft_bstate").toString
+    val st = s"$root/state"
+    try {
+      BatchState.swap(spark, st, 0L) { _ => Seq((1L, 10L)).toDF("k", "v") }
+      // simulate dying mid-write of v1: a partial dir, no _SUCCESS
+      val partial = new java.io.File(s"$st/v1")
+      partial.mkdirs()
+      java.nio.file.Files.write(partial.toPath.resolve("part-garbage.parquet"),
+        Array[Byte](1, 2, 3))
+      var sawPrev = -1L
+      BatchState.swap(spark, st, 1L) { prev =>
+        sawPrev = prev.map(_.count()).getOrElse(-2L)
+        prev.get.withColumn("v", col("v") + 1)
+      }
+      assert(sawPrev == 1L, "replay must merge from the intact predecessor")
+      assert(BatchState.read(spark, st).head().getLong(1) == 11L)
+      assert(!partial.toPath.resolve("part-garbage.parquet").toFile.exists(),
+        "the partial write's garbage must be gone after the overwrite")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("BatchState.readBelow never reads state at or above the asking batch") {
+    import graft.streaming.BatchState
+    val root = java.nio.file.Files.createTempDirectory("graft_bstate").toString
+    val st = s"$root/state"
+    try {
+      Seq((1L, 1L)).toDF("k", "v").write.parquet(s"$st/v0")
+      Seq((1L, 2L)).toDF("k", "v").write.parquet(s"$st/v3")
+      assert(BatchState.readBelow(spark, st, 3L).get.head().getLong(1) == 1L)
+      assert(BatchState.readBelow(spark, st, 4L).get.head().getLong(1) == 2L)
+      assert(BatchState.readBelow(spark, st, 0L).isEmpty)
+      assert(BatchState.read(spark, st).head().getLong(1) == 2L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("streaming dropDuplicates dedups a doubled stream exactly") {
     val streamed = runStream(sample ++ sample, StreamQueries.dedupAgg, "t_dedup")
     val n = streamed.agg(sum("n")).collect()(0).getLong(0)
