@@ -666,6 +666,9 @@ object StreamQueries {
         // BATCH (was mode("append") — a replayed batch would duplicate
         // its band rows); a replay rewrites b<bid> with the same bytes
         bands.write.mode("overwrite").parquet(s"$sigPath/b$bid")
+        // two-store crash window (bands committed, pairs not) — the
+        // hook lets StreamingSpec prove the replay is idempotent here
+        BatchState.maybeCrash(sigPath, bid)
         val committedSigs = Option(new java.io.File(sigPath).listFiles())
           .getOrElse(Array.empty)
           .filter(f => f.isDirectory && f.getName.startsWith("b") &&

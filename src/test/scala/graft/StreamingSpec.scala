@@ -404,6 +404,21 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         "(the coupled stores drifted across the replay)")
   }
 
+  test("stream_minhash recovers when the crash lands BETWEEN its two stores") {
+    // bands b1 committed, pairs still at v0, checkpoint uncommitted:
+    // the replay must rewrite b1 with the same bytes (overwrite-
+    // idempotent dir, never append) and re-derive the identical pairs
+    val rec = crashRecovered(
+      StreamQueries.stagingBase("minhash", spark, sf) + "/sigs", 1L) {
+      StreamQueries.streamMinhash(spark, sf)
+    }
+    val twin = operators.DedupQueries.dedupMinhash(spark, sf)
+      .collect().toIndexedSeq
+    assert(rec == twin,
+      "post-crash pair state diverged from the one-shot batch LSH " +
+        "(a band row duplicated or a pair lost across the replay)")
+  }
+
   test("stream_ann_index recovers exactly-once from a crash after a postings write") {
     val rec = crashRecovered(
       operators.SimilarityQueries.streamAnnBase(spark, sf) + "/postings", 1L) {
