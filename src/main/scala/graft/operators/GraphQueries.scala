@@ -431,8 +431,14 @@ object GraphQueries {
       .groupBy(col("w.pa").as("pa"), col("w.pb").as("pb"))
       .agg(count(lit(1)).as("common"))
     common
-      .join(suppDeg.select(col("p").as("pa"), col("d").as("da")), "pa")
-      .join(suppDeg.select(col("p").as("pb"), col("d").as("db")), "pb")
+      // |suppliers|-bounded dimension — broadcast EXPLICITLY so the
+      // static planner never stages a sort-merge shuffle of the wedge
+      // frame that AQE then has to un-plan (r11 ScaleSpec plan pin:
+      // exactly the two aggregate exchanges downstream of the lists)
+      .join(broadcast(suppDeg.select(col("p").as("pa"), col("d").as("da"))),
+        "pa")
+      .join(broadcast(suppDeg.select(col("p").as("pb"), col("d").as("db"))),
+        "pb")
       .withColumn("jac_pct",
         expr("(100 * common) div (da + db - common)"))
       .select("pa", "pb", "common", "da", "db", "jac_pct")

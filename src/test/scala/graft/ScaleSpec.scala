@@ -232,6 +232,45 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
       s"raw edge rows reached an exchange in a peel round:\n${offending.mkString("\n")}")
   }
 
+  test("graph_jaccard's wedge path plans no shuffled join (r11 single-shuffle reshape)") {
+    // the reshape's contract: downstream of the checkpointed neighbor
+    // lists there is NO join that moves wedge-scale rows — degrees
+    // attach by broadcast, wedges come from an explode, and the only
+    // exchanges are the two aggregates (supplier degree, pair count)
+    val df = operators.GraphQueries.graphJaccard(spark, sf)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // a ReusedExchangeExec is a POINTER to a stage counted elsewhere —
+    // do not descend, or every reuse double-counts its target
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _: ReusedExchangeExec => Seq.empty
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val all = flatten(df.queryExecution.executedPlan)
+    val shuffledJoins = all.filter { p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]
+    }
+    assert(shuffledJoins.isEmpty,
+      s"wedge path regrew a shuffled join:\n${shuffledJoins.map(_.nodeName)}")
+    val exchanges = all.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.nonEmpty, "no exchange visible — traversal vacuous")
+    // suppDeg groupBy(p) + common groupBy(pa, pb); the final
+    // TakeOrdered adds no exchange and the degree joins broadcast
+    assert(exchanges.size <= 2,
+      s"expected ≤ 2 exchanges downstream of the lists checkpoint, " +
+        s"got ${exchanges.size}")
+  }
+
   test("runtime bloom filter prunes the big side of a selective join") {
     import graft.operators.JoinQueries
     // the DECLARED query's dataflow under its own conf scope — the
