@@ -56,6 +56,13 @@ object Native {
 
   def dotI64(a: Column, b: Column): Column =
     column(DotProductI64(expression(a), expression(b)))
+
+  /** Size-bounded collect_list over an int64 column — see
+    * [[CollectCappedLong]]. For collect-then-filter-by-size shapes
+    * only: which elements survive in a group that HIT the cap is
+    * arrival-order-dependent. */
+  def collectCappedLong(c: Column, cap: Int): Column =
+    column(CollectCappedLong(expression(c), cap).toAggregateExpression())
 }
 
 /** One-pass MinHash kernel, shared VERBATIM by MinHashSig's interpreted
@@ -457,4 +464,90 @@ case class DotProductI64(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductI64 =
     copy(left = l, right = r)
+}
+
+/** `collect_list` with a HARD per-group buffer bound: stops appending
+  * once `cap` elements are held (merge re-caps the same way), so a
+  * skew-hub group costs O(cap) aggregation memory instead of O(deg).
+  *
+  * Built for the collect-then-filter-by-size shape (graph_jaccard's
+  * hub cut, r12 — the r11 single-shuffle reshape filtered
+  * `size(ps) <= JacMaxDeg` AFTER collect_list had already materialized
+  * a mega-hub's whole neighbor list in the buffer): with
+  * `cap = JacMaxDeg + 1`, every group that reaches cap is one the
+  * size-filter drops anyway, and every surviving group was collected
+  * in full — semantics identical, memory bounded. WHICH cap elements
+  * survive in an over-cap group is arrival-order-dependent (fine:
+  * those groups must be filtered out, never read).
+  *
+  * Long-specialized: the buffer serializes as a tight 8-byte-packed
+  * run, and all graph node/key columns here are int64. Same
+  * TypedImperativeAggregate → ObjectHashAggregateExec path as
+  * collect_list itself — this is a memory bound, not a plan change
+  * (the r11 mode() lesson: never move an |edges|-scale aggregate off
+  * its codegen/hash path for a job-count win). */
+case class CollectCappedLong(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  require(cap > 0, "cap must be positive")
+
+  // int64 children only (AbstractDataType/ExpectsInputTypes is
+  // private[sql], so the contract is enforced at resolution instead
+  // of via inputTypes) — every graph node/key column here is int64
+  override lazy val resolved: Boolean =
+    childrenResolved && child.dataType == LongType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "collect_capped_long"
+
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[Long] =
+    new scala.collection.mutable.ArrayBuffer[Long](8)
+
+  override def update(
+      buf: scala.collection.mutable.ArrayBuffer[Long],
+      input: InternalRow): scala.collection.mutable.ArrayBuffer[Long] = {
+    if (buf.length < cap) {
+      val v = child.eval(input)
+      if (v != null) buf += v.asInstanceOf[Long]
+    }
+    buf
+  }
+
+  override def merge(
+      b1: scala.collection.mutable.ArrayBuffer[Long],
+      b2: scala.collection.mutable.ArrayBuffer[Long])
+      : scala.collection.mutable.ArrayBuffer[Long] = {
+    val room = cap - b1.length
+    if (room >= b2.length) b1 ++= b2
+    else if (room > 0) b1 ++= b2.view.slice(0, room)
+    b1
+  }
+
+  override def eval(buf: scala.collection.mutable.ArrayBuffer[Long]): Any =
+    new GenericArrayData(buf.toArray)
+
+  override def serialize(buf: scala.collection.mutable.ArrayBuffer[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong(_): Unit)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](bytes.length / 8)
+    while (bb.remaining() >= 8) out += bb.getLong()
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CollectCappedLong =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CollectCappedLong =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): CollectCappedLong =
+    copy(child = c)
 }

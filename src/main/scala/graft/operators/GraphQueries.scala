@@ -369,9 +369,18 @@ object GraphQueries {
       .agg(max_by(col("label"), struct(col("c"), -col("label")))
         .as("label"))
       .localCheckpoint(true)
-    for (_ <- 2 to LpIters) {
+    // intermediate rounds only: each round's labels feed the NEXT
+    // round's join, so the checkpoint truncates lineage AND gives the
+    // join a materialized |nodes|-sized broadcast side. The FINAL
+    // round's labels have exactly ONE consumer (the membership
+    // aggregate below) and feed no further iteration — checkpointing
+    // them was a pure extra materialization + scheduling round-trip
+    // (r12 probe: 16 → 15 jobs, oracle hash unchanged); the last vote
+    // fuses straight into the final aggregate instead
+    for (_ <- 2 until LpIters) {
       labels = labelPropStep(edges, labels).localCheckpoint(true)
     }
+    if (LpIters >= 2) labels = labelPropStep(edges, labels)
     labels.groupBy("label")
       .agg(count(lit(1)).as("n_members"), sum("node").as("id_sum"),
         min("node").as("min_node"))
@@ -418,9 +427,17 @@ object GraphQueries {
       .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
       .distinct()
     // |customers| rows × ≤JacMaxDeg arrays; checkpointed once for its
-    // two consumers (degree explode + wedge explode)
+    // two consumers (degree explode + wedge explode). r12 (ADVICE
+    // low): the collect is CAPPED at JacMaxDeg+1 inside the aggregate
+    // buffer — a mega-hub customer costs O(cap) memory, not O(deg);
+    // every group that hits the cap is one the size-filter drops, and
+    // every survivor was collected in full, so the output is
+    // bit-identical to collect-then-filter (same ObjectHashAggregate
+    // path as collect_list — a memory bound, not a plan change).
     val lists = pairs.groupBy("c")
-      .agg(array_sort(collect_list("p")).as("ps"))
+      .agg(array_sort(
+        graft.functions.Native.collectCappedLong(col("p"), JacMaxDeg + 1))
+        .as("ps"))
       .filter(size(col("ps")) <= JacMaxDeg)
       .localCheckpoint(true)
     val suppDeg = lists.select(explode(col("ps")).as("p"))
@@ -434,7 +451,17 @@ object GraphQueries {
       // |suppliers|-bounded dimension — broadcast EXPLICITLY so the
       // static planner never stages a sort-merge shuffle of the wedge
       // frame that AQE then has to un-plan (r11 ScaleSpec plan pin:
-      // exactly the two aggregate exchanges downstream of the lists)
+      // exactly the two aggregate exchanges downstream of the lists).
+      // SIZE ASSUMPTION (r12, ADVICE low — a deliberate pin, not an
+      // oversight): suppDeg is one (int64, int64) row per supplier —
+      // TPC-H's supplier dimension is 10k rows/SF, so even SF 10k
+      // (~10 TB of lineitem) broadcasts ~1.6 GB, inside executor
+      // memory at cluster scale; a corpus whose "supplier" side is
+      // NOT dimension-like should shuffle the wedge frame instead
+      // (drop the hint, let AQE decide) — the unconditional hint is
+      // chosen because a silent sort-merge fallback here would
+      // re-shuffle the |pairs|-scale wedge frame and ScaleSpec pins
+      // the two-exchange plan.
       .join(broadcast(suppDeg.select(col("p").as("pa"), col("d").as("da"))),
         "pa")
       .join(broadcast(suppDeg.select(col("p").as("pb"), col("d").as("db"))),
@@ -525,22 +552,26 @@ object GraphQueries {
     var deg = deg0
     val summaries = Seq.newBuilder[DataFrame]
     for (r <- 1 to CoreRounds) {
-      // a_r = survivors of this round's >= K test on deg(e_{r-1}).
-      // The checkpoint stays (r10 audit): dropping it and letting the
-      // two semi-join broadcasts re-derive the filter off the deg
-      // checkpoint MEASURED one job MORE per run (18 -> 19 in the
-      // job-count probe — each broadcast recomputes separately),
-      // so unlike label_prop's round-1 trim this one isn't free
-      val alive = deg.filter(col("deg") >= k)
-        .select(col("src").as("node")).localCheckpoint(true)
       summaries += deg.filter(col("deg") >= k)
         .agg(count(lit(1)).as("n_alive"), sum("deg").as("deg_sum"),
           sum("src").as("id_sum"))
         .select(lit(r).as("round"), lit(k).as("k"), col("n_alive"),
           col("deg_sum"), col("id_sum"))
-      // degrees in the graph induced on a_r, for the next round's test
-      if (r < CoreRounds)
+      // degrees in the graph induced on a_r, for the next round's test.
+      // a_r = survivors of this round's >= K test on deg(e_{r-1}).
+      // The checkpoint stays (r10 audit): dropping it and letting the
+      // two semi-join broadcasts re-derive the filter off the deg
+      // checkpoint MEASURED one job MORE per run (18 -> 19 in the
+      // job-count probe — each broadcast recomputes separately),
+      // so unlike label_prop's round-1 trim this one isn't free.
+      // r12: alive moved INSIDE the guard — the last round never peels,
+      // so its alive checkpoint was a |nodes|-row materialization
+      // nothing read (probe: 18 -> 17 jobs, oracle hash unchanged)
+      if (r < CoreRounds) {
+        val alive = deg.filter(col("deg") >= k)
+          .select(col("src").as("node")).localCheckpoint(true)
         deg = corePeelStep(edges, alive).localCheckpoint(true)
+      }
     }
     summaries.result().reduce(_ unionByName _).orderBy("round")
   }

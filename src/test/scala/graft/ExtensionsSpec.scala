@@ -127,6 +127,40 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(sqlRows.sameElements(colRows))
   }
 
+  test("collectCappedLong equals collect_list under the cap and hard-bounds over it") {
+    // 8 partitions force real partial-buffer MERGES, not just updates
+    val df = spark.range(0, 1000)
+      .select((col("id") % 50).as("g"), col("id").as("v"))
+      .repartition(8)
+    // 20 elements/group, cap 21: no group hits the cap → bit-identical
+    // to collect_list once sorted (the graph_jaccard survivor path)
+    val capped = df.groupBy("g")
+      .agg(array_sort(graft.functions.Native.collectCappedLong(col("v"), 21))
+        .as("ps"))
+      .orderBy("g").collect()
+    val full = df.groupBy("g")
+      .agg(array_sort(collect_list("v")).as("ps"))
+      .orderBy("g").collect()
+    assert(capped.sameElements(full))
+    // 100 elements/group, cap 21: every group is clamped at EXACTLY
+    // cap (the filter-side signal: size > JacMaxDeg ⇒ drop), and the
+    // kept elements are genuine group members (arrival-order subset)
+    val over = spark.range(0, 1000)
+      .select((col("id") % 10).as("g"), col("id").as("v"))
+      .repartition(8)
+      .groupBy("g")
+      .agg(graft.functions.Native.collectCappedLong(col("v"), 21).as("ps"))
+      .collect()
+    assert(over.length == 10)
+    over.foreach { r =>
+      val g = r.getLong(0)
+      val ps = r.getSeq[Long](1)
+      assert(ps.length == 21, s"group $g kept ${ps.length}, want exactly cap")
+      assert(ps.forall(v => v % 10 == g), s"group $g kept a non-member")
+      assert(ps.distinct.length == 21, s"group $g duplicated an element")
+    }
+  }
+
   test("minhash_sig rejects a non-literal perms argument") {
     Tables.t(spark, sf, "documents").limit(1)
       .createOrReplaceTempView("ext_docs_bad")
