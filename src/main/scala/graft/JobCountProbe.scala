@@ -37,8 +37,12 @@ object JobCountProbe {
       val q = SparkEntry.queries(name)
       if (!cold) {
         q(spark, sfDir).write.mode("overwrite").format("noop").save() // warm
-        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
       }
+      // drain in BOTH modes (r12, ADVICE low): in cold mode the warm
+      // run is skipped, but session/table-setup jobs' async onJobStart
+      // events can still be in flight — without the drain they race
+      // jobs.set(0) and inflate the first query's cold count
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
       jobs.set(0)
       // wall time of the SAME warm execution the count describes — a
       // job trim that merely shifts work into fewer, fatter jobs
