@@ -7,7 +7,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * or the post-first pass totals disperse >1.3× (catches UNIFORM
   * host load, which no per-query spread test can see, and
   * noisy-last-pass runs, which the improvement test alone misreads
-  * as converged) → up to 3 TARGETED extra passes over only the queries whose
+  * as converged); a HOT run — any pass >2× the quietest — raises the
+  * budget to floor 6 / cap 8 (r12, see [[passBudget]]) → up to 3
+  * TARGETED extra passes over only the queries whose
   * pass spread exceeded 2× (re-measuring spiky noise victims until
   * their min stops improving >10%). The RECORDED number thus
   * converges to the quiet-host number even when early passes ran
@@ -147,6 +149,26 @@ object Bench {
   private[graft] def highSpread(vs: Seq[Double]): Boolean =
     vs.nonEmpty && vs.forall(_ >= 0) && vs.min > 0 &&
       vs.max / vs.min > 2.0 && vs.max - vs.min > 0.1
+  /** Hot-run fingerprint (r12, verdict item 1b): some full pass ran
+    * >2× the quietest — the run demonstrably crossed a heavy
+    * external-load window (the r11 driver run: pass totals
+    * 410.8/264.1/188.1/190.8/183.9, contention 2.234, recorded 166.1 s
+    * where the same tree measured 152.5 s on a quieter host). The
+    * per-query min is monotone, so the only recording-side lever
+    * against a hot run is MORE SAMPLES in (hopefully) quieter air.
+    * min > 0 guards the all-failed-pass degenerate. */
+  private[graft] def hotRun(passTotals: Seq[Double]): Boolean =
+    passTotals.size >= 2 && passTotals.min > 0 &&
+      passTotals.max / passTotals.min > 2.0
+  /** Full-pass (floor, cap) given the totals so far: a quiet run keeps
+    * the r9 protocol exactly (3 base passes, adaptive to 6); a HOT run
+    * gets a floor of 6 — the convergence tests may not stop it early,
+    * because "the last 3 passes agree" on a uniformly-loaded host
+    * means the NOISE converged, not the measurement — and a cap of 8,
+    * two more chances at a quiet window. Wall cost is bounded and only
+    * paid on runs whose recorded number is already suspect. */
+  private[graft] def passBudget(passTotals: Seq[Double]): (Int, Int) =
+    if (hotRun(passTotals)) (6, 8) else (3, 6)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -218,6 +240,14 @@ object Bench {
     //       later passes land in quieter air; the min is monotone, so
     //       extra passes can only improve accuracy at the cost of
     //       wall time, and a quiet run stops at 3 passes.
+    //       r12 (verdict 1b): a HOT run — any pass total >2× the
+    //       quietest — raises the pass budget to floor 6 / cap 8.
+    //       The r11 driver run (410.8/264.1/188.1/190.8/183.9)
+    //       stopped at 5 with the convergence tests satisfied, but on
+    //       a uniformly-loaded host "the last 3 passes agree" means
+    //       the NOISE converged; the only honest response is more
+    //       samples, paid only on runs whose recording is already
+    //       suspect.
     //   (3) TARGETED re-measurement of the spiky tail: queries whose
     //       pass spread exceeds 2× (and >0.1 s absolute — micro-query
     //       ratios are noise) are re-measured in up to 3 extra passes
@@ -263,9 +293,13 @@ object Bench {
       after2
     }
     var curTotal = totalNow
-    while (fullPassTotals.size < 6 &&
-        (converging(prevTotal, curTotal) ||
-          tailDispersed(fullPassTotals.toSeq))) {
+    while ({
+      val (floor, cap) = passBudget(fullPassTotals.toSeq)
+      fullPassTotals.size < cap &&
+        (fullPassTotals.size < floor ||
+          converging(prevTotal, curTotal) ||
+          tailDispersed(fullPassTotals.toSeq))
+    }) {
       fullPass()
       prevTotal = curTotal
       curTotal = totalNow

@@ -96,6 +96,29 @@ class VerifySpec extends AnyFunSuite with SparkFixture {
     assert(!Bench.highSpread(Seq(0.09, 0.03, 0.04)), "micro-query ratios are noise")
     assert(!Bench.highSpread(Seq(1.0, 1.5, 1.2)), "sub-2x spread")
     assert(!Bench.highSpread(Seq(8.4, -1.0, 2.5)), "failed pass disqualifies")
+
+    // r12 (verdict 1b): HOT-run fingerprint and the raised pass budget.
+    // The r11 driver run (410.8/264.1/188.1/190.8/183.9, contention
+    // 2.234) stopped at 5 passes with both convergence tests satisfied
+    // — on a uniformly-loaded host "the last 3 agree" means the noise
+    // converged, so a hot run must get floor 6 / cap 8 instead:
+    val r11Driver = Seq(410.8, 264.1, 188.1, 190.8, 183.9)
+    assert(Bench.hotRun(r11Driver))
+    assert(Bench.passBudget(r11Driver) == ((6, 8)))
+    // ...and with 5 passes < floor 6, the loop keeps running even
+    // though converging/tailDispersed both say stop (the exact state
+    // where the r11 recording left 14 s of recoverable inflation):
+    assert(!Bench.converging(167.0, 166.1) &&
+      !Bench.tailDispersed(r11Driver) && r11Driver.size < 6)
+    // quiet-host fingerprints keep the r9 protocol exactly — a slow
+    // COLD pass 1 (210/154/154, ratio 1.36) is not a hot run:
+    assert(!Bench.hotRun(Seq(210.0, 154.4, 153.6)))
+    assert(Bench.passBudget(Seq(210.0, 154.4, 153.6)) == ((3, 6)))
+    // boundary + degenerate guards:
+    assert(Bench.hotRun(Seq(100.0, 49.0)), "just past 2x")
+    assert(!Bench.hotRun(Seq(100.0, 51.0)), "inside 2x")
+    assert(!Bench.hotRun(Seq(100.0, 0.0)), "all-failed pass never divides")
+    assert(!Bench.hotRun(Seq(100.0)), "one pass has no ratio")
   }
 
   test("every declared query has a COVERAGE.md row") {
