@@ -107,10 +107,15 @@ object GraphQueries {
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
     val edges = coreEdges(s, dir)
     var ranks = pagerankRanks1(s, dir, edges)
-    for (_ <- 2 to PrIters) {
+    for (i <- 2 to PrIters) {
       // eager checkpoint: iteration i's plan starts from materialized
-      // partitions, not iteration i-1's full plan
-      ranks = pagerankStep(edges, ranks).localCheckpoint(true)
+      // partitions, not iteration i-1's full plan. The FINAL round is
+      // exempt (r12, the label_prop tail lesson): its ranks feed no
+      // further iteration — exactly one consumer, the output
+      // projection — so the last step fuses into it instead of paying
+      // a |nodes|-row materialization nothing re-reads
+      val step = pagerankStep(edges, ranks)
+      ranks = if (i < PrIters) step.localCheckpoint(true) else step
     }
     ranks.select("node", "pr").orderBy("node")
   }
@@ -219,12 +224,15 @@ object GraphQueries {
     // levels(i) = nodes first discovered at hop i; levels(0) = seeds
     val levels = scala.collection.mutable.ArrayBuffer(seeds)
     var frontier = seeds
-    for (_ <- 1 to BfsMaxHops) {
+    for (hop <- 1 to BfsMaxHops) {
       val visited = levels.reduce(_ union _)
-      val next = frontier.join(edges, col("node") === col("src"))
+      val step = frontier.join(edges, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
-        .localCheckpoint(true)
+      // the LAST hop's frontier feeds no further round — exactly one
+      // consumer (the final union/aggregate), so its checkpoint was a
+      // pure extra materialization (r12, the label_prop tail lesson)
+      val next = if (hop < BfsMaxHops) step.localCheckpoint(true) else step
       levels += next
       frontier = next
     }
@@ -270,12 +278,13 @@ object GraphQueries {
         col("c_nationkey").cast("int").as("cls"))
     val levels = scala.collection.mutable.ArrayBuffer(seeds)
     var frontier = seeds
-    for (_ <- 1 to BfsMaxHops) {
+    for (hop <- 1 to BfsMaxHops) {
       val visited = levels.reduce(_ union _)
-      val next = frontier.join(edges, col("node") === col("src"))
+      val step = frontier.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), col("cls")).distinct()
         .join(visited, Seq("node", "cls"), "left_anti")
-        .localCheckpoint(true)
+      // last-hop checkpoint exemption — see [[graphBfs]] (r12)
+      val next = if (hop < BfsMaxHops) step.localCheckpoint(true) else step
       levels += next
       frontier = next
     }
