@@ -464,6 +464,52 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("BatchState: multi-partition state versions commit, merge, evict and replay-skip") {
+    // the 100 TB state-store shape (r11 verdict item 5a): at cluster
+    // scale a sink's state frame is MANY parquet part files per
+    // version, so the commit protocol must version/evict whole
+    // multi-file dirs and a replay after the predecessor's eviction
+    // must still no-op — nothing in the prior unit tests exercised a
+    // version with partition count > 1
+    import graft.streaming.BatchState
+    val root = java.nio.file.Files.createTempDirectory("graft_bstate").toString
+    val st = s"$root/state"
+    def parts(v: Long): Int =
+      Option(new java.io.File(s"$st/v$v").listFiles()).getOrElse(Array.empty)
+        .count(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+    try {
+      BatchState.swap(spark, st, 0L) { prev =>
+        assert(prev.isEmpty)
+        spark.range(0, 1000)
+          .select(col("id").as("k"), lit(1L).as("n")).repartition(8)
+      }
+      assert(parts(0) == 8, s"v0 wrote ${parts(0)} part files, want 8")
+      BatchState.swap(spark, st, 1L) { prev =>
+        prev.get.union(spark.range(1000, 2000)
+          .select(col("id").as("k"), lit(1L).as("n")).repartition(8))
+      }
+      assert(parts(1) > 1, "merged version collapsed to one partition")
+      // the whole 8-file v0 dir is evicted once v1 commits
+      assert(!new java.io.File(s"$st/v0").exists(),
+        "superseded multi-file version not evicted")
+      assert(BatchState.read(spark, st).count() == 2000)
+      // replay of batch 1 AFTER v0's eviction (the at-least-once
+      // window, post-eviction flavor): must skip the merge entirely
+      BatchState.swap(spark, st, 1L) { _ =>
+        fail("replay of a committed batch must not re-run its merge")
+      }
+      assert(BatchState.read(spark, st).count() == 2000)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("BatchState: a partial version dir (death DURING the write) is overwritten from the predecessor") {
     import graft.streaming.BatchState
     val root = java.nio.file.Files.createTempDirectory("graft_bstate").toString
