@@ -534,11 +534,15 @@ object DedupQueries {
     val labels = e.groupBy("u").agg(fmin("v").as("comp"))
       .select(col("u").as("doc_id"), col("comp"))
     // left join: large-star drops self-loops, so an isolated node can
-    // leave the edge set entirely — it is its own component
-    val out = nodes.join(labels, Seq("doc_id"), "left_outer")
+    // leave the edge set entirely — it is its own component.
+    // No tail checkpoint (r12, the label_prop tail lesson): this frame
+    // feeds no further iteration and its lineage is O(1) off the
+    // converged edge checkpoint, so materializing it here paid a
+    // |nodes|-row job per run that the single downstream consumer
+    // re-derives in one cheap join anyway (probe: 26 → 25 jobs,
+    // warm wall 2.56 → 2.29 s at sf0.1).
+    nodes.join(labels, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
-      .localCheckpoint(true)
-    out
   }
 
   /** Order-insensitive edge-set fingerprint for the convergence test:
