@@ -431,11 +431,16 @@ object InferenceQueries {
           expr("sum(x * r) div count(1)").as("dan"),
           expr("sum(r) div count(1)").as("dbn"),
           min("a").as("a0"), min("b").as("b0"))
-      val row = st.select(lit(it).as("iter"),
+      val rowPlan = st.select(lit(it).as("iter"),
         (col("a0") - expr(s"dan div $TrainLrDen")).as("w_slope"),
         (col("b0") - expr(s"dbn div $TrainLrDen")).as("w_bias"),
         col("loss").as("loss_scaled"))
-        .localCheckpoint(true)
+      // intermediate iterations have TWO consumers (the next
+      // iteration's broadcast weights + the output union) — the
+      // checkpoint stays; the LAST iteration feeds only the union, so
+      // its checkpoint was one full-data aggregate job nothing re-read
+      // (r12, the label_prop tail lesson)
+      val row = if (it < TrainIters) rowPlan.localCheckpoint(true) else rowPlan
       w = row.select(col("w_slope").as("a"), col("w_bias").as("b"))
       row
     }

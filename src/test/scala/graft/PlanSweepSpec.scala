@@ -43,6 +43,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkFixture {
     "sample_balance", // crossJoin carries the broadcast 1-row minority count
     "agg_rfm", // crossJoins carry broadcast 1-row day-max/threshold frames
     "stream_rfm", // rfmAssemble's broadcast 1-row frames (shared with agg_rfm)
+    "infer_train", // the LAST GD iteration's broadcast 1-row weight crossJoin — visible in the declared plan since the r12 tail-checkpoint trim (it always ran per-iteration; the checkpoint only hid it from this sweep)
     "win_cusum", // crossJoin carries the broadcast 1-row drift constant
     "sim_mmr", // broadcast 1-row query + broadcast 16-row pool pairwise join
     "agg_hhi", // crossJoin carries the broadcast 1-row revenue total
