@@ -196,7 +196,8 @@ object Bench {
     Seq("join_bucketed", "join_dpp", "source_merge_schema",
         "sink_partitioned", "sink_ts_roundtrip", "sink_ann_index",
         "stream_file_sink", "stream_foreachbatch", "stream_scd2",
-        "stream_concurrency", "stream_minhash", "stream_transformwithstate",
+        "stream_concurrency", "stream_minhash", "stream_jaccard",
+        "stream_transformwithstate",
         "stream_ann_index",
         "sink_zorder", "sink_json_roundtrip",
         "sink_orc_roundtrip").foreach(n =>

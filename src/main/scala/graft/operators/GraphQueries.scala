@@ -774,7 +774,9 @@ object GraphQueries {
          |ORDER BY n_members DESC, label LIMIT 20""".stripMargin
   }
 
-  private def jaccardOracle: String =
+  // private[graft]: stream_jaccard declares this oracle VERBATIM (the
+  // incremental twin must equal the one-shot batch answer)
+  private[graft] def jaccardOracle: String =
     s"""WITH pairs AS (
        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

@@ -694,6 +694,174 @@ object StreamQueries {
     BatchState.read(s, pairPath).orderBy("doc_a", "doc_b")
   }
 
+  /** Micro-batch count for [[streamJaccard]] (orders chunked by id). */
+  val JaccardChunks = 3
+
+  /** Incremental neighbor-set JACCARD similarity — the streaming twin
+    * of graph_jaccard (r11 verdict item 5b; the last sanctioned twin).
+    * New orders arrive forever; re-running the wedge join over the
+    * whole co-purchase graph per shard is the O(n²-over-time) trap.
+    * Three stores, exactly the shapes that scale:
+    *
+    *  - `edges/`: the deduplicated (customer, supplier) edge set —
+    *    APPEND-ONLY batch-keyed dirs (the stream_minhash band-store
+    *    pattern): each batch anti-joins its distinct edges against the
+    *    committed dirs and writes ONLY the genuinely-new ones to its
+    *    own overwrite-idempotent `b<bid>` dir, so every edge lives in
+    *    exactly one dir and a replay rewrites the same bytes;
+    *  - `wedges/`: the accumulated (pa, pb, common) shared-customer
+    *    counts, BatchState-versioned, merged by summing deltas;
+    *  - `suppdeg/`: the supplier degrees ON THE CAPPED GRAPH,
+    *    BatchState-versioned, same delta merge.
+    *
+    * The delta algebra handles [[graft.operators.GraphQueries
+    * .JacMaxDeg]]'s hub cut incrementally with BOUNDED retractions —
+    * the classic incremental-view-maintenance move. Per batch, per
+    * customer with new edges (o = prior degree, n = o + new):
+    *
+    *  - n ≤ cap (still counted): +1 wedges for new×old and
+    *    within-new pairs, +1 degree per new supplier — cumulative
+    *    over batches this counts each pair of the final set exactly
+    *    once, when its second member arrives;
+    *  - o ≤ cap < n (CROSSES the cap this batch): retract the ≤
+    *    C(cap,2) wedges and ≤ cap degrees its old set contributed —
+    *    bounded by the cap, never by the hub's true degree — and add
+    *    nothing; the degree only grows, so the customer never
+    *    re-enters (exactly the batch semantics: final deg > cap ⇒
+    *    contributes nothing);
+    *  - o > cap (already out): nothing.
+    *
+    * Both per-customer lists ride [[graft.functions.Native
+    * .collectCappedLong]] (cap+1), so a mega-hub costs O(cap) buffer
+    * here too — whenever a list is actually READ by the algebra above
+    * it is complete by the same cap argument as graph_jaccard's.
+    * Serving derives jac_pct + top-[[graft.operators.GraphQueries
+    * .JacTopK]] from the two stores with graph_jaccard's exact
+    * expressions; the oracle is its generated SQL VERBATIM. */
+  def streamJaccard(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GraphQueries.{JacMaxDeg, JacTopK}
+    val base = stagingBase("jaccard", s, dir)
+    val raw = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"),
+        col("l_suppkey").as("p"))
+    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+      val maxOk = raw.agg(max("ok")).head().getLong(0)
+      val w = maxOk / JaccardChunks + 1
+      stageChunks(raw, base, s"ok div $w")
+    }
+    val (edgePath, cntPath, degPath) =
+      (s"$base/edges", s"$base/wedges", s"$base/suppdeg")
+    import org.apache.spark.sql.Column
+    // unordered pairs {x, y} with x from `xs`, y from `ys` (disjoint),
+    // canonicalized pa < pb — the wedge emission shape
+    def crossPairs(xs: Column, ys: Column): Column =
+      flatten(transform(xs, x => transform(ys,
+        y => struct(least(x, y).as("pa"), greatest(x, y).as("pb")))))
+    // unordered pairs within one duplicate-free array, each once
+    // (graph_jaccard's within-list explode; slice clamps at the end)
+    def withinPairs(xs: Column): Column =
+      flatten(transform(xs, (x, i) =>
+        transform(slice(xs, i + 2, size(xs)),
+          y => struct(least(x, y).as("pa"), greatest(x, y).as("pb")))))
+    val q = s.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          bid: Long) =>
+        val sess = batch.sparkSession
+        val batchEdges = batch.select("c", "p").distinct()
+        // committed edge dirs STRICTLY below this batch — a replay
+        // must not see its own first attempt's dir, so the delta it
+        // derives is reproducible (the readBelow discipline applied
+        // to the append-only store)
+        val knownDirs = Option(new java.io.File(edgePath).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("b") &&
+            f.getName.drop(1).forall(_.isDigit) &&
+            f.getName.drop(1).toLong < bid &&
+            new java.io.File(f, "_SUCCESS").exists())
+          .map(_.getAbsolutePath).sorted
+        val known = if (knownDirs.isEmpty) batchEdges.filter(lit(false))
+          else sess.read.parquet(knownDirs.toIndexedSeq: _*)
+        // genuinely-new edges only; reused by the dir append, the
+        // delta grouping and the old-list probe — materialize once
+        val adds = batchEdges.join(known, Seq("c", "p"), "left_anti")
+          .localCheckpoint(true)
+        adds.write.mode("overwrite").parquet(s"$edgePath/b$bid")
+        BatchState.maybeCrash(edgePath, bid)
+        // per-customer (prior degree, prior list) for customers that
+        // gained edges; lists capped at cap+1 — complete whenever read
+        val oldLists = known
+          .join(adds.select("c").distinct(), Seq("c"), "left_semi")
+          .groupBy("c").agg(count(lit(1)).as("o_n"),
+            graft.functions.Native.collectCappedLong(col("p"), JacMaxDeg + 1)
+              .as("old_ps"))
+        val st = adds.groupBy("c").agg(count(lit(1)).as("a_n"),
+            graft.functions.Native.collectCappedLong(col("p"), JacMaxDeg + 1)
+              .as("add_ps"))
+          .join(oldLists, Seq("c"), "left_outer")
+          .select(col("c"), col("a_n"), col("add_ps"),
+            coalesce(col("o_n"), lit(0L)).as("o_n"),
+            coalesce(col("old_ps"), array().cast("array<bigint>"))
+              .as("old_ps"))
+          .withColumn("counted_now", col("o_n") + col("a_n") <= JacMaxDeg)
+          .withColumn("crossed",
+            col("o_n") <= JacMaxDeg && col("o_n") + col("a_n") > JacMaxDeg)
+          .localCheckpoint(true) // two consumers: wedge + degree deltas
+        val wedgeDelta = st.select(
+            when(col("counted_now"),
+              concat(withinPairs(col("add_ps")),
+                crossPairs(col("add_ps"), col("old_ps"))))
+              .when(col("crossed"), withinPairs(col("old_ps")))
+              .otherwise(array().cast("array<struct<pa:bigint,pb:bigint>>"))
+              .as("ws"),
+            when(col("counted_now"), lit(1L)).otherwise(lit(-1L)).as("dc"))
+          .select(explode(col("ws")).as("w"), col("dc"))
+          .groupBy(col("w.pa").as("pa"), col("w.pb").as("pb"))
+          .agg(sum("dc").as("dc"))
+        BatchState.swap(sess, cntPath, bid) { prev =>
+          prev.fold(wedgeDelta.select(col("pa"), col("pb"),
+              col("dc").as("common")))(p =>
+            p.select(col("pa"), col("pb"), col("common"))
+              .unionByName(wedgeDelta.select(col("pa"), col("pb"),
+                col("dc").as("common")))
+              .groupBy("pa", "pb").agg(sum("common").as("common")))
+            .filter(col("common") > 0)
+        }
+        // two-store window: wedges committed, degrees not — the swap's
+        // own maybeCrash(cntPath, bid) hook fires here for the test
+        val degDelta = st.select(
+            when(col("counted_now"), col("add_ps"))
+              .when(col("crossed"), col("old_ps"))
+              .otherwise(array().cast("array<bigint>")).as("ps"),
+            when(col("counted_now"), lit(1L)).otherwise(lit(-1L)).as("dd"))
+          .select(explode(col("ps")).as("p"), col("dd"))
+          .groupBy("p").agg(sum("dd").as("dd"))
+        BatchState.swap(sess, degPath, bid) { prev =>
+          prev.fold(degDelta.select(col("p"), col("dd").as("d")))(pv =>
+            pv.select(col("p"), col("d"))
+              .unionByName(degDelta.select(col("p"), col("dd").as("d")))
+              .groupBy("p").agg(sum("d").as("d")))
+            .filter(col("d") > 0)
+        }
+      }
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val deg = BatchState.read(s, degPath)
+    BatchState.read(s, cntPath)
+      .join(broadcast(deg.select(col("p").as("pa"), col("d").as("da"))), "pa")
+      .join(broadcast(deg.select(col("p").as("pb"), col("d").as("db"))), "pb")
+      .withColumn("jac_pct",
+        expr("(100 * common) div (da + db - common)"))
+      .select("pa", "pb", "common", "da", "db", "jac_pct")
+      .orderBy(desc("jac_pct"), desc("common"), asc("pa"), asc("pb"))
+      .limit(JacTopK)
+  }
+
   /** INCREMENTAL Count-Min sketch — the streaming twin of
     * agg_cms_estimate (the stream_minhash pattern applied to the
     * frequency sketch): each micro-batch computes its own (row,
@@ -1504,6 +1672,7 @@ object StreamQueries {
     "stream_ohlc" -> streamOhlc,
     "stream_concurrency" -> streamConcurrency,
     "stream_minhash" -> streamMinhash,
+    "stream_jaccard" -> streamJaccard,
     "stream_cms" -> streamCms,
     "stream_basket" -> streamBasket,
     "stream_bloom" -> streamBloom,
@@ -1604,6 +1773,9 @@ object StreamQueries {
     // the incrementally-accumulated pair state must equal the one-shot
     // batch LSH — dedup_minhash's generated oracle verbatim
     "stream_minhash" -> graft.operators.DedupQueries.minhashOracleSql,
+    // the incrementally-maintained wedge/degree stores must serve the
+    // one-shot batch similarity — graph_jaccard's oracle verbatim
+    "stream_jaccard" -> graft.operators.GraphQueries.jaccardOracle,
     // cell-wise integer sums are associative: the merged streaming
     // sketch is bit-identical to the batch sketch, same oracle
     "stream_cms" -> graft.operators.AggQueries.cmsOracleSql,

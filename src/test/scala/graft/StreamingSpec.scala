@@ -419,6 +419,24 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         "(a band row duplicated or a pair lost across the replay)")
   }
 
+  test("stream_jaccard recovers when the crash lands BETWEEN its two stores") {
+    // wedges v1 committed, suppdeg still at v0, checkpoint
+    // uncommitted: the replay must skip the wedge merge (already
+    // committed), re-derive the SAME delta (the edge store read is
+    // bounded strictly below the batch id) and re-run only the degree
+    // merge — any double-applied delta corrupts common/da/db and the
+    // top-k order
+    val rec = crashRecovered(
+      StreamQueries.stagingBase("jaccard", spark, sf) + "/wedges", 1L) {
+      StreamQueries.streamJaccard(spark, sf)
+    }
+    val twin = operators.GraphQueries.graphJaccard(spark, sf)
+      .collect().toIndexedSeq
+    assert(rec == twin,
+      "post-crash similarity diverged from the one-shot batch answer " +
+        "(a wedge double-counted or a degree lost across the replay)")
+  }
+
   test("stream_ann_index recovers exactly-once from a crash after a postings write") {
     val rec = crashRecovered(
       operators.SimilarityQueries.streamAnnBase(spark, sf) + "/postings", 1L) {
