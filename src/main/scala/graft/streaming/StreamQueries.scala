@@ -708,7 +708,11 @@ object StreamQueries {
     *    pattern): each batch anti-joins its distinct edges against the
     *    committed dirs and writes ONLY the genuinely-new ones to its
     *    own overwrite-idempotent `b<bid>` dir, so every edge lives in
-    *    exactly one dir and a replay rewrites the same bytes;
+    *    exactly one dir and a replay rewrites the same bytes. Both
+    *    per-batch probes of this store (the anti-join and the
+    *    old-list read) key on the CUSTOMER, so at cluster scale the
+    *    store is a table bucketed on `c` and a batch reads only its
+    *    own customers' buckets — never the whole corpus;
     *  - `wedges/`: the accumulated (pa, pb, common) shared-customer
     *    counts, BatchState-versioned, merged by summing deltas;
     *  - `suppdeg/`: the supplier degrees ON THE CAPPED GRAPH,
