@@ -104,7 +104,7 @@ class VerifySpec extends AnyFunSuite with SparkFixture {
     // converged, so a hot run must get floor 6 / cap 8 instead:
     val r11Driver = Seq(410.8, 264.1, 188.1, 190.8, 183.9)
     assert(Bench.hotRun(r11Driver))
-    assert(Bench.passBudget(r11Driver) == ((6, 8)))
+    assert(Bench.passBudget(r11Driver, None) == ((6, 8)))
     // ...and with 5 passes < floor 6, the loop keeps running even
     // though converging/tailDispersed both say stop (the exact state
     // where the r11 recording left 14 s of recoverable inflation):
@@ -113,12 +113,70 @@ class VerifySpec extends AnyFunSuite with SparkFixture {
     // quiet-host fingerprints keep the r9 protocol exactly — a slow
     // COLD pass 1 (210/154/154, ratio 1.36) is not a hot run:
     assert(!Bench.hotRun(Seq(210.0, 154.4, 153.6)))
-    assert(Bench.passBudget(Seq(210.0, 154.4, 153.6)) == ((3, 6)))
+    assert(Bench.passBudget(Seq(210.0, 154.4, 153.6), None) == ((3, 6)))
     // boundary + degenerate guards:
     assert(Bench.hotRun(Seq(100.0, 49.0)), "just past 2x")
     assert(!Bench.hotRun(Seq(100.0, 51.0)), "inside 2x")
     assert(!Bench.hotRun(Seq(100.0, 0.0)), "all-failed pass never divides")
     assert(!Bench.hotRun(Seq(100.0)), "one pass has no ratio")
+
+    // r13 (verdict item 1): UNIFORM inflation vs the absolute anchor.
+    // The r12 driver run — passes 287.7/204.1/247.6, contention 1.41,
+    // every pass ~22% above the committed 149.739 s quiet reference —
+    // read as QUIET to every relative predicate and stopped at 3
+    // passes, recording 184.0 s (margin 6.0%). The anchor test must
+    // classify exactly that scenario as hot:
+    val r12Driver = Seq(287.696, 204.094, 247.572)
+    val r12Anchor = Some(149.739)
+    assert(!Bench.hotRun(r12Driver), "spread 1.41 — the relative blind spot")
+    assert(!Bench.tailDispersed(r12Driver), "204/248 window reads quiet")
+    assert(Bench.uniformlyHot(r12Driver, r12Anchor))
+    assert(Bench.passBudget(r12Driver, r12Anchor) == ((6, 8)))
+    // ...and without an anchor (absent file / registry-size change)
+    // the protocol degrades to exactly the r12 behavior, never worse:
+    assert(Bench.passBudget(r12Driver, None) == ((3, 6)))
+    // genuinely quiet passes sit within ~15% of the recorded total
+    // (r12: quiet passes 164/171 vs recorded 149.7) — under the line:
+    assert(!Bench.uniformlyHot(Seq(164.0, 171.0, 160.0), r12Anchor))
+    assert(Bench.passBudget(Seq(164.0, 171.0, 160.0), r12Anchor) == ((3, 6)))
+    // a slow cold pass 1 alone never trips it (ALL passes must exceed):
+    assert(!Bench.uniformlyHot(Seq(210.0, 154.4, 153.6), r12Anchor))
+    // degenerate guards: no anchor / one pass / zero anchor
+    assert(!Bench.uniformlyHot(r12Driver, None))
+    assert(!Bench.uniformlyHot(Seq(287.7), r12Anchor))
+    assert(!Bench.uniformlyHot(r12Driver, Some(0.0)))
+
+    // r13 (ADVICE r12): failed passes are marked -1 and excluded from
+    // every pass-total predicate. A deflated partial total must not
+    // fake a >2x spread (old: partial 40.0 vs 110.0 read hot) ...
+    assert(!Bench.hotRun(Seq(-1.0, 100.0, 110.0)))
+    // ... a failed-pass marker must not DISABLE detection either
+    // (old: a 0.0 pass killed hotRun for the whole run via min>0):
+    assert(Bench.hotRun(Seq(-1.0, 100.0, 49.0)))
+    assert(Bench.uniformlyHot(Seq(-1.0, 200.0, 210.0), r12Anchor))
+    assert(Bench.tailDispersed(Seq(210.0, -1.0, 259.0, 197.1, 272.6)))
+
+    // the anchor loader: parses at the matching registry size, refuses
+    // a mismatched size, tolerates absence (exact value checked on a
+    // temp file — the committed file RATCHETS DOWN across bench runs,
+    // so pinning its literal value would break on every quieter run)
+    val tmpAnchor = java.nio.file.Files.createTempFile("graft_anchor", ".json")
+    try {
+      java.nio.file.Files.write(tmpAnchor,
+        "{\"total\": 149.739, \"n_queries\": 290}\n".getBytes("UTF-8"))
+      assert(Bench.readAnchor(tmpAnchor.toString, 290).contains(149.739))
+      assert(Bench.readAnchor(tmpAnchor.toString, 291).isEmpty,
+        "anchor must not apply across a registry-size change")
+    } finally java.nio.file.Files.delete(tmpAnchor)
+    assert(Bench.readAnchor("no_such_anchor.json", 290).isEmpty)
+    // the COMMITTED anchor must be live at the current registry size —
+    // uniformlyHot silently disarms when it is stale, so a registry
+    // grower must re-seed it (deliberate friction: growing past the
+    // freeze requires a fresh quiet recording at the new size)
+    assert(Bench.readAnchor("BENCH_ANCHOR.json",
+        SparkEntry.queries.size).nonEmpty,
+      "BENCH_ANCHOR.json is absent or recorded at a stale registry size " +
+        "— uniformlyHot is disarmed; re-seed from a clean recording")
   }
 
   test("every declared query has a COVERAGE.md row") {
