@@ -497,10 +497,19 @@ case class CollectCappedLong(
   require(cap > 0, "cap must be positive")
 
   // int64 children only (AbstractDataType/ExpectsInputTypes is
-  // private[sql], so the contract is enforced at resolution instead
-  // of via inputTypes) — every graph node/key column here is int64
-  override lazy val resolved: Boolean =
-    childrenResolved && child.dataType == LongType
+  // private[sql], so the contract is enforced via checkInputDataTypes
+  // — the public type-check hook, so misuse reports the actual
+  // problem instead of an opaque "unresolved operator" analysis
+  // failure, which is what an overridden `resolved` produced
+  // (r12 ADVICE)) — every graph node/key column here is int64
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"collect_capped_long requires BIGINT input, got " +
+          child.dataType.catalogString)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "collect_capped_long"

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Watermark-aged COMPACTION for the append-only batch-keyed stores
+  * (stream_minhash's `sigs/` band dirs, stream_jaccard's `edges/`
+  * dirs) — the state-lifecycle gap the r12 verdict named: those
+  * stores grow one committed `b<batchId>` dir per micro-batch
+  * FOREVER, and every batch's probe read lists all of them. At 100 TB
+  * a year-old stream would carry hundreds of thousands of dirs whose
+  * mere listing dominates the batch — the dir COUNT must be bounded
+  * even though the row count legitimately grows.
+  *
+  * Layout: rows a batch appends live in `store/b<batchId>` (one
+  * overwrite-idempotent dir per batch, `_SUCCESS`-committed — the
+  * existing pattern, unchanged). Compaction folds AGED dirs — ids ≤
+  * current batch − [[Age]], i.e. dirs no in-flight replay can still
+  * be the writer of — into `store/base`, a [[BatchState]]-versioned
+  * dir whose VERSION IS THE WATERMARK: `base/v<w>` holds exactly the
+  * rows of every batch id ≤ w. Readers take the latest committed base
+  * plus committed b-dirs STRICTLY ABOVE its watermark, so a crash
+  * that leaves both `base/v<w>` and a not-yet-deleted folded `b<j≤w>`
+  * never double-reads a row — the leftover dirs are shadowed by the
+  * watermark until [[compact]]'s next entry deletes them.
+  *
+  * Every crash window is idempotent by construction:
+  *  - die during the `base/v<w>` write → no `_SUCCESS`; the replay
+  *    recomputes the SAME watermark (aged set unchanged) and
+  *    overwrites the partial dir — same bytes;
+  *  - die after `v<w>` commits, before the folded b-dirs are deleted
+  *    → readers already shadow them; the next compact (replay or any
+  *    later batch) deletes every b-dir ≤ the committed watermark
+  *    before looking for new aged dirs;
+  *  - die between deletions → same cleanup, fewer dirs.
+  *
+  * Cost at scale: a fold rewrites the whole base — O(|state|) — so it
+  * must AMORTIZE: it fires only once ≥ [[MinDirs]] aged dirs are
+  * pending, i.e. every ≥ MinDirs batches, putting the per-batch
+  * amortized cost at O(|state| / MinDirs) while the live dir count
+  * stays ≤ Age + MinDirs + 1 (ages-in-window + pending-aged + base).
+  * On a real cluster the base is a bucketed table and the fold is the
+  * table format's compaction job; the watermark/versioning protocol
+  * carries over unchanged. Defaults are production-shaped (the
+  * 3-chunk gate streams never accumulate enough dirs to fold, so the
+  * benched plans are untouched); StreamingSpec forces Age=1/MinDirs=1
+  * to exercise the fold, the bound, and the crash window on an
+  * isolated tree. */
+object AppendStore {
+
+  /** Batches a b-dir must age past before it is foldable: dirs the
+    * current batch or a concurrent replay could still be writing stay
+    * out of compaction's reach. Test knob; production default. */
+  @volatile private[graft] var Age: Int = 4
+  /** Aged dirs required before a fold fires — the amortization lever
+    * (see object doc). Test knob; production default. */
+  @volatile private[graft] var MinDirs: Int = 8
+
+  private def bDirs(storePath: String): Array[(Long, java.io.File)] =
+    Option(new java.io.File(storePath).listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        val n = f.getName
+        if (f.isDirectory && n.length > 1 && n.startsWith("b") &&
+            n.drop(1).forall(_.isDigit)) Some((n.drop(1).toLong, f))
+        else None
+      }
+
+  private def committedBDirs(storePath: String): Array[(Long, java.io.File)] =
+    bDirs(storePath)
+      .filter { case (_, f) => new java.io.File(f, "_SUCCESS").exists() }
+
+  private def basePath(storePath: String): String = s"$storePath/base"
+
+  /** The paths a read of this store should scan: the latest committed
+    * base version (all rows with batch id ≤ its watermark) plus every
+    * committed b-dir above the watermark — optionally restricted to
+    * batch ids strictly below `below` (the replay discipline: a batch
+    * must not see its own first attempt's dir). Sorted for a
+    * deterministic scan order. */
+  private[graft] def readPaths(storePath: String,
+      below: Option[Long]): Seq[String] = {
+    val w = BatchState.latestCommittedVersion(basePath(storePath))
+    // protocol invariant: the watermark is always ≤ someBatch − Age <
+    // any live batch id, so a strictly-below reader can never be asked
+    // to exclude the base. Fail loudly rather than silently serve a
+    // stale predecessor.
+    below.foreach(b => w.foreach(v => require(v < b,
+      s"append-store watermark v$v is not below batch $b under " +
+        s"$storePath — compaction folded a dir some replay still owns")))
+    val fresh = committedBDirs(storePath)
+      .filter { case (id, _) =>
+        w.forall(id > _) && below.forall(id < _)
+      }
+      .map(_._2.getAbsolutePath).sorted.toIndexedSeq
+    w.map(v => s"${basePath(storePath)}/v$v").toSeq ++ fresh
+  }
+
+  /** Fold aged dirs into the versioned base and delete them — called
+    * at the END of each micro-batch, after the batch's own stores
+    * committed. Idempotent across replays (see object doc); a no-op
+    * until ≥ [[MinDirs]] aged dirs are pending. */
+  private[graft] def compact(sess: SparkSession, storePath: String,
+      bid: Long): Unit = {
+    // Age ≥ 1 is what makes readPaths' watermark-below-batch invariant
+    // hold (a fold can never capture the running batch's own dir)
+    require(Age >= 1 && MinDirs >= 1, s"bad knobs: Age=$Age MinDirs=$MinDirs")
+    val base = basePath(storePath)
+    val w0 = BatchState.latestCommittedVersion(base)
+    // re-drive an interrupted deletion first: dirs at or below the
+    // committed watermark are already folded (readers shadow them) —
+    // committed or not, they hold no unfolded rows
+    w0.foreach(v => bDirs(storePath)
+      .filter(_._1 <= v).map(_._2).foreach(rmTree))
+    val aged = committedBDirs(storePath)
+      .filter { case (id, _) => w0.forall(id > _) && id <= bid - Age }
+    if (aged.length >= MinDirs) {
+      val w = aged.map(_._1).max
+      val agedDf = sess.read.parquet(
+        aged.map(_._2.getAbsolutePath).toIndexedSeq: _*)
+      // BatchState.swap keyed by the WATERMARK: v<w> = prior base ∪
+      // aged rows; a replay that recomputes the same watermark skips
+      // the fold (already committed), and its internal maybeCrash hook
+      // gives StreamingSpec the commit-vs-deletion crash window
+      BatchState.swap(sess, base, w) {
+        case Some(prev) => prev.unionByName(agedDf)
+        case None => agedDf
+      }
+      aged.map(_._2).foreach(rmTree)
+    }
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
+}

@@ -40,7 +40,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * At cluster scale this is the minimal homegrown analogue of a
   * transactional table format's commit protocol (snapshot versions +
   * idempotent replay by version id); the sink algebra above it is
-  * unchanged. */
+  * unchanged.
+  *
+  * FILESYSTEM ASSUMPTIONS (r12 ADVICE, documented): the store is
+  * walked with `java.io.File`, so `statePath` must be a LOCAL path —
+  * exactly right for this repo's single-JVM tmp-dir staging; on a real
+  * cluster the same protocol would walk the object store / DFS through
+  * its FileSystem API (the versioned-dir layout itself carries over
+  * unchanged). And the whole commit discipline hangs on the
+  * `_SUCCESS` marker, i.e. on
+  * `mapreduce.fileoutputcommitter.marksuccessfuljobs` staying at its
+  * default `true`: if a config disabled it, every version would look
+  * uncommitted, every batch would merge against `None`, and the state
+  * would silently collapse to the last batch's delta — the gate's
+  * oracle would catch it, production would not. [[swap]] therefore
+  * asserts the marker exists right after the write and fails LOUDLY at
+  * the first commit instead. */
 object BatchState {
 
   /** Test-only crash injection: when set to `(path, batchId)`, the
@@ -80,6 +95,12 @@ object BatchState {
     * test the sinks previously ran against `state/_SUCCESS`). */
   def exists(statePath: String): Boolean = committed(statePath).nonEmpty
 
+  /** Highest committed version id, if any — [[AppendStore]]'s
+    * compaction watermark read (the base version IS the highest batch
+    * id folded into it). */
+  private[streaming] def latestCommittedVersion(statePath: String): Option[Long] =
+    committed(statePath).map(_._1).maxOption
+
   /** Read the latest committed version — the post-stream serving
     * read. Errors loudly if the store is empty: a sink reading state
     * before its first commit is a bug, not an empty result. */
@@ -113,6 +134,15 @@ object BatchState {
       // localCheckpoint materialization needed (or wanted)
       merge(readBelow(sess, statePath, batchId))
         .write.mode("overwrite").parquet(cur)
+      // fail-loud marker check (r12 ADVICE): commit detection reads
+      // _SUCCESS, so a committer config that suppresses it
+      // (marksuccessfuljobs=false) must crash the FIRST write, not
+      // silently make every version look uncommitted and every batch
+      // merge against None
+      require(new java.io.File(cur, "_SUCCESS").exists(),
+        s"state write left no _SUCCESS marker under $cur — is " +
+          "mapreduce.fileoutputcommitter.marksuccessfuljobs disabled? " +
+          "BatchState's exactly-once commit protocol requires it")
     }
     maybeCrash(statePath, batchId)
     // safe once vN is committed: a replay of THIS batch skips the

@@ -630,7 +630,10 @@ object StreamQueries {
     *    APPEND-ONLY, one overwrite-idempotent dir per batch so a
     *    replayed batch rewrites rather than duplicates its rows (no
     *    O(state) rewrite per batch; at cluster scale this is a table
-    *    bucketed by (band, key));
+    *    bucketed by (band, key)). Aged dirs fold into a
+    *    watermark-versioned base ([[AppendStore]], r13) so the dir
+    *    count stays bounded on an endless stream instead of growing
+    *    one dir per batch forever;
     *  - `pairs/`: the accumulated candidate-pair set — bounded by the
     *    true near-dup count, merged by union+distinct (commutative, so
     *    batch order is irrelevant).
@@ -669,12 +672,11 @@ object StreamQueries {
         // two-store crash window (bands committed, pairs not) — the
         // hook lets StreamingSpec prove the replay is idempotent here
         BatchState.maybeCrash(sigPath, bid)
-        val committedSigs = Option(new java.io.File(sigPath).listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("b") &&
-            new java.io.File(f, "_SUCCESS").exists())
-          .map(_.getAbsolutePath).sorted
-        val all = sess.read.parquet(committedSigs.toIndexedSeq: _*)
+        // latest compacted base + committed b-dirs above its watermark
+        // (incl. this batch's own — new-vs-new pairs ride the same
+        // join); the dir COUNT stays bounded, see AppendStore
+        val all = sess.read.parquet(
+          AppendStore.readPaths(sigPath, below = None): _*)
         val fresh = bands.select(col("band"), col("key"), col("doc_id").as("d1"))
           .join(all.select(col("band"), col("key"), col("doc_id").as("d2")),
             Seq("band", "key"))
@@ -686,6 +688,10 @@ object StreamQueries {
           case Some(state) => state.unionByName(fresh).distinct()
           case None => fresh
         }
+        // state-lifecycle maintenance, after the batch's real work:
+        // fold aged band dirs into the watermark-versioned base so the
+        // store's dir count stays bounded on an endless stream
+        AppendStore.compact(sess, sigPath, bid)
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -712,7 +718,9 @@ object StreamQueries {
     *    per-batch probes of this store (the anti-join and the
     *    old-list read) key on the CUSTOMER, so at cluster scale the
     *    store is a table bucketed on `c` and a batch reads only its
-    *    own customers' buckets — never the whole corpus;
+    *    own customers' buckets — never the whole corpus. Aged dirs
+    *    fold into a watermark-versioned base ([[AppendStore]], r13)
+    *    so the dir count stays bounded on an endless stream;
     *  - `wedges/`: the accumulated (pa, pb, common) shared-customer
     *    counts, BatchState-versioned, merged by summing deltas;
     *  - `suppdeg/`: the supplier degrees ON THE CAPPED GRAPH,
@@ -776,19 +784,15 @@ object StreamQueries {
           bid: Long) =>
         val sess = batch.sparkSession
         val batchEdges = batch.select("c", "p").distinct()
-        // committed edge dirs STRICTLY below this batch — a replay
+        // committed edge state STRICTLY below this batch — a replay
         // must not see its own first attempt's dir, so the delta it
         // derives is reproducible (the readBelow discipline applied
-        // to the append-only store)
-        val knownDirs = Option(new java.io.File(edgePath).listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("b") &&
-            f.getName.drop(1).forall(_.isDigit) &&
-            f.getName.drop(1).toLong < bid &&
-            new java.io.File(f, "_SUCCESS").exists())
-          .map(_.getAbsolutePath).sorted
+        // to the append-only store). Reads the latest compacted base
+        // (watermark < bid by the Age ≥ 1 invariant) + the b-dirs
+        // above it, so the dir count stays bounded (AppendStore).
+        val knownDirs = AppendStore.readPaths(edgePath, below = Some(bid))
         val known = if (knownDirs.isEmpty) batchEdges.filter(lit(false))
-          else sess.read.parquet(knownDirs.toIndexedSeq: _*)
+          else sess.read.parquet(knownDirs: _*)
         // genuinely-new edges only; reused by the dir append, the
         // delta grouping and the old-list probe — materialize once
         val adds = batchEdges.join(known, Seq("c", "p"), "left_anti")
@@ -850,6 +854,10 @@ object StreamQueries {
               .groupBy("p").agg(sum("d").as("d")))
             .filter(col("d") > 0)
         }
+        // state-lifecycle maintenance, after all three stores
+        // committed: fold aged edge dirs into the watermark-versioned
+        // base so the dir count stays bounded on an endless stream
+        AppendStore.compact(sess, edgePath, bid)
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

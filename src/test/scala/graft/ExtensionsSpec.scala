@@ -161,6 +161,20 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("collectCappedLong names the type problem on a non-BIGINT child") {
+    // r12 ADVICE: the int64-only contract used to be enforced by
+    // overriding `resolved`, which surfaced as an opaque "unresolved
+    // operator" failure; checkInputDataTypes must name the actual
+    // problem instead
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(5).select(col("id").cast("int").as("v"))
+        .agg(graft.functions.Native.collectCappedLong(col("v"), 3))
+        .collect(): Unit
+    }
+    assert(e.getMessage.contains("collect_capped_long requires BIGINT"),
+      s"expected the named type error, got: ${e.getMessage}")
+  }
+
   test("minhash_sig rejects a non-literal perms argument") {
     Tables.t(spark, sf, "documents").limit(1)
       .createOrReplaceTempView("ext_docs_bad")
