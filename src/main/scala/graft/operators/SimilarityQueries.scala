@@ -357,7 +357,10 @@ object SimilarityQueries {
     *     `cluster` — mode("overwrite") per batch dir, so a replay
     *     after a crash between write and checkpoint-commit is
     *     idempotent (the stream_scd2 exactly-once pattern, applied to
-    *     an append-only layout instead of a merged state swap);
+    *     an append-only layout instead of a merged state swap); aged
+    *     batch dirs fold into a cluster-partitioned watermark base
+    *     ([[graft.streaming.AppendStore]], r13), so the dir count
+    *     stays bounded on an endless ingest stream;
     *  3. top-3 search is served FROM the accumulated postings —
     *     partition discovery over the batch=N/cluster=C directory
     *     tree means search reads only probed lists, the corpus
@@ -421,12 +424,31 @@ object SimilarityQueries {
         // replayed batch rewrites the same bytes — crash-exactly-once
         // by construction; the hook lets StreamingSpec prove it
         graft.streaming.BatchState.maybeCrash(postingsDir, batchId)
+        // state-lifecycle maintenance (r13, the AppendStore protocol):
+        // fold aged batch dirs into a watermark-versioned base —
+        // PARTITIONED BY cluster so list pruning survives the fold —
+        // bounding the dir count on an endless ingest stream
+        graft.streaming.AppendStore.compact(batch.sparkSession,
+          postingsDir, batchId, dirPrefix = "batch=",
+          basePartitionBy = Seq("cluster"))
       }
       .option("checkpointLocation", s"$base/chk")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val corpus = s.read.parquet(postingsDir)
+    // served through AppendStore.readPaths: the latest compacted base
+    // + batch dirs above its watermark (plain discovery over the store
+    // root would trip over the base/ dir, and must not double-read a
+    // folded-but-not-yet-deleted batch dir after a crash). Each root
+    // is read SEPARATELY and unioned — one multi-path read would try
+    // to infer a single partition spec across base/v<w> and batch=<id>
+    // roots and fail; per-root discovery keeps each side's
+    // cluster=<c>/ layout, and the cluster filter pushes into every
+    // union branch, so probed-list pruning is unchanged
+    val corpus = graft.streaming.AppendStore
+      .readPaths(postingsDir, below = None, dirPrefix = "batch=")
+      .map(s.read.parquet(_))
+      .reduce(_.unionByName(_))
       .select(col("vec_id").as("n_id"), col("embedding").as("ce"),
         col("cluster").cast("int").as("cluster"))
       .withColumn("cnorm", norm(col("ce")))

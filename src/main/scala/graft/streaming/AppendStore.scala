@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Watermark-aged COMPACTION for the append-only batch-keyed stores
   * (stream_minhash's `sigs/` band dirs, stream_jaccard's `edges/`
-  * dirs) — the state-lifecycle gap the r12 verdict named: those
-  * stores grow one committed `b<batchId>` dir per micro-batch
-  * FOREVER, and every batch's probe read lists all of them. At 100 TB
+  * dirs, stream_ann_index's `postings/` batch dirs) — the
+  * state-lifecycle gap the r12 verdict named: those stores grow one
+  * committed per-batch dir FOREVER, and every read lists all of them. At 100 TB
   * a year-old stream would carry hundreds of thousands of dirs whose
   * mere listing dominates the batch — the dir COUNT must be bounded
   * even though the row count legitimately grows.
@@ -55,17 +55,25 @@ object AppendStore {
     * (see object doc). Test knob; production default. */
   @volatile private[graft] var MinDirs: Int = 8
 
-  private def bDirs(storePath: String): Array[(Long, java.io.File)] =
+  // `dirPrefix` generalizes the batch-dir naming across the three
+  // stores: "b" (minhash sigs, jaccard edges) and "batch=" (the ANN
+  // postings store, whose hive-style names its per-list cluster=<c>/
+  // sublayout already established)
+  private def bDirs(storePath: String,
+      dirPrefix: String): Array[(Long, java.io.File)] =
     Option(new java.io.File(storePath).listFiles()).getOrElse(Array.empty)
       .flatMap { f =>
         val n = f.getName
-        if (f.isDirectory && n.length > 1 && n.startsWith("b") &&
-            n.drop(1).forall(_.isDigit)) Some((n.drop(1).toLong, f))
+        if (f.isDirectory && n.length > dirPrefix.length &&
+            n.startsWith(dirPrefix) &&
+            n.drop(dirPrefix.length).forall(_.isDigit))
+          Some((n.drop(dirPrefix.length).toLong, f))
         else None
       }
 
-  private def committedBDirs(storePath: String): Array[(Long, java.io.File)] =
-    bDirs(storePath)
+  private def committedBDirs(storePath: String,
+      dirPrefix: String): Array[(Long, java.io.File)] =
+    bDirs(storePath, dirPrefix)
       .filter { case (_, f) => new java.io.File(f, "_SUCCESS").exists() }
 
   private def basePath(storePath: String): String = s"$storePath/base"
@@ -76,8 +84,8 @@ object AppendStore {
     * batch ids strictly below `below` (the replay discipline: a batch
     * must not see its own first attempt's dir). Sorted for a
     * deterministic scan order. */
-  private[graft] def readPaths(storePath: String,
-      below: Option[Long]): Seq[String] = {
+  private[graft] def readPaths(storePath: String, below: Option[Long],
+      dirPrefix: String = "b"): Seq[String] = {
     val w = BatchState.latestCommittedVersion(basePath(storePath))
     // protocol invariant: the watermark is always ≤ someBatch − Age <
     // any live batch id, so a strictly-below reader can never be asked
@@ -86,7 +94,7 @@ object AppendStore {
     below.foreach(b => w.foreach(v => require(v < b,
       s"append-store watermark v$v is not below batch $b under " +
         s"$storePath — compaction folded a dir some replay still owns")))
-    val fresh = committedBDirs(storePath)
+    val fresh = committedBDirs(storePath, dirPrefix)
       .filter { case (id, _) =>
         w.forall(id > _) && below.forall(id < _)
       }
@@ -99,18 +107,21 @@ object AppendStore {
     * committed. Idempotent across replays (see object doc); a no-op
     * until ≥ [[MinDirs]] aged dirs are pending. */
   private[graft] def compact(sess: SparkSession, storePath: String,
-      bid: Long): Unit = {
+      bid: Long, dirPrefix: String = "b",
+      basePartitionBy: Seq[String] = Nil): Unit = {
     // Age ≥ 1 is what makes readPaths' watermark-below-batch invariant
-    // hold (a fold can never capture the running batch's own dir)
+    // hold: a fold at batch N only touches ids ≤ N − Age, all of which
+    // the streaming checkpoint committed before N started — no replay
+    // can still be the writer of a folded dir
     require(Age >= 1 && MinDirs >= 1, s"bad knobs: Age=$Age MinDirs=$MinDirs")
     val base = basePath(storePath)
     val w0 = BatchState.latestCommittedVersion(base)
     // re-drive an interrupted deletion first: dirs at or below the
     // committed watermark are already folded (readers shadow them) —
     // committed or not, they hold no unfolded rows
-    w0.foreach(v => bDirs(storePath)
+    w0.foreach(v => bDirs(storePath, dirPrefix)
       .filter(_._1 <= v).map(_._2).foreach(rmTree))
-    val aged = committedBDirs(storePath)
+    val aged = committedBDirs(storePath, dirPrefix)
       .filter { case (id, _) => w0.forall(id > _) && id <= bid - Age }
     if (aged.length >= MinDirs) {
       val w = aged.map(_._1).max
@@ -119,8 +130,10 @@ object AppendStore {
       // BatchState.swap keyed by the WATERMARK: v<w> = prior base ∪
       // aged rows; a replay that recomputes the same watermark skips
       // the fold (already committed), and its internal maybeCrash hook
-      // gives StreamingSpec the commit-vs-deletion crash window
-      BatchState.swap(sess, base, w) {
+      // gives StreamingSpec the commit-vs-deletion crash window.
+      // basePartitionBy keeps a partitioned store's pruning layout
+      // (the ANN postings' cluster=<c>/ dirs) through the fold.
+      BatchState.swap(sess, base, w, basePartitionBy) {
         case Some(prev) => prev.unionByName(agedDf)
         case None => agedDf
       }

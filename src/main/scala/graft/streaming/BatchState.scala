@@ -125,15 +125,20 @@ object BatchState {
     * batch) and returns the NEW full state, which is committed as
     * `statePath/v<batchId>`; superseded versions are evicted after
     * the commit. Replaying an already-committed batch is a no-op. */
-  def swap(sess: SparkSession, statePath: String, batchId: Long)
+  def swap(sess: SparkSession, statePath: String, batchId: Long,
+      partitionBy: Seq[String] = Nil)
       (merge: Option[DataFrame] => DataFrame): Unit = {
     val cur = s"$statePath/v$batchId"
     if (!new java.io.File(cur, "_SUCCESS").exists()) {
       // the merge plan reads the PREDECESSOR version, never `cur`,
       // so the write streams straight off it — no eager
-      // localCheckpoint materialization needed (or wanted)
-      merge(readBelow(sess, statePath, batchId))
-        .write.mode("overwrite").parquet(cur)
+      // localCheckpoint materialization needed (or wanted).
+      // partitionBy (r13): AppendStore's ANN-postings base keeps its
+      // cluster=<c>/ layout through the fold so list pruning survives
+      val w = merge(readBelow(sess, statePath, batchId))
+        .write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(cur)
       // fail-loud marker check (r12 ADVICE): commit detection reads
       // _SUCCESS, so a committer config that suppresses it
       // (marksuccessfuljobs=false) must crash the FIRST write, not

@@ -513,6 +513,55 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("append-store compaction bounds the ANN postings dirs and preserves the served index") {
+    // the third append-only store, and the generalized fold: the base
+    // must come out PARTITIONED BY cluster (probed-list pruning has to
+    // survive compaction) and the served top-3 must still equal the
+    // one-shot persisted index exactly (trainedIvfOracleSql's hash)
+    import graft.streaming.AppendStore
+    val (age0, min0) = (AppendStore.Age, AppendStore.MinDirs)
+    StreamQueries.familySuffix = "xk"
+    try {
+      AppendStore.Age = 1
+      AppendStore.MinDirs = 1
+      val inc = operators.SimilarityQueries.streamAnnIndex(spark, sf)
+        .collect().toIndexedSeq
+      val oneShot = operators.SimilarityQueries.sourceAnnIndex(spark, sf)
+        .collect().toIndexedSeq
+      assert(inc == oneShot,
+        "compacted-index search diverged from the one-shot persisted index")
+      val postings = new java.io.File(
+        operators.SimilarityQueries.streamAnnBase(spark, sf) + "/postings")
+      val bLeft = Option(postings.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.matches("batch=\\d+"))
+        .map(_.getName).sorted
+      // 4 vec_id%4 batches: 1 folds b0 (w=0), 2 folds b1, 3 folds b2 —
+      // only the final batch's own dir may remain above base/v2
+      assert(bLeft.sameElements(Array("batch=3")),
+        s"unbounded store: expected only batch=3, got ${bLeft.toList}")
+      val baseV2 = new java.io.File(postings, "base/v2")
+      assert(new java.io.File(baseV2, "_SUCCESS").exists(),
+        "watermark base version was not committed")
+      assert(Option(baseV2.listFiles()).getOrElse(Array.empty)
+          .exists(f => f.isDirectory && f.getName.startsWith("cluster=")),
+        "the fold lost the cluster=<c>/ pruning layout")
+    } finally {
+      AppendStore.Age = age0
+      AppendStore.MinDirs = min0
+      StreamQueries.familySuffix = ""
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      Option(new java.io.File(System.getProperty("java.io.tmpdir"))
+        .listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_stream_") &&
+          f.getName.contains("xk_"))
+        .foreach(rm)
+    }
+  }
+
   test("stream_ann_index recovers exactly-once from a crash after a postings write") {
     val rec = crashRecovered(
       operators.SimilarityQueries.streamAnnBase(spark, sf) + "/postings", 1L) {
