@@ -197,7 +197,15 @@ object Bench {
     * registry growth), and None disables only THIS test. */
   private[graft] def uniformlyHot(passTotals: Seq[Double],
       anchor: Option[Double]): Boolean = {
-    val vs = validPasses(passTotals)
+    // judged on the FIRST 3 valid passes only, so the predicate is
+    // MONOTONE like hotRun (whose max/min ratio can only grow): a
+    // borderline pass 4 landing just under the line must not collapse
+    // an already-tripped floor-6 budget back to (3,6) mid-remedy — the
+    // budget's extra passes exist precisely to fish for quieter air,
+    // and finding some is the remedy working, not evidence the run was
+    // never hot. A run that turns hot only AFTER a quiet base 3 is
+    // hotRun/tailDispersed's job.
+    val vs = validPasses(passTotals).take(3)
     anchor.exists(a => a > 0 && vs.size >= 2 && vs.forall(_ > a * 1.2))
   }
   /** Full-pass (floor, cap) given the totals so far: a quiet run keeps
@@ -213,6 +221,37 @@ object Bench {
       anchor: Option[Double]): (Int, Int) =
     if (hotRun(passTotals) || uniformlyHot(passTotals, anchor)) (6, 8)
     else (3, 6)
+  /** The full-pass loop's continue test, object-level so VerifySpec
+    * can pin it. Floor and cap count VALID passes (r13: a -1-marked
+    * failed pass contributed no usable sample, so it must not consume
+    * the hot budget's promised floor of 6 — the erosion scenario:
+    * [300,-1,290,310,-1,295] would otherwise exit with 4 usable
+    * samples at "6 passes"), with an ABSOLUTE runaway bound of cap+2
+    * total passes so a persistently-failing query cannot loop the
+    * bench forever chasing a floor it can never fill. */
+  private[graft] def morePasses(passTotals: Seq[Double],
+      anchor: Option[Double], prevTotal: Double,
+      curTotal: Double): Boolean = {
+    val nValid = validPasses(passTotals).size
+    val (floor, cap) = passBudget(passTotals, anchor)
+    nValid < cap && passTotals.size < cap + 2 &&
+      (nValid < floor || converging(prevTotal, curTotal) ||
+        tailDispersed(passTotals))
+  }
+  /** Whether this run's recording may seed or lower BENCH_ANCHOR.json.
+    * Ratcheting DOWN below an existing anchor is always sound — a
+    * lower min-folded total is a strictly better quiet reference
+    * whatever the weather was. SEEDING (no anchor at this registry
+    * size) demands the run itself look quiet: an anchor seeded from an
+    * r12-driver-style uniformly-hot run (contention 1.41, ~22% over
+    * the true floor) would disarm uniformlyHot at exactly the moment
+    * a fresh reference is being established (r13 review finding). */
+  private[graft] def anchorWritable(anchor: Option[Double], total: Double,
+      contention: Double, nValidPasses: Int): Boolean =
+    total > 0 && (anchor match {
+      case Some(a) => total < a
+      case None => contention <= 1.2 && nValidPasses >= 3
+    })
   /** The committed quiet reference for [[uniformlyHot]]: the best
     * RECORDED full-registry total this HEAD's lineage has measured,
     * valid only at the registry size it was recorded at. Read from
@@ -371,13 +410,7 @@ object Bench {
       after2
     }
     var curTotal = totalNow
-    while ({
-      val (floor, cap) = passBudget(fullPassTotals.toSeq, anchor)
-      fullPassTotals.size < cap &&
-        (fullPassTotals.size < floor ||
-          converging(prevTotal, curTotal) ||
-          tailDispersed(fullPassTotals.toSeq))
-    }) {
+    while (morePasses(fullPassTotals.toSeq, anchor, prevTotal, curTotal)) {
       fullPass()
       prevTotal = curTotal
       curTotal = totalNow
@@ -456,10 +489,12 @@ object Bench {
     // becomes the new absolute reference — perf wins lower the anchor
     // without a hand edit, so uniformlyHot stays calibrated to the
     // code's true quiet floor. Never ratchets up; a run with failures
-    // has a deflated total and never seeds. A registry-size change
-    // re-seeds at the new size on its first clean recording.
-    if (only.isEmpty && failed.isEmpty && total > 0 &&
-        anchor.forall(total < _))
+    // has a deflated total and never writes. A registry-size change
+    // re-seeds at the new size on its first clean QUIET recording —
+    // anchorWritable refuses to seed from a hot run (see its doc).
+    if (only.isEmpty && failed.isEmpty &&
+        anchorWritable(anchor, total, contention,
+          passTotalVals.count(_ > 0)))
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_ANCHOR.json"),
         s"""{"total": ${fmt(total)}, "n_queries": ${names.size}}\n"""

@@ -448,7 +448,10 @@ object SimilarityQueries {
     val corpus = graft.streaming.AppendStore
       .readPaths(postingsDir, below = None, dirPrefix = "batch=")
       .map(s.read.parquet(_))
-      .reduce(_.unionByName(_))
+      .reduceOption(_.unionByName(_))
+      // serving an index before its first committed batch is a bug,
+      // not an empty result — fail with the path, like BatchState.read
+      .getOrElse(sys.error(s"no committed postings under $postingsDir"))
       .select(col("vec_id").as("n_id"), col("embedding").as("ce"),
         col("cluster").cast("int").as("cluster"))
       .withColumn("cnorm", norm(col("ce")))

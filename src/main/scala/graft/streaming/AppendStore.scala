@@ -141,9 +141,5 @@ object AppendStore {
     }
   }
 
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-    f.delete(): Unit
-  }
+  private def rmTree(f: java.io.File): Unit = BatchState.rmTree(f)
 }

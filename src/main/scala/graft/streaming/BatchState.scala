@@ -155,7 +155,7 @@ object BatchState {
     versionDirs(statePath).filter(_._1 < batchId).map(_._2).foreach(rmTree)
   }
 
-  private def rmTree(f: java.io.File): Unit = {
+  private[streaming] def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
     f.delete(): Unit

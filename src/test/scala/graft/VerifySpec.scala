@@ -156,6 +156,42 @@ class VerifySpec extends AnyFunSuite with SparkFixture {
     assert(Bench.uniformlyHot(Seq(-1.0, 200.0, 210.0), r12Anchor))
     assert(Bench.tailDispersed(Seq(210.0, -1.0, 259.0, 197.1, 272.6)))
 
+    // r13 review findings, pinned:
+    // (1) uniformlyHot is MONOTONE — judged on the first 3 valid
+    // passes, so a borderline pass 4 under the 1.2x line cannot
+    // collapse an already-tripped floor-6 budget mid-remedy:
+    assert(Bench.uniformlyHot(Seq(200.0, 200.0, 200.0, 175.0), r12Anchor))
+    assert(Bench.passBudget(Seq(200.0, 200.0, 200.0, 175.0), r12Anchor)
+      == ((6, 8)))
+    // ...while a run whose BASE passes were quiet never trips it late:
+    assert(!Bench.uniformlyHot(Seq(160.0, 165.0, 162.0, 300.0), r12Anchor))
+    // (2) floor/cap count VALID passes — a failed pass consumed no
+    // usable sample, so the hot budget's floor of 6 is not eroded:
+    // [300,-1,290,310,-1,295] holds only 4 valid samples, keep going
+    assert(Bench.morePasses(Seq(300.0, -1.0, 290.0, 310.0, -1.0, 295.0),
+      r12Anchor, 170.0, 169.0))
+    // ...but the absolute cap+2 runaway bound still stops a run whose
+    // passes keep failing (10 total passes at cap 8, however few valid)
+    assert(!Bench.morePasses(
+      Seq(-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0),
+      r12Anchor, 170.0, 169.0))
+    // quiet complete runs keep the r9 exit exactly: 3 valid passes,
+    // not converging, not dispersed -> stop
+    assert(!Bench.morePasses(Seq(210.0, 154.4, 153.6), None, 150.0, 149.5))
+    // (3) the anchor ratchet: lowering below an existing anchor is
+    // always sound; SEEDING demands the run itself look quiet — the
+    // r12-driver weather (contention 1.41) must never seed a fresh
+    // anchor it would then fail to flag
+    assert(Bench.anchorWritable(Some(149.739), 148.2, 2.9, 8))
+    assert(!Bench.anchorWritable(Some(149.739), 171.5, 1.05, 8),
+      "never ratchet up")
+    assert(Bench.anchorWritable(None, 155.0, 1.07, 3), "quiet seed ok")
+    assert(!Bench.anchorWritable(None, 184.0, 1.41, 3),
+      "hot weather must not seed")
+    assert(!Bench.anchorWritable(None, 155.0, 1.07, 2),
+      "a 2-pass run is too thin to seed")
+    assert(!Bench.anchorWritable(None, 0.0, 1.0, 3), "zero total")
+
     // the anchor loader: parses at the matching registry size, refuses
     // a mismatched size, tolerates absence (exact value checked on a
     // temp file — the committed file RATCHETS DOWN across bench runs,
