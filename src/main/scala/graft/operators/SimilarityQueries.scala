@@ -436,18 +436,31 @@ object SimilarityQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // served through AppendStore.readPaths: the latest compacted base
+    // served through AppendStore.readRoots: the latest compacted base
     // + batch dirs above its watermark (plain discovery over the store
     // root would trip over the base/ dir, and must not double-read a
-    // folded-but-not-yet-deleted batch dir after a crash). Each root
-    // is read SEPARATELY and unioned — one multi-path read would try
-    // to infer a single partition spec across base/v<w> and batch=<id>
-    // roots and fail; per-root discovery keeps each side's
-    // cluster=<c>/ layout, and the cluster filter pushes into every
-    // union branch, so probed-list pruning is unchanged
-    val corpus = graft.streaming.AppendStore
-      .readPaths(postingsDir, below = None, dirPrefix = "batch=")
-      .map(s.read.parquet(_))
+    // folded-but-not-yet-deleted batch dir after a crash). The batch
+    // dirs share a uniform batch=<id>/cluster=<c>/ structure, so they
+    // go through ONE multi-path scan — the pre-compaction scan shape —
+    // and only the base (whose base/v<w> root a joint partition
+    // inference cannot reconcile with them) adds a second scan,
+    // unioned on top. The cluster filter pushes into both branches, so
+    // probed-list pruning is unchanged; at most 2 scans regardless of
+    // dir count.
+    val (annBase, annFresh) = graft.streaming.AppendStore
+      .readRoots(postingsDir, below = None, dirPrefix = "batch=")
+    // basePath: the batch=<id> roots are themselves hive-style names,
+    // so an explicit-partition-dir read must anchor discovery at the
+    // store root (Spark refuses to guess); only the LISTED dirs are
+    // read — base/ is never touched by this branch
+    val corpus = (annBase.map(p => s.read.parquet(p)).toSeq ++
+        (if (annFresh.nonEmpty)
+          Seq(s.read.option("basePath", postingsDir).parquet(annFresh: _*))
+        else Nil))
+      // the batch-dirs branch carries an extra `batch` partition
+      // column the base branch doesn't have — project both to the
+      // served schema before the union
+      .map(_.select("vec_id", "embedding", "cluster"))
       .reduceOption(_.unionByName(_))
       // serving an index before its first committed batch is a bug,
       // not an empty result — fail with the path, like BatchState.read

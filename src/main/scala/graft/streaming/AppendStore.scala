@@ -86,6 +86,18 @@ object AppendStore {
     * deterministic scan order. */
   private[graft] def readPaths(storePath: String, below: Option[Long],
       dirPrefix: String = "b"): Seq[String] = {
+    val (base, fresh) = readRoots(storePath, below, dirPrefix)
+    base.toSeq ++ fresh
+  }
+
+  /** Like [[readPaths]] but keeps the base separate from the per-batch
+    * dirs: a PARTITIONED store (the ANN postings) must read the batch
+    * dirs in ONE multi-path scan (they share a uniform
+    * `<prefix><id>/cluster=<c>/` structure) and union only the base's
+    * own scan on top — per-root single reads multiplied the scan count
+    * by the dir count and cost stream_ann_index +50% at sf0.1 (r13). */
+  private[graft] def readRoots(storePath: String, below: Option[Long],
+      dirPrefix: String = "b"): (Option[String], Seq[String]) = {
     val w = BatchState.latestCommittedVersion(basePath(storePath))
     // protocol invariant: the watermark is always ≤ someBatch − Age <
     // any live batch id, so a strictly-below reader can never be asked
@@ -99,7 +111,7 @@ object AppendStore {
         w.forall(id > _) && below.forall(id < _)
       }
       .map(_._2.getAbsolutePath).sorted.toIndexedSeq
-    w.map(v => s"${basePath(storePath)}/v$v").toSeq ++ fresh
+    (w.map(v => s"${basePath(storePath)}/v$v"), fresh)
   }
 
   /** Fold aged dirs into the versioned base and delete them — called
