@@ -197,15 +197,20 @@ object Bench {
     * registry growth), and None disables only THIS test. */
   private[graft] def uniformlyHot(passTotals: Seq[Double],
       anchor: Option[Double]): Boolean = {
-    // judged on the FIRST 3 valid passes only, so the predicate is
-    // MONOTONE like hotRun (whose max/min ratio can only grow): a
-    // borderline pass 4 landing just under the line must not collapse
-    // an already-tripped floor-6 budget back to (3,6) mid-remedy — the
-    // budget's extra passes exist precisely to fish for quieter air,
-    // and finding some is the remedy working, not evidence the run was
-    // never hot. A run that turns hot only AFTER a quiet base 3 is
-    // hotRun/tailDispersed's job.
-    val vs = validPasses(passTotals).take(3)
+    // judged on the first 3 pass SLOTS BY INDEX (valid totals within
+    // them), so the predicate is MONOTONE like hotRun (whose max/min
+    // ratio can only grow): a borderline pass 4 landing just under the
+    // line must not collapse an already-tripped floor-6 budget back to
+    // (3,6) mid-remedy — the budget's extra passes exist precisely to
+    // fish for quieter air, and finding some is the remedy working,
+    // not evidence the run was never hot. Windowing by SLOT (r14,
+    // ADVICE r13) rather than by valid-pass count matters exactly when
+    // a base pass failed: 'first 3 valid' over [-1,200,200] let a
+    // later quiet pass ENTER the window and un-trip the predicate —
+    // the very collapse the windowing exists to prevent. Slots never
+    // shift, so the verdict after 3 passes is final. A run that turns
+    // hot only AFTER a quiet base 3 is hotRun/tailDispersed's job.
+    val vs = passTotals.take(3).filter(_ > 0)
     anchor.exists(a => a > 0 && vs.size >= 2 && vs.forall(_ > a * 1.2))
   }
   /** Full-pass (floor, cap) given the totals so far: a quiet run keeps
@@ -270,8 +275,43 @@ object Bench {
           .findFirstMatchIn(s).flatMap(_.group(1).toDoubleOption)
       (num("total"), num("n_queries")) match {
         case (Some(t), Some(n)) if n.toInt == nQueries && t > 0 => Some(t)
-        case _ => None
+        case parsed =>
+          // fail LOUDLY, not silently (r14, ADVICE r13): the file
+          // exists but can't arm uniformlyHot — a bad hand edit or a
+          // stale registry size would otherwise leave only the
+          // artifact's "anchor":null as a trace
+          System.err.println(s"[bench] WARNING: $path exists but " +
+            (parsed match {
+              case (Some(_), Some(n)) =>
+                s"was recorded at registry size ${n.toInt} (current " +
+                  s"$nQueries) — uniformlyHot is DISARMED until a clean " +
+                  "quiet recording re-seeds it"
+              case _ =>
+                "failed to parse (need numeric \"total\" and " +
+                  "\"n_queries\") — uniformlyHot is DISARMED"
+            }))
+          None
       }
+    }
+  }
+
+  /** Registry-growth escape hatch for VerifySpec's live-anchor gate
+    * (r14, ADVICE r13): growing the registry stales the anchor, and
+    * re-seeding needs a quiet-host full bench — on a persistently busy
+    * host that made `sbt test` unpassable for unrelated work. A grower
+    * may instead COMMIT the acknowledgement into BENCH_ANCHOR.json as
+    * `"pending_n_queries": <newSize>`; the suite accepts it only while
+    * it names the CURRENT registry size (it can't linger silently
+    * across further growth), uniformlyHot stays disarmed (readAnchor
+    * still refuses the stale total — correct: there is no quiet
+    * reference at the new size yet), and the next clean quiet
+    * recording overwrites the file wholesale, retiring the marker. */
+  private[graft] def anchorPendingReseed(path: String, nQueries: Int): Boolean = {
+    val f = java.nio.file.Paths.get(path)
+    java.nio.file.Files.exists(f) && {
+      val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      "\"pending_n_queries\"\\s*:\\s*([0-9]+)".r
+        .findFirstMatchIn(s).exists(_.group(1).toIntOption.contains(nQueries))
     }
   }
 

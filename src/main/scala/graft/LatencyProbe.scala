@@ -66,19 +66,20 @@ object LatencyProbe {
     time("spark.range(10).noop", 20) {
       noop(spark.range(10).toDF())
     }
-    // 5. pagerank decomposition: build vs iterations
+    // 5. pagerank decomposition: build vs iterations (r14 shapes —
+    // the static spine plus the uncheckpointed single-consumer chain)
     import graft.operators.GraphQueries
-    time("pagerank build (coreEdges+round-1 ranks)", 3) {
+    import org.apache.spark.sql.functions.lit
+    time("pagerank build (coreEdges+spine)", 3) {
       val e = GraphQueries.coreEdges(spark, sfDir)
-      GraphQueries.pagerankRanks1(spark, sfDir, e).count()
+      GraphQueries.pagerankSpine(spark, sfDir, e).count()
     }
     val edges = GraphQueries.coreEdges(spark, sfDir)
-    val ranks1 = GraphQueries.pagerankRanks1(spark, sfDir, edges)
-    time("pagerank rounds 2..5", 3) {
-      var ranks = ranks1
-      for (_ <- 2 to GraphQueries.PrIters)
-        ranks = GraphQueries.pagerankStep(edges, ranks)
-          .localCheckpoint(true)
+    val spine = GraphQueries.pagerankSpine(spark, sfDir, edges)
+    time("pagerank rounds 1..5", 3) {
+      var ranks = spine.withColumn("pr", lit(GraphQueries.PrScale))
+      for (_ <- 1 to GraphQueries.PrIters)
+        ranks = GraphQueries.pagerankStep(edges, spine, ranks)
       noop(ranks.select("node", "pr").orderBy("node"))
     }
     println("PROBE edges rows: " + edges.count())

@@ -17,16 +17,14 @@ import org.apache.spark.sql.functions._
   * edges against the current rank vector (Spark auto-broadcasts the
   * rank side while it fits; at 100 TB both sides hash-partition on the
   * same key so the shuffle is reused) followed by one groupBy(dst) —
-  * the canonical O(iters)-shuffle iterative shape. The edge frame
-  * (degreeless — see [[pagerankNodesDeg]]) and the (node, deg) state
-  * spine are materialized ONCE via localCheckpoint,
-  * and the rank vector is localCheckpointed EVERY iteration — without
-  * that, iteration i's plan nests iteration i−1's (the lineage-growth
-  * problem components() solves the same way), re-deriving the edge
-  * build per iteration and growing analysis cost superlinearly in the
-  * iteration count. The driver never holds data, only the loop
-  * counter; checkpoint blocks are GC-cleaned, never CacheManager
-  * entries.
+  * the canonical O(iters)-shuffle iterative shape. The edge frame and
+  * the static (node, deg) spine are materialized ONCE via
+  * localCheckpoint; the rank vector itself is NOT (r14 — see
+  * [[pagerankSpine]]): each ranks_i has exactly one consumer, so
+  * lineage over the two checkpointed leaves grows linearly and every
+  * shuffle still runs exactly once inside one job. The driver never
+  * holds data, only the loop counter; checkpoint blocks are
+  * GC-cleaned, never CacheManager entries.
   *
   * Determinism: fixed-point INTEGER arithmetic — ranks scaled by
   * [[PrScale]], per-edge contribution `rank div outdeg`, damping
@@ -41,82 +39,71 @@ object GraphQueries {
   val PrIters = 5
 
   /** The damped-rank update `15% + 85%·contrib`, all fixed-point
-    * integer (NULL contrib — no in-edge mass — coalesces to 0). Shared
-    * by the round-1 build and [[pagerankStep]] so the arithmetic
-    * cannot fork. */
+    * integer (NULL contrib — no in-edge mass — coalesces to 0). One
+    * definition shared by every round so the arithmetic cannot
+    * fork. */
   private def prDamped =
     (lit(PrScale * 15 / 100) +
       expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100")).as("pr")
 
-  /** Round-1-FUSED rank state (node, deg, pr) — the r11 pagerank
-    * analogue of label_prop's round-1 identity specialization, one
-    * checkpoint where r8–r10 built two.
+  /** The STATIC (node, deg) spine — all customers and suppliers,
+    * left-joined to out-degree (isolated nodes carry NULL deg, match
+    * no edge, and hold pr = 15%·scale every round). Checkpointed ONCE:
+    * it is re-read by every round's re-attach join and by nothing
+    * else. `deg` rides the pinned hash(src) edge partitioning (the
+    * groupBy(src) plans zero exchanges on the |edges| side), and the
+    * degree is a per-NODE static riding this |nodes|-sized state,
+    * never stored into the 100 TB edge frame (r8 lesson).
     *
-    * ranks0 is UNIFORM (pr = [[PrScale]] for every node), so round 1's
-    * contribution join against ranks0 is a join against the DEGREE
-    * frame with a literal pr column: contrib₁(dst) = Σ_{src→dst}
-    * PrScale div deg(src). `deg` rides the pinned hash(src) edge
-    * partitioning (both the groupBy(src) and the edges⋈deg probe plan
-    * ZERO exchanges on the |edges| side), and the (node, deg) spine —
-    * which r8 materialized as its own `nodesDeg` checkpoint — is fused
-    * INTO the round-1 state: rounds 2+ left-join against ranks_{i−1},
-    * which carries the identical node set and degrees (isolated
-    * customers/suppliers enter with NULL deg, match no edge, and hold
-    * pr = 15%·scale every round — exactly the r8 semantics). The
-    * arithmetic (`pr div deg` per matched edge, the [[prDamped]]
-    * update) is untouched, so the unrolled oracle hash proves the
-    * fusion. JobCountProbe (r11, SCALE.md): 37 → measured-below jobs —
-    * the nodesDeg checkpoint job plus its build broadcasts disappear.
-    *
-    * r8's lesson stands underneath: the degree is a per-NODE static
-    * riding the |nodes|-sized state, never stored into the 100 TB
-    * edge frame. */
-  private[graft] def pagerankRanks1(s: SparkSession, dir: String,
+    * r14 (CadenceProbe, SCALE.md): splitting the spine out of the rank
+    * state is what makes the rank chain SINGLE-consumer. The previous
+    * shape fused the spine INTO ranks_i, so [[pagerankStep]] read
+    * ranks twice (contrib join + re-attach) — an unmaterialized
+    * ranks_i would have been recomputed 2× per downstream round (the
+    * 2^k nesting the r6 "none" cell measured), which FORCED a
+    * per-iteration checkpoint: one |nodes|-row materialization + a
+    * scheduling round-trip every round. With the spine split, no
+    * intermediate rank checkpoint is needed at all — lineage grows
+    * linearly (4 ops/round over the two checkpointed leaves), every
+    * shuffle still runs exactly once inside the one final job, and
+    * the probe measured 32 → 21 jobs, 4.15 → 3.30 s warm at sf0.1
+    * with bit-identical output (the uniform ranks0 literal makes
+    * round 1's contrib join exactly the r11 fused specialization, so
+    * the unrolled oracle hash pins the rewrite). */
+  private[graft] def pagerankSpine(s: SparkSession, dir: String,
       edges: DataFrame): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val contrib1 = edges.join(deg, "src")
-      .withColumn("pr", lit(PrScale))
-      .groupBy(col("dst").as("node"))
-      .agg(sum(expr("pr div deg")).as("contrib"))
     t(s, dir, "customer").select((col("c_custkey") * 2).as("node"))
       .union(t(s, dir, "supplier").select((col("s_suppkey") * 2 + 1).as("node")))
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_outer")
-      .join(contrib1, Seq("node"), "left_outer")
-      .select(col("node"), col("deg"), prDamped)
       .localCheckpoint(true)
   }
 
-  /** One damped-rank iteration (uncheckpointed — the caller owns the
-    * per-round materialization). `ranks` carries (node, deg, pr); the
-    * contribution join moves only that |nodes|-sized state to the
-    * pinned edge partitions, and the state spine for the re-attach
-    * left join is ranks itself (same node set + degrees every round —
-    * see [[pagerankRanks1]]). Exposed for ScaleSpec's exchange
-    * audit. */
-  private[graft] def pagerankStep(edges: DataFrame,
+  /** One damped-rank iteration (uncheckpointed — rank state is a
+    * single-consumer chain, see [[pagerankSpine]]). `ranks` carries
+    * (node, deg, pr) and is consumed ONCE (the contrib join, which
+    * moves only that |nodes|-sized state to the pinned edge
+    * partitions); the re-attach left join reads the static spine.
+    * Exposed for ScaleSpec's exchange audit. */
+  private[graft] def pagerankStep(edges: DataFrame, spine: DataFrame,
       ranks: DataFrame): DataFrame = {
     val contrib = edges
       .join(ranks.withColumnRenamed("node", "src"), "src")
       .groupBy(col("dst").as("node"))
       .agg(sum(expr("pr div deg")).as("contrib"))
-    ranks.select("node", "deg").join(contrib, Seq("node"), "left_outer")
+    spine.join(contrib, Seq("node"), "left_outer")
       .select(col("node"), col("deg"), prDamped)
   }
 
   /** Node ids: customers ↦ 2·key, suppliers ↦ 2·key+1 (disjoint). */
   def graphPagerank(s: SparkSession, dir: String): DataFrame = {
     val edges = coreEdges(s, dir)
-    var ranks = pagerankRanks1(s, dir, edges)
-    for (i <- 2 to PrIters) {
-      // eager checkpoint: iteration i's plan starts from materialized
-      // partitions, not iteration i-1's full plan. The FINAL round is
-      // exempt (r12, the label_prop tail lesson): its ranks feed no
-      // further iteration — exactly one consumer, the output
-      // projection — so the last step fuses into it instead of paying
-      // a |nodes|-row materialization nothing re-reads
-      val step = pagerankStep(edges, ranks)
-      ranks = if (i < PrIters) step.localCheckpoint(true) else step
-    }
+    val spine = pagerankSpine(s, dir, edges)
+    // ranks0 is UNIFORM — a literal pr over the materialized spine, so
+    // round 1's join side is the checkpoint scan itself (zero-cost
+    // round-1 state where r8–r10 built and materialized one)
+    var ranks = spine.withColumn("pr", lit(PrScale))
+    for (_ <- 1 to PrIters) ranks = pagerankStep(edges, spine, ranks)
     ranks.select("node", "pr").orderBy("node")
   }
 
@@ -210,7 +197,23 @@ object GraphQueries {
     * membership summary (count + id-sum checksum pins the exact set);
     * the oracle replays min(d) over a depth-capped recursive closure
     * with UNION dedup so the path count can't explode. */
-  def graphBfs(s: SparkSession, dir: String): DataFrame = {
+  def graphBfs(s: SparkSession, dir: String): DataFrame =
+    graphBfsAt(s, dir, cadence = 1)
+
+  /** `cadence`: materialize a hop's frontier only when `hop % cadence
+    * == 0` (1 = every hop, the production shape). Probe knob for the
+    * r14 cadence experiment — BFS levels are genuinely MULTI-consumer
+    * (each level feeds the next hop's frontier join, every later
+    * hop's visited anti-join, and the final union), so a skipped
+    * checkpoint is recomputed at every consumer. MEASURED NEGATIVE
+    * (CadenceProbe, sf0.1, SCALE.md): cadence-2 cost graph_bfs_multi
+    * 24 → 25 jobs and 1.59 → 2.19 s (+38% — the recomputed level-1
+    * join runs at every consumer) and bought graph_bfs nothing
+    * outside noise (23 → 23 jobs, shuffle up) — the per-hop
+    * checkpoint STAYS; this knob remains so the negative is
+    * reproducible. */
+  private[graft] def graphBfsAt(s: SparkSession, dir: String,
+      cadence: Int): DataFrame = {
     val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
       .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
@@ -232,7 +235,8 @@ object GraphQueries {
       // the LAST hop's frontier feeds no further round — exactly one
       // consumer (the final union/aggregate), so its checkpoint was a
       // pure extra materialization (r12, the label_prop tail lesson)
-      val next = if (hop < BfsMaxHops) step.localCheckpoint(true) else step
+      val next = if (hop < BfsMaxHops && hop % cadence == 0)
+        step.localCheckpoint(true) else step
       levels += next
       frontier = next
     }
@@ -264,7 +268,12 @@ object GraphQueries {
     * round's `next` frame materializes. Output: per (cls, hop)
     * membership summary with id-sum checksums; the oracle replays
     * min-hop per (node, cls) over a depth-capped recursive closure. */
-  def graphBfsMulti(s: SparkSession, dir: String): DataFrame = {
+  def graphBfsMulti(s: SparkSession, dir: String): DataFrame =
+    graphBfsMultiAt(s, dir, cadence = 1)
+
+  /** `cadence` probe knob — see [[graphBfsAt]]. */
+  private[graft] def graphBfsMultiAt(s: SparkSession, dir: String,
+      cadence: Int): DataFrame = {
     val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
       .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
@@ -284,7 +293,8 @@ object GraphQueries {
         .select(col("dst").as("node"), col("cls")).distinct()
         .join(visited, Seq("node", "cls"), "left_anti")
       // last-hop checkpoint exemption — see [[graphBfs]] (r12)
-      val next = if (hop < BfsMaxHops) step.localCheckpoint(true) else step
+      val next = if (hop < BfsMaxHops && hop % cadence == 0)
+        step.localCheckpoint(true) else step
       levels += next
       frontier = next
     }
@@ -345,13 +355,14 @@ object GraphQueries {
     * customers never trade, so have no community). All-integer ⇒
     * exact oracle, generated from [[LpIters]] so the round count
     * can't drift. */
-  /** One synchronized majority-vote round (uncheckpointed — the
-    * caller owns per-round materialization). Argmax by (count desc,
-    * label asc) runs as ONE max_by hash aggregate on the (c, -label)
-    * struct — a rank window here would SORT the round-1 vote frame
-    * (≈|edges| rows before labels collapse) every round. Exposed for
-    * ScaleSpec's exchange audit (the edges side must never
-    * re-shuffle). */
+  /** One synchronized majority-vote round. Reads `labels` exactly
+    * once, so the round chain is single-consumer and needs no
+    * intermediate materialization (r14 — see [[graphLabelProp]]).
+    * Argmax by (count desc, label asc) runs as ONE max_by hash
+    * aggregate on the (c, -label) struct — a rank window here would
+    * SORT the round-1 vote frame (≈|edges| rows before labels
+    * collapse) every round. Exposed for ScaleSpec's exchange audit
+    * (the edges side must never re-shuffle). */
   private[graft] def labelPropStep(edges: DataFrame,
       labels: DataFrame): DataFrame =
     edges.join(labels.withColumnRenamed("node", "src"), "src")
@@ -377,19 +388,16 @@ object GraphQueries {
       .groupBy("node")
       .agg(max_by(col("label"), struct(col("c"), -col("label")))
         .as("label"))
-      .localCheckpoint(true)
-    // intermediate rounds only: each round's labels feed the NEXT
-    // round's join, so the checkpoint truncates lineage AND gives the
-    // join a materialized |nodes|-sized broadcast side. The FINAL
-    // round's labels have exactly ONE consumer (the membership
-    // aggregate below) and feed no further iteration — checkpointing
-    // them was a pure extra materialization + scheduling round-trip
-    // (r12 probe: 16 → 15 jobs, oracle hash unchanged); the last vote
-    // fuses straight into the final aggregate instead
-    for (_ <- 2 until LpIters) {
-      labels = labelPropStep(edges, labels).localCheckpoint(true)
-    }
-    if (LpIters >= 2) labels = labelPropStep(edges, labels)
+    // FULLY-FUSED chain (r14, CadenceProbe/SCALE.md): unlike the old
+    // pagerank shape, [[labelPropStep]] reads its label vector exactly
+    // ONCE (the vote join) — the chain is single-consumer, so the
+    // per-round checkpoints r7–r13 carried guarded nothing: lineage
+    // grows linearly over the one checkpointed edge leaf, there is no
+    // 2^k nesting to truncate, and AQE still materializes each round's
+    // shuffle stages for runtime join planning inside the one final
+    // job. Dropping every label checkpoint measured 15 → 10 jobs,
+    // 2.79 → 2.52 s warm at sf0.1, oracle hash unchanged.
+    for (_ <- 2 to LpIters) labels = labelPropStep(edges, labels)
     labels.groupBy("label")
       .agg(count(lit(1)).as("n_members"), sum("node").as("id_sum"),
         min("node").as("min_node"))
@@ -579,7 +587,17 @@ object GraphQueries {
       if (r < CoreRounds) {
         val alive = deg.filter(col("deg") >= k)
           .select(col("src").as("node")).localCheckpoint(true)
-        deg = corePeelStep(edges, alive).localCheckpoint(true)
+        val step = corePeelStep(edges, alive)
+        // r14 tail trim (CadenceProbe, SCALE.md): the LAST peel's deg
+        // (computed at round CoreRounds−1) is consumed only by the
+        // final round's summary — the same tail materialization the
+        // r12 sweep trimmed elsewhere, hidden one level down inside
+        // this guard. Fusing it into the final summary measured
+        // 17 → 16 jobs, 1.91 → 1.72 s warm at sf0.1, hash unchanged.
+        // Earlier rounds' deg frames keep their checkpoints (two
+        // consumers each: next summary AND next alive filter).
+        deg = if (r == CoreRounds - 1) step
+          else step.localCheckpoint(true)
       }
     }
     summaries.result().reduce(_ unionByName _).orderBy("round")

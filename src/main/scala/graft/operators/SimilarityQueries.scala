@@ -267,8 +267,8 @@ object SimilarityQueries {
     * setup phase materializes it so timed runs measure index READS. */
   private[graft] def ensureAnnIndex(s: SparkSession, dir: String): String = {
     val out = annIndexDir(s, dir)
-    if (!new java.io.File(s"$out/postings/_SUCCESS").exists() ||
-        !new java.io.File(s"$out/centroids/_SUCCESS").exists()) {
+    if (!graft.streaming.BatchState.markerExists(s"$out/postings/_SUCCESS") ||
+        !graft.streaming.BatchState.markerExists(s"$out/centroids/_SUCCESS")) {
       val cb = trainedCodebookInt(s, dir)
       t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),

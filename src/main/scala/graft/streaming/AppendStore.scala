@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** Watermark-aged COMPACTION for the append-only batch-keyed stores
@@ -38,9 +39,12 @@ import org.apache.spark.sql.SparkSession
   * pending, i.e. every ≥ MinDirs batches, putting the per-batch
   * amortized cost at O(|state| / MinDirs) while the live dir count
   * stays ≤ Age + MinDirs + 1 (ages-in-window + pending-aged + base).
-  * On a real cluster the base is a bucketed table and the fold is the
-  * table format's compaction job; the watermark/versioning protocol
-  * carries over unchanged. Defaults are production-shaped (the
+  * All dir walks go through the Hadoop `FileSystem` API (via
+  * [[BatchState]]'s helpers — r13 verdict item 3), so the store runs
+  * against local paths here and HDFS/object stores unchanged; on a
+  * real cluster the base would typically be a bucketed table and the
+  * fold the table format's compaction job, with this same
+  * watermark/versioning protocol. Defaults are production-shaped (the
   * 3-chunk gate streams never accumulate enough dirs to fold, so the
   * benched plans are untouched); StreamingSpec forces Age=1/MinDirs=1
   * to exercise the fold, the bound, and the crash window on an
@@ -60,21 +64,20 @@ object AppendStore {
   // postings store, whose hive-style names its per-list cluster=<c>/
   // sublayout already established)
   private def bDirs(storePath: String,
-      dirPrefix: String): Array[(Long, java.io.File)] =
-    Option(new java.io.File(storePath).listFiles()).getOrElse(Array.empty)
-      .flatMap { f =>
-        val n = f.getName
-        if (f.isDirectory && n.length > dirPrefix.length &&
-            n.startsWith(dirPrefix) &&
-            n.drop(dirPrefix.length).forall(_.isDigit))
-          Some((n.drop(dirPrefix.length).toLong, f))
-        else None
-      }
+      dirPrefix: String): Array[(Long, Path)] =
+    BatchState.childDirs(storePath).flatMap { case (n, p) =>
+      if (n.length > dirPrefix.length && n.startsWith(dirPrefix) &&
+          n.drop(dirPrefix.length).forall(_.isDigit))
+        Some((n.drop(dirPrefix.length).toLong, p))
+      else None
+    }
 
   private def committedBDirs(storePath: String,
-      dirPrefix: String): Array[(Long, java.io.File)] =
+      dirPrefix: String): Array[(Long, Path)] = {
+    val fs = BatchState.fsFor(storePath)
     bDirs(storePath, dirPrefix)
-      .filter { case (_, f) => new java.io.File(f, "_SUCCESS").exists() }
+      .filter { case (_, p) => BatchState.isCommitted(fs, p) }
+  }
 
   private def basePath(storePath: String): String = s"$storePath/base"
 
@@ -106,11 +109,13 @@ object AppendStore {
     below.foreach(b => w.foreach(v => require(v < b,
       s"append-store watermark v$v is not below batch $b under " +
         s"$storePath — compaction folded a dir some replay still owns")))
+    // sorted on the batch ID (not the path string — qualified URIs
+    // would sort b10 < b2) for a deterministic scan order
     val fresh = committedBDirs(storePath, dirPrefix)
       .filter { case (id, _) =>
         w.forall(id > _) && below.forall(id < _)
       }
-      .map(_._2.getAbsolutePath).sorted.toIndexedSeq
+      .sortBy(_._1).map(_._2.toString).toIndexedSeq
     (w.map(v => s"${basePath(storePath)}/v$v"), fresh)
   }
 
@@ -127,18 +132,19 @@ object AppendStore {
     // can still be the writer of a folded dir
     require(Age >= 1 && MinDirs >= 1, s"bad knobs: Age=$Age MinDirs=$MinDirs")
     val base = basePath(storePath)
+    val fs = BatchState.fsFor(storePath)
     val w0 = BatchState.latestCommittedVersion(base)
     // re-drive an interrupted deletion first: dirs at or below the
     // committed watermark are already folded (readers shadow them) —
     // committed or not, they hold no unfolded rows
     w0.foreach(v => bDirs(storePath, dirPrefix)
-      .filter(_._1 <= v).map(_._2).foreach(rmTree))
+      .filter(_._1 <= v).map(_._2).foreach(p => BatchState.rmTree(fs, p)))
     val aged = committedBDirs(storePath, dirPrefix)
       .filter { case (id, _) => w0.forall(id > _) && id <= bid - Age }
     if (aged.length >= MinDirs) {
       val w = aged.map(_._1).max
       val agedDf = sess.read.parquet(
-        aged.map(_._2.getAbsolutePath).toIndexedSeq: _*)
+        aged.map(_._2.toString).toIndexedSeq: _*)
       // BatchState.swap keyed by the WATERMARK: v<w> = prior base ∪
       // aged rows; a replay that recomputes the same watermark skips
       // the fold (already committed), and its internal maybeCrash hook
@@ -149,9 +155,7 @@ object AppendStore {
         case Some(prev) => prev.unionByName(agedDf)
         case None => agedDf
       }
-      aged.map(_._2).foreach(rmTree)
+      aged.map(_._2).foreach(p => BatchState.rmTree(fs, p))
     }
   }
-
-  private def rmTree(f: java.io.File): Unit = BatchState.rmTree(f)
 }

