@@ -436,7 +436,7 @@ object DedupQueries {
           sym("doc_b") === labels("doc_id"))
         .groupBy(sym("doc_a").as("doc_id"))
         .agg(min("comp").as("ncomp"))
-      // eager localCheckpoint EVERY round: `next` references `labels`
+      // LAZY localCheckpoint EVERY round: `next` references `labels`
       // three times (neighbor join, outer join, changed-count join),
       // so an uncheckpointed plan tree grows ~3× per round and the
       // ANALYZER cost turns exponential — measured 3.2→21 s/round by
@@ -446,13 +446,18 @@ object DedupQueries {
       // The changed-count rides the SAME checkpoint as a `chg` flag
       // (label shrank iff ncomp < comp) — r8: the old shape re-joined
       // next against the previous labels, a whole extra join job per
-      // round just to count changes; filtering the materialized
-      // checkpoint costs one cheap scan of |nodes| cached rows.
+      // round just to count changes. r14: the checkpoint is LAZY and
+      // the count is the action that materializes it — computing the
+      // round's partitions once saves their blocks AND counts the
+      // filtered rows in ONE job, where eager-then-count paid a
+      // materialization job plus a count job every round (measured:
+      // entity_resolution 54 → 48 jobs, dedup_canonical 26 → 24,
+      // components_star 25 → 24 — see SCALE.md).
       val next = labels.join(viaNeighbor, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           (col("ncomp").isNotNull && col("ncomp") < col("comp")).as("chg"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter(col("chg")).count()
       labels.unpersist()
       labels = next.select("doc_id", "comp")
@@ -516,16 +521,18 @@ object DedupQueries {
     // localCheckpoint EVERY round: one star round references its input
     // ~6× (sym twice, the min-join thrice, the union), so an
     // unmaterialized plan grows ~36× per round and analysis alone
-    // stalls the driver by round 4. The checksum forces a full
-    // materialization anyway, so checkpointing is free.
+    // stalls the driver by round 4. The checkpoint is LAZY (r14, the
+    // components() lesson): the convergence checksum is the action
+    // that materializes it, so each round pays ONE job where
+    // eager-then-checksum paid two.
     var e = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(nodes.select(col("doc_id").as("u"), col("doc_id").as("v")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     var prev = (-1L, -1L)
     var cur = checksum(e)
     var rounds = 0
     while (cur != prev && rounds < 30) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
+      e = smallStar(largeStar(e)).localCheckpoint(false)
       prev = cur
       cur = checksum(e)
       rounds += 1
