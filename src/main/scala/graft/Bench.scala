@@ -197,21 +197,25 @@ object Bench {
     * registry growth), and None disables only THIS test. */
   private[graft] def uniformlyHot(passTotals: Seq[Double],
       anchor: Option[Double]): Boolean = {
-    // judged on the first 3 pass SLOTS BY INDEX (valid totals within
-    // them), so the predicate is MONOTONE like hotRun (whose max/min
-    // ratio can only grow): a borderline pass 4 landing just under the
-    // line must not collapse an already-tripped floor-6 budget back to
-    // (3,6) mid-remedy — the budget's extra passes exist precisely to
-    // fish for quieter air, and finding some is the remedy working,
-    // not evidence the run was never hot. Windowing by SLOT (r14,
-    // ADVICE r13) rather than by valid-pass count matters exactly when
-    // a base pass failed: 'first 3 valid' over [-1,200,200] let a
-    // later quiet pass ENTER the window and un-trip the predicate —
-    // the very collapse the windowing exists to prevent. Slots never
-    // shift, so the verdict after 3 passes is final. A run that turns
-    // hot only AFTER a quiet base 3 is hotRun/tailDispersed's job.
-    val vs = passTotals.take(3).filter(_ > 0)
-    anchor.exists(a => a > 0 && vs.size >= 2 && vs.forall(_ > a * 1.2))
+    // judged on the first 3 VALID passes, tripped if ANY ≥2-pass
+    // PREFIX of that window is uniformly above the line. Valid passes
+    // only ever APPEND, so each prefix is fixed once its passes exist
+    // and the exists() can only persist — the predicate is MONOTONE
+    // like hotRun (whose max/min ratio can only grow): a borderline
+    // pass 4 landing just under the line must not collapse an
+    // already-tripped floor-6 budget back to (3,6) mid-remedy (the
+    // budget's extra passes exist precisely to fish for quieter air,
+    // and finding some is the remedy working, not evidence the run
+    // was never hot). The prefix-exists form (r14 review) closes both
+    // windowing bugs at once: 'first 3 valid' let a later quiet pass
+    // ENTER an unfilled window of [-1,200,200] and un-trip it, while
+    // 'first 3 slots by index' went permanently blind when 2 of the
+    // base 3 passes FAILED ([-1,-1,300,310,320] read as one valid
+    // sample forever). A run that turns hot only AFTER a quiet base 3
+    // is hotRun/tailDispersed's job.
+    val vs = validPasses(passTotals).take(3)
+    anchor.exists(a => a > 0 &&
+      (2 to vs.size).exists(k => vs.take(k).forall(_ > a * 1.2)))
   }
   /** Full-pass (floor, cap) given the totals so far: a quiet run keeps
     * the r9 protocol exactly (3 base passes, adaptive to 6); a HOT run
@@ -282,6 +286,9 @@ object Bench {
           // artifact's "anchor":null as a trace
           System.err.println(s"[bench] WARNING: $path exists but " +
             (parsed match {
+              case (Some(t), Some(n)) if n.toInt == nQueries =>
+                s"holds a non-positive total ($t) — uniformlyHot is " +
+                  "DISARMED; fix or delete the file"
               case (Some(_), Some(n)) =>
                 s"was recorded at registry size ${n.toInt} (current " +
                   s"$nQueries) — uniformlyHot is DISARMED until a clean " +

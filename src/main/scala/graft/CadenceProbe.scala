@@ -84,12 +84,18 @@ object CadenceProbe {
 
     val only = args.toSet
     for ((q, variants) <- cases if only.isEmpty || only(q)) {
-      val base = variants.head._2().collect().map(_.toString).toSeq
+      // the equality gate only means something with ≥2 formulations —
+      // a single-variant case would compare a collect against its own
+      // re-collect (r14 review: vacuous, and a wasted pass)
+      val base = if (variants.size < 2) Nil
+        else variants.head._2().collect().map(_.toString).toSeq
       val cells = variants.map { case (vn, mk) =>
-        val got = mk().collect().map(_.toString).toSeq
-        require(got == base,
-          s"$q/$vn drifted from ${variants.head._1}: " +
-            s"${got.size} vs ${base.size} rows")
+        if (variants.size >= 2) {
+          val got = mk().collect().map(_.toString).toSeq
+          require(got == base,
+            s"$q/$vn drifted from ${variants.head._1}: " +
+              s"${got.size} vs ${base.size} rows")
+        }
         val (j, wall, mb) = measure(mk)
         f""""$vn":{"jobs":$j,"wall_sec":$wall%.3f,"shuffle_mb":$mb%.2f}"""
       }

@@ -83,25 +83,45 @@ object BatchState {
 
   /** FileSystem for `path`, resolved through the active session's
     * Hadoop conf (falls back to a default conf for the rare
-    * no-active-session caller, e.g. a bare test helper). Resolution is
-    * per-call but cheap: `Path.getFileSystem` hits Hadoop's FS cache,
-    * and these walks run once per micro-batch, never per row. */
+    * no-active-session caller, e.g. a bare test helper).
+    * `Path.getFileSystem` hits Hadoop's FS cache, and the conf CLONE
+    * (`newHadoopConf` copies hundreds of entries) is memoized per
+    * session — one swap() walks the store several times and must not
+    * pay a fresh clone per listing (r14 review). These walks run once
+    * per micro-batch, never per row. */
+  @volatile private var confCache:
+    (SparkSession, org.apache.hadoop.conf.Configuration) = null
   private[streaming] def fsFor(path: String): FileSystem = {
-    val conf = SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val conf = SparkSession.getActiveSession match {
+      case Some(s) =>
+        val c = confCache
+        if (c != null && (c._1 eq s)) c._2
+        else {
+          val nc = s.sessionState.newHadoopConf()
+          confCache = (s, nc)
+          nc
+        }
+      case None => new org.apache.hadoop.conf.Configuration()
+    }
     new Path(path).getFileSystem(conf)
   }
 
   /** List `dir`'s child directories as (name, qualified path); empty
-    * when `dir` doesn't exist yet (the store-not-initialized case the
-    * java.io.File walk got for free from a null listFiles). */
+    * when `dir` doesn't exist — whether it was never created or a
+    * concurrent cleaner deleted it between the exists probe and the
+    * listing (the exists/listStatus TOCTOU the old null-safe
+    * `File.listFiles` walk absorbed silently; two JVMs share the
+    * tmpdir staging trees, so the race is real). */
   private[streaming] def childDirs(dir: String): Array[(String, Path)] = {
     val p = new Path(dir)
     val fs = fsFor(dir)
-    if (!fs.exists(p)) Array.empty
-    else fs.listStatus(p).collect {
-      case st if st.isDirectory => (st.getPath.getName, st.getPath)
+    try {
+      if (!fs.exists(p)) Array.empty
+      else fs.listStatus(p).collect {
+        case st if st.isDirectory => (st.getPath.getName, st.getPath)
+      }
+    } catch {
+      case _: java.io.FileNotFoundException => Array.empty
     }
   }
 

@@ -165,13 +165,19 @@ class VerifySpec extends AnyFunSuite with SparkFixture {
       == ((6, 8)))
     // ...while a run whose BASE passes were quiet never trips it late:
     assert(!Bench.uniformlyHot(Seq(160.0, 165.0, 162.0, 300.0), r12Anchor))
-    // r14 (ADVICE r13): monotone even when a BASE pass failed — under
-    // 'first 3 valid' a later quiet pass ENTERED the window of
-    // [-1,200,200] and un-tripped a bought floor-6 budget; slots by
-    // index never shift, so the base-3 verdict is final:
+    // r14 (ADVICE r13 + review): monotone even when BASE passes
+    // failed. Under 'first 3 valid' a later quiet pass ENTERED the
+    // unfilled window of [-1,200,200] and un-tripped a bought floor-6
+    // budget; under 'first 3 slots by index' two failed base slots
+    // left one valid sample FOREVER and the test went blind. The
+    // prefix-exists form (any ≥2-valid-pass prefix of the first 3
+    // valid all above the line) closes both: prefixes are fixed once
+    // their passes exist, so the verdict can only persist.
     assert(Bench.uniformlyHot(Seq(-1.0, 200.0, 200.0, 140.0), r12Anchor))
     assert(Bench.passBudget(Seq(-1.0, 200.0, 200.0, 140.0), r12Anchor)
       == ((6, 8)))
+    assert(Bench.uniformlyHot(Seq(-1.0, -1.0, 300.0, 310.0, 320.0),
+      r12Anchor), "two failed base slots must not blind the test")
     // (2) floor/cap count VALID passes — a failed pass consumed no
     // usable sample, so the hot budget's floor of 6 is not eroded:
     // [300,-1,290,310,-1,295] holds only 4 valid samples, keep going
