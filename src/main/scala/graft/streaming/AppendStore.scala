@@ -72,12 +72,10 @@ object AppendStore {
       else None
     }
 
-  private def committedBDirs(storePath: String,
-      dirPrefix: String): Array[(Long, Path)] = {
-    val fs = BatchState.fsFor(storePath)
+  private def committedBDirs(storePath: String, dirPrefix: String,
+      fs: org.apache.hadoop.fs.FileSystem): Array[(Long, Path)] =
     bDirs(storePath, dirPrefix)
       .filter { case (_, p) => BatchState.isCommitted(fs, p) }
-  }
 
   private def basePath(storePath: String): String = s"$storePath/base"
 
@@ -101,6 +99,7 @@ object AppendStore {
     * by the dir count and cost stream_ann_index +50% at sf0.1 (r13). */
   private[graft] def readRoots(storePath: String, below: Option[Long],
       dirPrefix: String = "b"): (Option[String], Seq[String]) = {
+    val fs = BatchState.fsFor(storePath)
     val w = BatchState.latestCommittedVersion(basePath(storePath))
     // protocol invariant: the watermark is always ≤ someBatch − Age <
     // any live batch id, so a strictly-below reader can never be asked
@@ -111,7 +110,7 @@ object AppendStore {
         s"$storePath — compaction folded a dir some replay still owns")))
     // sorted on the batch ID (not the path string — qualified URIs
     // would sort b10 < b2) for a deterministic scan order
-    val fresh = committedBDirs(storePath, dirPrefix)
+    val fresh = committedBDirs(storePath, dirPrefix, fs)
       .filter { case (id, _) =>
         w.forall(id > _) && below.forall(id < _)
       }
@@ -139,7 +138,7 @@ object AppendStore {
     // committed or not, they hold no unfolded rows
     w0.foreach(v => bDirs(storePath, dirPrefix)
       .filter(_._1 <= v).map(_._2).foreach(p => BatchState.rmTree(fs, p)))
-    val aged = committedBDirs(storePath, dirPrefix)
+    val aged = committedBDirs(storePath, dirPrefix, fs)
       .filter { case (id, _) => w0.forall(id > _) && id <= bid - Age }
     if (aged.length >= MinDirs) {
       val w = aged.map(_._1).max
