@@ -907,6 +907,17 @@ object DedupQueries {
       .filter(col("x.w") < col("y.w"))
       .select(col("x.w").as("doc_a"), col("y.w").as("doc_b")).distinct()
       .filter(levenshtein(col("doc_a"), col("doc_b")) <= 1)
+    // r15 A/B, measured NEGATIVE and reverted (the graph_core r10
+    // lesson — the probe exists to catch this): this query holds the
+    // registry's highest job count (48), so the O(log n)
+    // componentsStar loop was tried here on the theory that the lev≤1
+    // typo-chain match graph is deep. JobCountProbe at sf0.1: star = 56
+    // jobs / 8.7 s warm min-of-3 vs min-label = 48 / 3.76 s same
+    // session — each star round pays 2 star ops (4 shuffles + 2
+    // distincts) plus a 2-col checksum, and convergence needs an extra
+    // confirming round, so min-label's cheap rounds win even at this
+    // diameter. Same conclusion as the diameter-2 head-to-head
+    // (dedup_components 20 jobs/1.12 s vs _star 24/1.44).
     components(vocab.select(col("w").as("doc_id")), edges)
       .join(vocab.withColumnRenamed("w", "doc_id"), "doc_id")
       .groupBy(col("comp").as("canonical_w"))

@@ -39,29 +39,59 @@ object RecursiveQueries {
     * (user_id, event_id). The cap bounds rounds independently of a
     * pathological always-active user. */
   def sqlRecursiveChain(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "events").createOrReplaceTempView("graft_events_rec")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // r15 (guide §2.4 — remove repeated shuffles/passes): the nbr/succ
+    // CTEs used to live INSIDE the recursive SQL, and Spark 4.1's
+    // UnionLoop re-plans + re-executes the recursive term's whole
+    // subtree EVERY iteration — the r14 plan shows the events scan →
+    // Exchange(user_id) → Sort → Window(lead,lead) pipeline under the
+    // loop's join (plans/r15/sql_recursive_chain_before.txt, ops
+    // 10–15), i.e. up to MaxChainDepth full window passes over events
+    // for one query (JobCountProbe: 30 jobs). The successor relation
+    // is LOOP-INVARIANT, so it is derived once here and materialized:
+    //   - nbr: ONE window pass, eagerly checkpointed (two consumers —
+    //     succ and anchors — the multi-consumer checkpoint rule);
+    //   - succ: the per-iteration join side, re-checkpointed
+    //     REPARTITIONED on the join key with AQE off (the coreEdges
+    //     partition pin) so at scale every iteration's walk⋈succ plans
+    //     ZERO exchange on the |events|-sized succ side — only the
+    //     shrinking frontier moves per round;
+    //   - anchors: a narrow filter over the nbr blocks, read once by
+    //     the loop's anchor term.
+    // The recursion itself — the UnionLoop operator this query exists
+    // to exercise — is untouched, and the oracle (the windowed replay)
+    // is character-identical, so the hash proves the rewrite.
+    val byTime = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val nbr = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts_s"),
+        lead("event_id", 1).over(byTime).as("next_id"),
+        lead("ts_s", 1).over(byTime).as("next_ts"),
+        lag("ts_s", 1).over(byTime).as("prev_ts"))
+      .localCheckpoint(true)
+    val succ = nbr
+      .filter(col("next_ts") - col("ts_s") <= WindowQueries.SessionGapS)
+      .select("user_id", "event_id", "next_id")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val succPinned =
+      try succ.repartition(col("user_id"), col("event_id")).localCheckpoint(true)
+      finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    succPinned.createOrReplaceTempView("graft_rec_succ")
+    nbr.filter(col("prev_ts").isNull ||
+        col("ts_s") - col("prev_ts") > WindowQueries.SessionGapS)
+      .select("user_id", "event_id")
+      .createOrReplaceTempView("graft_rec_anchors")
     s.sql(
       s"""WITH RECURSIVE
-         |nbr AS (
-         |  SELECT user_id, event_id, ts_s,
-         |    lead(event_id) OVER w AS next_id,
-         |    lead(ts_s) OVER w AS next_ts,
-         |    lag(ts_s) OVER w AS prev_ts
-         |  FROM graft_events_rec
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
-         |succ AS (
-         |  SELECT user_id, event_id, next_id
-         |  FROM nbr WHERE next_ts - ts_s <= ${WindowQueries.SessionGapS}),
-         |anchors AS (
-         |  SELECT user_id, event_id
-         |  FROM nbr
-         |  WHERE prev_ts IS NULL OR ts_s - prev_ts > ${WindowQueries.SessionGapS}),
          |walk(user_id, anchor_id, cur_id, depth) AS (
-         |  SELECT user_id, event_id, event_id, CAST(1 AS BIGINT) FROM anchors
+         |  SELECT user_id, event_id, event_id, CAST(1 AS BIGINT)
+         |  FROM graft_rec_anchors
          |  UNION ALL
          |  SELECT w.user_id, w.anchor_id, s.next_id, w.depth + 1
          |  FROM walk w
-         |  JOIN succ s ON w.user_id = s.user_id AND w.cur_id = s.event_id
+         |  JOIN graft_rec_succ s
+         |    ON w.user_id = s.user_id AND w.cur_id = s.event_id
          |  WHERE w.depth < $MaxChainDepth),
          |chains AS (
          |  SELECT user_id, anchor_id, max(depth) AS len

@@ -250,7 +250,9 @@ object SimilarityQueries {
     // tree instead of stranding one per generation
     graft.streaming.StreamQueries.evictSuperseded(
       "graft_ann_index_", dir, s"graft_ann_index_$tag")
-    s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_$tag"
+    // file:-qualified JVM-local root (r15, ADVICE r14 — see
+    // StreamQueries.localTmpRoot)
+    s"${graft.streaming.StreamQueries.localTmpRoot}/graft_ann_index_$tag"
   }
 
   /** Build-once persisted IVF INDEX artifact (r8; the index-lifecycle
@@ -400,7 +402,9 @@ object SimilarityQueries {
         graft.Tables.contentSig(s"$dir/embeddings.parquet"))
     graft.streaming.StreamQueries.evictSuperseded(
       s"graft_stream_${fam}_", dir, s"graft_stream_${fam}_$tag")
-    s"${System.getProperty("java.io.tmpdir")}/graft_stream_${fam}_$tag"
+    // file:-qualified JVM-local root (r15, ADVICE r14 — see
+    // StreamQueries.localTmpRoot)
+    s"${graft.streaming.StreamQueries.localTmpRoot}/graft_stream_${fam}_$tag"
   }
 
   def streamAnnIndex(s: SparkSession, dir: String): DataFrame = {

@@ -65,8 +65,23 @@ object StreamQueries {
       dir: String): String = {
     val name = s"graft_stream_${family}${familySuffix}_${contentTag(s, dir)}"
     evictSuperseded(s"graft_stream_${family}${familySuffix}_", dir, name)
-    s"${System.getProperty("java.io.tmpdir")}/$name"
+    s"$localTmpRoot/$name"
   }
+
+  /** The JVM tmpdir as an EXPLICITLY file:-qualified Hadoop path root
+    * (r15, ADVICE r14): these staging trees are JVM-local by
+    * construction (java.io.tmpdir), but every walk of them goes
+    * through `Path.getFileSystem`, which resolves a scheme-less path
+    * against `fs.defaultFS` — on a deployment where defaultFS is
+    * hdfs:// the eviction walk would have LISTED AND RECURSIVELY
+    * DELETED under hdfs:///tmp. Qualifying at the single construction
+    * site pins every downstream fsFor()/read/write/delete to the
+    * local filesystem; store paths that are genuinely
+    * deployment-relative (none today) would simply not use this root.
+    * On local-defaultFS hosts the resolved paths are bit-identical,
+    * so existing staged trees and checkpoints keep being reused. */
+  private[graft] def localTmpRoot: String =
+    s"file:${System.getProperty("java.io.tmpdir")}"
 
   /** Delete tmpdir trees `<familyPrefix>…` that reference `dir`'s
     * slug but are not `keepName` — i.e. the SAME family over the SAME
@@ -78,7 +93,9 @@ object StreamQueries {
   private[graft] def evictSuperseded(familyPrefix: String, dir: String,
       keepName: String): Unit = {
     val slug = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val tmpRoot = System.getProperty("java.io.tmpdir")
+    // file:-qualified (r15, ADVICE r14): this walk DELETES trees, so
+    // it must never resolve against a remote fs.defaultFS
+    val tmpRoot = localTmpRoot
     val fs = BatchState.fsFor(tmpRoot)
     BatchState.childDirs(tmpRoot)
       .filter { case (n, _) => n != keepName &&

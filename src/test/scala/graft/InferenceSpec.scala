@@ -84,6 +84,25 @@ class InferenceSpec extends AnyFunSuite with SparkFixture {
     assert(acc >= 0.0 && acc <= 1.0)
   }
 
+  test("MeanXml: the artifact path is injectable — a relocated copy parses identically (r14 verdict item 4)") {
+    // env override SPARK_GRAFT_MEAN_XML exists since r2; this pins the
+    // path-parameter injection seam it rides on with a RELOCATED copy,
+    // so udf_scalar/infer_mean_xml survive any environment where the
+    // /root/reference checkout moves (JVM env is immutable in-test, so
+    // the parameterized parse is the testable half of the override).
+    val orig = graft.sources.MeanXml.parse()
+    val moved = java.nio.file.Files.createTempFile("graft_mean_moved", ".xml")
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(graft.sources.MeanXml.path), moved,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val relocated = graft.sources.MeanXml.parse(moved.toString)
+      assert(relocated.toSeq == orig.toSeq,
+        "relocated artifact must parse bit-identically")
+      assert(relocated.length == 3072)
+    } finally java.nio.file.Files.deleteIfExists(moved): Unit
+  }
+
   test("udf_scalar mean-subtract equals the zip_with built-in") {
     import spark.implicits._
     val viaUdf = InferenceQueries.udfScalar(spark, sf)

@@ -222,8 +222,11 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       "id-sum checksum diverged")
     // the layout really is list-partitioned: cluster=<c>/ directories
     import graft.operators.SimilarityQueries
+    // the index root is file:-qualified (r15, ADVICE r14) — resolve the
+    // URI back to a local File for the direct layout inspection
     val idx = SimilarityQueries.ensureAnnIndex(spark, sf)
-    val parts = new java.io.File(s"$idx/postings").listFiles()
+    val parts = new java.io.File(java.net.URI.create(s"$idx/postings"))
+      .listFiles()
       .filter(_.getName.startsWith("cluster="))
     assert(parts.length == stats.length,
       s"${parts.length} list partitions vs ${stats.length} stat rows")

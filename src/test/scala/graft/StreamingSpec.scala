@@ -284,8 +284,10 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     // on THIS run's exact staging dir (r10 ADVICE low: a stale
     // graft_stream_minhash_* tree from an earlier corpus signature
     // must not be able to satisfy the check)
-    val mhBase = new java.io.File(
-      streaming.StreamQueries.stagingBase("minhash", spark, sf))
+    // stagingBase is file:-qualified (r15, ADVICE r14) — resolve the
+    // URI back to a local File for the direct dir inspection
+    val mhBase = new java.io.File(java.net.URI.create(
+      streaming.StreamQueries.stagingBase("minhash", spark, sf)))
     assert(Option(new java.io.File(mhBase, "chk/commits").list())
         .exists(_.length >= 2),
       s"expected at least 2 committed micro-batches in $mhBase")
@@ -306,14 +308,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     // chunk) — asserted on THIS run's exact staging dir (r10 ADVICE
     // low: a stale tree from an earlier corpus signature must not be
     // able to satisfy the check)
-    val annBase = new java.io.File(
-      operators.SimilarityQueries.streamAnnBase(spark, sf))
+    // file:-qualified root (r15) — resolve via URI like mhBase above
+    val annBase = new java.io.File(java.net.URI.create(
+      operators.SimilarityQueries.streamAnnBase(spark, sf)))
     assert(Option(new java.io.File(annBase, "chk/commits").list())
         .exists(_.length >= 2),
       s"expected at least 2 committed micro-batches in $annBase")
     // re-run with the same checkpoint processes nothing and is stable
     val again = operators.SimilarityQueries.streamAnnIndex(spark, sf).collect().toSeq
     assert(again == inc)
+  }
+
+  test("JVM-local staging roots are file:-qualified so they never resolve against fs.defaultFS (ADVICE r14)") {
+    // the eviction walk DELETES trees under this root; on a deployment
+    // whose defaultFS is hdfs:// a scheme-less java.io.tmpdir path
+    // would have listed — and recursively deleted — under the remote
+    // namespace. All three construction sites share localTmpRoot.
+    val root = streaming.StreamQueries.localTmpRoot
+    assert(root.startsWith("file:"),
+      s"localTmpRoot must carry an explicit file: scheme, got $root")
+    assert(streaming.StreamQueries.stagingBase("sink", spark, sf)
+      .startsWith("file:"))
+    assert(operators.SimilarityQueries.streamAnnBase(spark, sf)
+      .startsWith("file:"))
+    // and the qualified root resolves to the SAME local directory the
+    // scheme-less form did — existing staged trees keep being reused
+    assert(new java.io.File(java.net.URI.create(root)).getAbsolutePath ==
+      new java.io.File(System.getProperty("java.io.tmpdir")).getAbsolutePath)
   }
 
   /** Injects a one-shot crash after the batch-`crashBatch` state
@@ -455,8 +476,8 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         .collect().toIndexedSeq
       assert(inc == twin,
         "compacted-store pair set diverged from the one-shot batch LSH")
-      val sigs = new java.io.File(
-        StreamQueries.stagingBase("minhash", spark, sf) + "/sigs")
+      val sigs = new java.io.File(java.net.URI.create(
+        StreamQueries.stagingBase("minhash", spark, sf) + "/sigs"))
       val bLeft = Option(sigs.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
         .map(_.getName).sorted
@@ -530,8 +551,8 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         .collect().toIndexedSeq
       assert(inc == oneShot,
         "compacted-index search diverged from the one-shot persisted index")
-      val postings = new java.io.File(
-        operators.SimilarityQueries.streamAnnBase(spark, sf) + "/postings")
+      val postings = new java.io.File(java.net.URI.create(
+        operators.SimilarityQueries.streamAnnBase(spark, sf) + "/postings"))
       val bLeft = Option(postings.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.matches("batch=\\d+"))
         .map(_.getName).sorted

@@ -157,9 +157,11 @@ class VerifySpec extends AnyFunSuite with SparkFixture {
     assert(Bench.tailDispersed(Seq(210.0, -1.0, 259.0, 197.1, 272.6)))
 
     // r13 review findings, pinned:
-    // (1) uniformlyHot is MONOTONE — judged on the first 3 pass SLOTS
-    // by index, so a borderline pass 4 under the 1.2x line cannot
-    // collapse an already-tripped floor-6 budget mid-remedy:
+    // (1) uniformlyHot is MONOTONE — tripped if any ≥2-valid-pass
+    // PREFIX of the first 3 VALID passes sits uniformly above the
+    // line (the r14 prefix-exists form; see the r14 block below), so
+    // a borderline pass 4 under the 1.2x line cannot collapse an
+    // already-tripped floor-6 budget mid-remedy:
     assert(Bench.uniformlyHot(Seq(200.0, 200.0, 200.0, 175.0), r12Anchor))
     assert(Bench.passBudget(Seq(200.0, 200.0, 200.0, 175.0), r12Anchor)
       == ((6, 8)))
