@@ -11,6 +11,23 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify stdout contract (r16, VERDICT r15 item 1): the driver
+// invokes `sbt "runMain graft.Bench"` and parses the LAST stdout lines
+// for the one-line JSON. sbt's default LoggedOutput strategy wraps the
+// forked program's stdout in "[info] " (stderr in "[error] ") and the
+// batch runner appends "[success] Total time: ..." after the task —
+// together these kept the JSON machine-unreadable for six rounds
+// (BENCH_r10..r15 all carry "parsed": null). StdoutOutput passes the
+// forked process's streams through undecorated, and showSuccess
+// suppresses the trailing success line, so the bench's final printed
+// line IS the JSON. Failure detection is unaffected: sbt still exits
+// nonzero on compile/test/run failure (the artifacts' "rc" field shows
+// the driver tracks exit codes), and ScalaTest's own summary lines
+// ("All tests passed.", "Tests: succeeded N ...") still print.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

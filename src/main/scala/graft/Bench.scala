@@ -263,13 +263,19 @@ object Bench {
     })
   /** The committed quiet reference for [[uniformlyHot]]: the best
     * RECORDED full-registry total this HEAD's lineage has measured,
-    * valid only at the registry size it was recorded at. Read from
-    * BENCH_ANCHOR.json (committed alongside BENCH_FULL.json);
-    * [[main]] ratchets it DOWN at run end when a quieter recording
-    * lands, so perf wins keep the anchor honest without a hand edit —
-    * registry growth (a different n_queries) invalidates it until the
-    * next recording at the new size re-seeds it. */
-  private[graft] def readAnchor(path: String, nQueries: Int): Option[Double] = {
+    * valid only at the registry size AND run config (cpus, sf dir) it
+    * was recorded at. Read from BENCH_ANCHOR.json (committed alongside
+    * BENCH_FULL.json); [[main]] ratchets it DOWN at run end when a
+    * quieter SAME-CONFIG recording lands, so perf wins keep the anchor
+    * honest without a hand edit — registry growth (a different
+    * n_queries) invalidates it until the next recording at the new
+    * size re-seeds it. The cpus/sf match is r16 (VERDICT r15 item 1b):
+    * totals are not comparable across core counts — at sf0.1 the
+    * driver's 8-core runs beat 32-core on 53/54 queries, so an 8-core
+    * total read as a 32-core quiet floor marks every 32-core run hot
+    * forever. A legacy file without cpus/sf disarms with a warning. */
+  private[graft] def readAnchor(path: String, nQueries: Int,
+      cpus: String, sf: String): Option[Double] = {
     val f = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(f)) None
     else {
@@ -278,7 +284,22 @@ object Bench {
         ("\"" + k + "\"\\s*:\\s*([0-9.]+)").r
           .findFirstMatchIn(s).flatMap(_.group(1).toDoubleOption)
       (num("total"), num("n_queries")) match {
-        case (Some(t), Some(n)) if n.toInt == nQueries && t > 0 => Some(t)
+        case (Some(t), Some(n)) if n.toInt == nQueries && t > 0 =>
+          anchorConfig(s) match {
+            case Some((c, d)) if c == cpus && d == sf => Some(t)
+            case other =>
+              System.err.println(s"[bench] WARNING: $path " + (other match {
+                case Some((c, d)) =>
+                  s"was recorded at cpus=$c sf=$d (current cpus=$cpus " +
+                    s"sf=$sf) — uniformlyHot is DISARMED for this run; " +
+                    "the committed same-config floor is untouched"
+                case None =>
+                  "lacks \"cpus\"/\"sf\" (legacy format) — uniformlyHot " +
+                    "is DISARMED until a clean quiet recording (or a hand " +
+                    "edit adding the recording config) re-seeds it"
+              }))
+              None
+          }
         case parsed =>
           // fail LOUDLY, not silently (r14, ADVICE r13): the file
           // exists but can't arm uniformlyHot — a bad hand edit or a
@@ -299,6 +320,35 @@ object Bench {
             }))
           None
       }
+    }
+  }
+
+  /** The (cpus, sf) pair an anchor file was recorded at, None for the
+    * pre-r16 legacy format. Both are stored as JSON strings — cpus is
+    * the raw $SPARK_GRAFT_CPUS value, sf the raw $SPARK_GRAFT_SF_DIR. */
+  private def anchorConfig(s: String): Option[(String, String)] = {
+    def str(k: String): Option[String] =
+      ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r
+        .findFirstMatchIn(s).map(_.group(1))
+    for { c <- str("cpus"); d <- str("sf") } yield (c, d)
+  }
+
+  /** Whether BENCH_ANCHOR.json may be (over)written by a run at this
+    * config: the file is absent, or it records the SAME cpus+sf. A run
+    * at a different core count or SF must never clobber the canonical
+    * quiet floor (r16, VERDICT r15 item 1b: the driver's 8-core run
+    * ratcheted the 32-core 148.900 floor down to 143.814 — 8 cores are
+    * systematically FASTER at this SF, so every later 32-core run would
+    * read hot against a floor it cannot reach). A mismatched registry
+    * size does NOT block the write — re-seeding at a new size is the
+    * designed recovery path — but a legacy/unparseable file DOES: never
+    * clobber a floor whose config is unknown (hand-fix instead). */
+  private[graft] def anchorConfigWritable(path: String,
+      cpus: String, sf: String): Boolean = {
+    val f = java.nio.file.Paths.get(path)
+    !java.nio.file.Files.exists(f) || {
+      val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      anchorConfig(s).exists { case (c, d) => c == cpus && d == sf }
     }
   }
 
@@ -446,7 +496,8 @@ object Bench {
     // covers the full registry the anchor was recorded over — a
     // SPARK_GRAFT_ONLY subset's totals are not comparable
     val anchor =
-      if (only.isEmpty) readAnchor("BENCH_ANCHOR.json", names.size) else None
+      if (only.isEmpty) readAnchor("BENCH_ANCHOR.json", names.size, cpus, sfDir)
+      else None
     (1 to 3).foreach(_ => fullPass())
     var prevTotal = {
       // total as it stood after pass 2, to judge pass 3's contribution
@@ -536,15 +587,19 @@ object Bench {
     // becomes the new absolute reference — perf wins lower the anchor
     // without a hand edit, so uniformlyHot stays calibrated to the
     // code's true quiet floor. Never ratchets up; a run with failures
-    // has a deflated total and never writes. A registry-size change
-    // re-seeds at the new size on its first clean QUIET recording —
-    // anchorWritable refuses to seed from a hot run (see its doc).
+    // has a deflated total and never writes; a run at a DIFFERENT
+    // cpus/sf than the recorded floor never writes (r16 — see
+    // anchorConfigWritable). A registry-size change re-seeds at the
+    // new size on its first clean QUIET recording — anchorWritable
+    // refuses to seed from a hot run (see its doc).
     if (only.isEmpty && failed.isEmpty &&
+        anchorConfigWritable("BENCH_ANCHOR.json", cpus, sfDir) &&
         anchorWritable(anchor, total, contention,
           passTotalVals.count(_ > 0)))
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_ANCHOR.json"),
-        s"""{"total": ${fmt(total)}, "n_queries": ${names.size}}\n"""
+        (s"""{"total": ${fmt(total)}, "n_queries": ${names.size},""" +
+          s""" "cpus": "$cpus", "sf": "$sfDir"}""" + "\n")
           .getBytes("UTF-8"))
     spark.stop()
   }

@@ -16,9 +16,14 @@ import org.apache.spark.sql.SparkSession
 object LatencyProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // r16 (VERDICT r15 item 7): honors SPARK_GRAFT_CPUS so the fixed
+    // per-query floor can be split at both bench core counts — 53/54
+    // queries ran FASTER at 8 cores than 32 in the r15 driver run, and
+    // this probe attributes that to scheduling/dispatch vs planning.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -65,6 +70,27 @@ object LatencyProbe {
     // 4. pure job dispatch: empty-ish job
     time("spark.range(10).noop", 20) {
       noop(spark.range(10).toDF())
+    }
+    // 4b. (r16) the long-tail fixed floor, decomposed on REAL registry
+    // queries (~230 queries sit at 0.3–0.6 s dominated by this):
+    // construction (logical plan build over Tables.t's memoized
+    // readers), then execution of a PRE-BUILT frame (physical
+    // planning + codegen cache hit + job dispatch), then the
+    // full per-bench-iteration cost (construct + execute). Run at
+    // SPARK_GRAFT_CPUS=32 and =8 to split scheduling from planning —
+    // results in SCALE.md §r16.
+    for (qname <- Seq("scalar_math", "filter_pred", "agg_hash")) {
+      val q = SparkEntry.queries(qname)
+      time(s"$qname construct only", 20) {
+        q(spark, sfDir)
+      }
+      val built = q(spark, sfDir)
+      time(s"$qname execute prebuilt", 10) {
+        noop(built)
+      }
+      time(s"$qname construct+execute", 10) {
+        noop(q(spark, sfDir))
+      }
     }
     // 5. pagerank decomposition: build vs iterations (r14 shapes —
     // the static spine plus the uncheckpointed single-consumer chain)

@@ -45,6 +45,27 @@ object Tables {
     * would not. Alias each side (`t(...).as("l")` / `.as("r")`) and
     * join on qualified string refs — every registry query already
     * does. */
+  /** Scoped session-conf override (r16, VERDICT r15 item 8): run
+    * `body` with `key` set to `value`, restoring the prior state —
+    * including UNSET, which the hand-rolled get/set/finally copies
+    * approximated with a "true" default — in a finally. Replaces the
+    * session-global flip pattern at the two AQE-off checkpoint pins
+    * (GraphQueries.coreEdges, RecursiveQueries.sqlRecursiveChain)
+    * before a third copy appears. Spark session confs are
+    * session-scoped, not thread-scoped, so this does NOT make
+    * concurrent same-session queries safe (the bench and verify run
+    * queries sequentially); it keeps each flip scoped, restored, and
+    * in one audited place. */
+  def withConf[T](s: SparkSession, key: String, value: String)(body: => T): T = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (cache.size > 512) cache.clear()
     cache.computeIfAbsent((spark, dir, name), _ =>

@@ -1716,14 +1716,28 @@ object AggQueries {
       |WHERE c.n_ab * 1000 >= no.n_orders
       |ORDER BY ba, bb""".stripMargin
 
-  def aggBasket(s: SparkSession, dir: String): DataFrame = {
+  def aggBasket(s: SparkSession, dir: String): DataFrame =
+    aggBasket(s, dir, lazyCheckpoint = true)
+
+  /** `lazyCheckpoint = false` keeps the pre-r16 eager basket
+    * materialization — the AbProbe counterpart for the checkpoint
+    * laziness A/B (see the note below). */
+  private[graft] def aggBasket(s: SparkSession, dir: String,
+      lazyCheckpoint: Boolean): DataFrame = {
     // materialized once: the basket frame feeds pair emit, brand
     // marginals AND the order total (r8 — uncheckpointed, the
-    // lineitem⋈part + collect_set groupBy ran three times)
+    // lineitem⋈part + collect_set groupBy ran three times).
+    // r16 (VERDICT r15 item 4; the r14 components() lazy-checkpoint
+    // lesson): the checkpoint is LAZY — the first consumer (the
+    // n_orders broadcast build) is the action that computes and saves
+    // the basket partitions, so the eager stand-alone materialization
+    // job disappears (AbProbe, sf0.1 local[32]: 11 → 10 jobs, warm
+    // wall 1.596 → 1.385 s min-of-3, shuffle bytes identical; same
+    // plan shapes otherwise).
     val baskets = basketSets(
       t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
       t(s, dir, "part").select("p_partkey", "p_brand"))
-      .localCheckpoint(true)
+      .localCheckpoint(!lazyCheckpoint)
     basketAssemble(
       basketPairs(baskets),
       baskets.select(explode(col("bs")).as("b"))

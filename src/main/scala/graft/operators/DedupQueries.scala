@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Fp
+import graft.{Fp, Tables}
 import graft.Tables.t
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -205,6 +205,41 @@ object DedupQueries {
       .select(col("doc_id"), col("simhash"),
         col("bc.band").as("band"), col("bc.chunk").as("chunk"))
       .groupBy("band", "chunk")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), b =>
+          struct(a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b"),
+            bit_count(a.getField("simhash").bitwiseXOR(b.getField("simhash")))
+              .as("hamming")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** A/B variant of [[simhashPairs]] (r16, VERDICT r15 item 4): the
+    * (band, chunk) bucket id fused into ONE int key — band is 2 bits,
+    * chunk 12, so `band·2¹² | chunk` is a 14-bit exact bucket
+    * bijection and the groupBy shuffles one 4-byte key instead of an
+    * (int band, long chunk) pair (~8 bytes/row narrower ×4·docs rows,
+    * guide §2.1). Identical pair set by construction. RECORDED
+    * NEGATIVE (AbProbe r16, sf0.1 local[32], two interleaved rounds):
+    * shuffle 1.16 → 1.15 MB (the bucket exchange is ~1% of the
+    * query's bytes — the sketch build dominates), wall within noise
+    * (declared shape faster in 3 of 4 min-of-3 readings), jobs 6 = 6.
+    * Not adopted; kept for the probe. */
+  private[graft] def simhashPairsFusedKey(sketches: DataFrame): DataFrame = {
+    val bandMask = (1L << SimhashBandBits) - 1
+    val bandCols = (0 until SimhashBands).map(b =>
+      (shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(bandMask) +
+        lit(b.toLong << SimhashBandBits)).cast("int"))
+    sketches
+      .select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bucket"))
+      .groupBy("bucket")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash"))))
         .as("ds"))
       .filter(size(col("ds")) > 1)
@@ -425,17 +460,45 @@ object DedupQueries {
     * re-executes twice per round — observed 24 s instead of ~2 s at
     * sf0.1. Superseded label frames unpersist as soon as the next
     * round's are materialized. */
-  def components(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val sym = edges.union(edges.select(col("doc_b").as("doc_a"),
-      col("doc_a").as("doc_b"))).cache()
+  def components(nodes: DataFrame, edges: DataFrame): DataFrame =
+    components(nodes, edges, pinEdges = true)
+
+  /** `pinEdges = false` keeps the pre-r16 cache()-only edge frame —
+    * the AbProbe counterpart for the pin A/B (see the sym note
+    * below). */
+  private[graft] def components(nodes: DataFrame, edges: DataFrame,
+      pinEdges: Boolean): DataFrame = {
+    val both = edges.union(edges.select(col("doc_b").as("doc_a"),
+      col("doc_a").as("doc_b")))
+    // r16 (VERDICT r15 item 2 follow-through; guide §2.4/§3 — the
+    // succPinned/coreEdges pattern): the edge frame is loop-invariant
+    // and every round joins it on doc_b, so materialize it ONCE
+    // pre-partitioned on the join key (AQE off so the pin survives
+    // into the checkpoint). Each round's sym⋈labels then plans NO
+    // exchange on the |edges|-sized side (plans/r16/ round-2 pair:
+    // before, the cached sym re-exchanges through the join every
+    // round — Exchange over the InMemoryTableScan; after, the join
+    // reads `Scan ExistingRDD hashpartitioning(doc_b)` directly).
+    // What still moves per round is |nodes|-sized: the labels frame
+    // (its checkpoint reports UnknownPartitioning, so it re-exchanges
+    // into both joins) and the post-partial-agg groupBy output — at
+    // 100 TB the edge frame is the corpus-scale side, so this is the
+    // exchange that matters. Locally the labels side
+    // broadcasts, so the win is the plan shape, not wall (AbProbe r16,
+    // sf0.1 local[32]: dedup_components cached 1.384 s / 20 jobs vs
+    // pinned 1.272 s / 19 jobs, shuffle bytes equal — the eager pin
+    // job replaces the cache's lazy first-round materialization; the
+    // per-round big-side exchange drop is visible in the no-broadcast
+    // plan pair, plans/r16/).
+    val sym = if (pinEdges)
+      Tables.withConf(edges.sparkSession, "spark.sql.adaptive.enabled", "false") {
+        both.repartition(col("doc_b")).localCheckpoint(true)
+      }
+    else both.cache()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("comp")).cache()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
-      val viaNeighbor = sym.join(labels,
-          sym("doc_b") === labels("doc_id"))
-        .groupBy(sym("doc_a").as("doc_id"))
-        .agg(min("comp").as("ncomp"))
       // LAZY localCheckpoint EVERY round: `next` references `labels`
       // three times (neighbor join, outer join, changed-count join),
       // so an uncheckpointed plan tree grows ~3× per round and the
@@ -453,11 +516,7 @@ object DedupQueries {
       // materialization job plus a count job every round (measured:
       // entity_resolution 54 → 48 jobs, dedup_canonical 26 → 24,
       // components_star 25 → 24 — see SCALE.md).
-      val next = labels.join(viaNeighbor, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          (col("ncomp").isNotNull && col("ncomp") < col("comp")).as("chg"))
-        .localCheckpoint(false)
+      val next = componentsRoundFrame(sym, labels).localCheckpoint(false)
       changed = next.filter(col("chg")).count()
       labels.unpersist()
       labels = next.select("doc_id", "comp")
@@ -469,8 +528,45 @@ object DedupQueries {
     // labels is already a per-round localCheckpoint — lineage is O(1)
     // and blocks are context-cleaned on GC, so repeated invocations
     // don't accumulate permanently-cached plans
-    sym.unpersist()
+    if (!pinEdges) sym.unpersist(): Unit
     labels
+  }
+
+  /** One min-label round: neighbor-min via the sym⋈labels join on
+    * doc_b, folded into the previous labels with a `chg` flag (label
+    * shrank iff ncomp < comp). Factored out of the loop so the
+    * per-round PLAN is auditable (ExplainProbe `components_round/...`
+    * variants, plans/r16/ — the final frame components() returns is
+    * just the converged checkpoint, which hides every round's join
+    * shape). */
+  private[graft] def componentsRoundFrame(sym: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val viaNeighbor = sym.join(labels,
+        sym("doc_b") === labels("doc_id"))
+      .groupBy(sym("doc_a").as("doc_id"))
+      .agg(min("comp").as("ncomp"))
+    labels.join(viaNeighbor, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+        (col("ncomp").isNotNull && col("ncomp") < col("comp")).as("chg"))
+  }
+
+  /** The STEADY-STATE round-2 frame of [[components]] (round 1
+    * executed, its checkpoint as the labels side), unexecuted — the
+    * ExplainProbe subject for the edge-pin plan evidence. */
+  private[graft] def componentsRound2(nodes: DataFrame, edges: DataFrame,
+      pinEdges: Boolean): DataFrame = {
+    val both = edges.union(edges.select(col("doc_b").as("doc_a"),
+      col("doc_a").as("doc_b")))
+    val sym = if (pinEdges)
+      Tables.withConf(edges.sparkSession, "spark.sql.adaptive.enabled", "false") {
+        both.repartition(col("doc_b")).localCheckpoint(true)
+      }
+    else both.cache()
+    val labels0 = nodes.select(col("doc_id"), col("doc_id").as("comp"))
+    val labels1 = componentsRoundFrame(sym, labels0).localCheckpoint(false)
+    labels1.filter(col("chg")).count(): Unit
+    componentsRoundFrame(sym, labels1.select("doc_id", "comp"))
   }
 
   /** O(log n)-round connected components: alternating large-star /

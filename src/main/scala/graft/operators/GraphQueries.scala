@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tables
 import graft.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -539,10 +540,9 @@ object GraphQueries {
     // small orders projection into the pair join from its parquet
     // size estimate, so turning AQE off for the build costs no
     // runtime-broadcast opportunity that matters here.
-    val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try edges.repartition(col("src")).localCheckpoint(true)
-    finally s.conf.set("spark.sql.adaptive.enabled", prev)
+    Tables.withConf(s, "spark.sql.adaptive.enabled", "false") {
+      edges.repartition(col("src")).localCheckpoint(true)
+    }
   }
 
   /** One peel round's degree recount: edges induced on `alive` (two

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tables
 import graft.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -72,11 +73,9 @@ object RecursiveQueries {
     val succ = nbr
       .filter(col("next_ts") - col("ts_s") <= WindowQueries.SessionGapS)
       .select("user_id", "event_id", "next_id")
-    val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    val succPinned =
-      try succ.repartition(col("user_id"), col("event_id")).localCheckpoint(true)
-      finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val succPinned = Tables.withConf(s, "spark.sql.adaptive.enabled", "false") {
+      succ.repartition(col("user_id"), col("event_id")).localCheckpoint(true)
+    }
     succPinned.createOrReplaceTempView("graft_rec_succ")
     nbr.filter(col("prev_ts").isNull ||
         col("ts_s") - col("prev_ts") > WindowQueries.SessionGapS)

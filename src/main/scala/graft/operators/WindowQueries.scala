@@ -383,22 +383,59 @@ object WindowQueries {
     * week, recomputed daily). A naive per-ROW range-frame percentile
     * recomputes an O(frame) exact quantile for every event (percentile
     * is not subtractable — no incremental frame update exists), an
-    * O(n·frame) blowup; instead each event FANS OUT to the ≤ 7 target
-    * days whose window contains it (a ×7 narrow projection, the
-    * join_range_binned trick applied to frames), and ONE groupBy
-    * computes the exact discrete quantiles per (type, day) — shuffle
-    * scales with events×7, never events×frame. Target days with no
-    * events of their OWN are dropped by an n_own side-count inside
-    * the same aggregate (r8: the previous shape materialized a
-    * distinct (type, day) frame and semi-joined it — one extra
-    * distinct shuffle plus a join, for a predicate one conditional
-    * sum answers; results are identical since a day survives the
-    * semi-join iff it has ≥1 own event). percentile_disc picks an
-    * actual element, so the oracle (quantile_disc, still the
-    * semi-join formulation — equality of the two shapes is what the
-    * hash proves) replays exactly; r4 normalizes the double
-    * representation. */
+    * O(n·frame) blowup.
+    *
+    * r16 (VERDICT r15 item 3, guide §2.1 — shuffle fewer bytes): the
+    * r8 shape fanned every EVENT out to the ≤7 target days containing
+    * it and ran one groupBy — one exchange, but it moved every value
+    * ×7 (percentile partial states hold the full multiset, so map-side
+    * aggregation batches rows without shrinking bytes). This shape
+    * pre-aggregates to the (type, day) grid FIRST — one events×1
+    * exchange into day value-arrays — then a range-frame window
+    * (RANGE 6 PRECEDING .. CURRENT) over the ~|days|-row grid merges
+    * each day's ≤7 arrays and selects the discrete quantiles directly
+    * from the sorted multiset: element_at(sorted, ceil(q·n)) is
+    * exactly percentile_disc (smallest v with cume ≥ q; the ceil is
+    * INTEGER arithmetic — (n+1) div 2, (9n+9) div 10 — because a
+    * 0.9·n double rounds the wrong way on exact multiples). Total
+    * movement drops from events×7 to events×2 (values cross once as
+    * collect_list partials, once as day arrays into the per-type
+    * window), and the ×7 blowup happens only on the aggregated grid,
+    * post-shuffle. A/B at sf0.1 (AbProbe, local[32]): 9.31 → 0.92 MB
+    * shuffled (the ×7 percentile buffers also carried ~40 B of
+    * per-value OpenHashMap serialization overhead; the day arrays are
+    * packed doubles), warm wall 2.102 → 0.920 s min-of-3, jobs 4 → 5
+    * (the window adds one AQE stage over the 150-row grid); the
+    * explode-×7 shape is kept below as [[winRollingQuantileFanout]]
+    * for the probe and the equivalence test. Days with no events of their OWN fall out for
+    * free — the day grid only has rows for days with events (the r8
+    * n_own conditional count is subsumed). The oracle (quantile_disc,
+    * the semi-join formulation) is untouched — the hash proves the
+    * rewrite. */
   def winRollingQuantile(s: SparkSession, dir: String): DataFrame = {
+    val perDay = t(s, dir, "events")
+      .select(col("event_type"), expr("ts_s div 86400").as("day"), col("value"))
+      .groupBy("event_type", "day")
+      .agg(collect_list(col("value")).as("vs"))
+    val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+    perDay
+      .select(col("event_type"), col("day"),
+        array_sort(flatten(collect_list(col("vs")).over(w))).as("win"))
+      .select(col("event_type"), col("day"),
+        size(col("win")).cast("long").as("n_window"),
+        Fp.r4(expr("element_at(win, CAST((size(win) + 1) div 2 AS INT))"))
+          .as("p50d"),
+        Fp.r4(expr("element_at(win, CAST((9L * size(win) + 9) div 10 AS INT))"))
+          .as("p90d"))
+      .orderBy("event_type", "day")
+  }
+
+  /** The r8 explode-×7 formulation of [[winRollingQuantile]] — each
+    * event fans out to the ≤7 target days whose window contains it, one
+    * groupBy computes percentile_disc per (type, day). Kept (undeclared)
+    * as the A/B counterpart and the equivalence-test subject; see the
+    * r16 note above for why the day-grid window replaced it. */
+  private[graft] def winRollingQuantileFanout(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
       .select(col("event_type"), expr("ts_s div 86400").as("day"), col("value"))
     e.withColumn("target_day", explode(sequence(col("day"), col("day") + 6)))

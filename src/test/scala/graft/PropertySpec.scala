@@ -242,6 +242,22 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("win_rolling_quantile: day-grid window equals the explode-x7 formulation") {
+    // r16 rewrite guard: the declared query moved from the r8 fan-out
+    // (events x7 through one exchange) to a pre-aggregated day-grid
+    // range-frame window with integer-ceil discrete-quantile selection
+    // (element_at(sorted, ceil(q*n)) == percentile_disc). The two
+    // shapes must agree ROW-FOR-ROW — on sf0.001 and on sf0.01, whose
+    // group sizes exercise both ceil parities and multi-day frames.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val grid = graft.operators.WindowQueries.winRollingQuantile(spark, dir)
+      val fan = graft.operators.WindowQueries.winRollingQuantileFanout(spark, dir)
+      assert(grid.schema.map(f => (f.name, f.dataType)) ==
+        fan.schema.map(f => (f.name, f.dataType)))
+      assert(grid.collect().toSeq == fan.collect().toSeq)
+    }
+  }
+
   test("win_ewma matches the driver-side 8-tap recurrence per user") {
     // replay the truncated EWMA in plain Scala over the same integer
     // cents and compare every output row — proves the fan-out

@@ -207,19 +207,48 @@ class VerifySpec extends AnyFunSuite with SparkFixture {
       "a 2-pass run is too thin to seed")
     assert(!Bench.anchorWritable(None, 0.0, 1.0, 3), "zero total")
 
-    // the anchor loader: parses at the matching registry size, refuses
-    // a mismatched size, tolerates absence (exact value checked on a
-    // temp file — the committed file RATCHETS DOWN across bench runs,
-    // so pinning its literal value would break on every quieter run)
+    // the anchor loader: parses at the matching registry size AND run
+    // config, refuses a mismatched size/cpus/sf, tolerates absence
+    // (exact value checked on a temp file — the committed file RATCHETS
+    // DOWN across bench runs, so pinning its literal value would break
+    // on every quieter run). r16 (VERDICT r15 item 1b): the driver's
+    // 8-core run ratcheted the 32-core quiet floor 148.900 down to
+    // 143.814 — 8 cores beat 32 on 53/54 queries at sf0.1, so totals
+    // are not comparable across core counts; both the COMPARE and the
+    // RATCHET must refuse a cross-config anchor.
+    val sfCanon = "/root/testdata/sf0.1"
     val tmpAnchor = java.nio.file.Files.createTempFile("graft_anchor", ".json")
     try {
       java.nio.file.Files.write(tmpAnchor,
-        "{\"total\": 149.739, \"n_queries\": 290}\n".getBytes("UTF-8"))
-      assert(Bench.readAnchor(tmpAnchor.toString, 290).contains(149.739))
-      assert(Bench.readAnchor(tmpAnchor.toString, 291).isEmpty,
+        ("{\"total\": 149.739, \"n_queries\": 290, \"cpus\": \"32\", " +
+          "\"sf\": \"/root/testdata/sf0.1\"}\n").getBytes("UTF-8"))
+      assert(Bench.readAnchor(tmpAnchor.toString, 290, "32", sfCanon)
+        .contains(149.739))
+      assert(Bench.readAnchor(tmpAnchor.toString, 291, "32", sfCanon).isEmpty,
         "anchor must not apply across a registry-size change")
+      assert(Bench.readAnchor(tmpAnchor.toString, 290, "8", sfCanon).isEmpty,
+        "anchor must not apply across a core-count change")
+      assert(Bench.readAnchor(tmpAnchor.toString, 290, "32",
+        "/root/testdata/sf0.01").isEmpty,
+        "anchor must not apply across an SF change")
+      // a same-config run may ratchet; a cross-config run must not
+      assert(Bench.anchorConfigWritable(tmpAnchor.toString, "32", sfCanon))
+      assert(!Bench.anchorConfigWritable(tmpAnchor.toString, "8", sfCanon),
+        "an 8-core run must never clobber the 32-core floor")
+      assert(!Bench.anchorConfigWritable(tmpAnchor.toString, "32",
+        "/root/testdata/sf0.01"))
+      // legacy format (no cpus/sf): disarmed for compare AND protected
+      // from overwrite — its config is unknown, hand-fix instead
+      java.nio.file.Files.write(tmpAnchor,
+        "{\"total\": 149.739, \"n_queries\": 290}\n".getBytes("UTF-8"))
+      assert(Bench.readAnchor(tmpAnchor.toString, 290, "32", sfCanon).isEmpty,
+        "a legacy anchor without cpus/sf must disarm, not arm blindly")
+      assert(!Bench.anchorConfigWritable(tmpAnchor.toString, "32", sfCanon),
+        "never clobber a floor whose config is unknown")
     } finally java.nio.file.Files.delete(tmpAnchor)
-    assert(Bench.readAnchor("no_such_anchor.json", 290).isEmpty)
+    assert(Bench.readAnchor("no_such_anchor.json", 290, "32", sfCanon).isEmpty)
+    assert(Bench.anchorConfigWritable("no_such_anchor.json", "8", sfCanon),
+      "an absent file is seedable at any config")
     // the pending-reseed escape hatch (r14, ADVICE r13): a committed
     // "pending_n_queries": <newSize> marker acknowledges a staled
     // anchor without blocking the suite on benchmark weather — but
@@ -240,13 +269,19 @@ class VerifySpec extends AnyFunSuite with SparkFixture {
     // grower must either re-seed it from a quiet recording or commit
     // the explicit pending_n_queries acknowledgement (deliberate
     // friction either way: growth can't silently disarm the hot test)
+    // config pinned to the driver's canonical bench invocation (32
+    // cores at sf0.1) — the committed floor exists to calibrate exactly
+    // that run; an anchor committed at any other config is the r15
+    // mis-calibration this gate now refuses to let back in
     assert(Bench.readAnchor("BENCH_ANCHOR.json",
-        SparkEntry.queries.size).nonEmpty ||
+        SparkEntry.queries.size, "32", sfCanon).nonEmpty ||
         Bench.anchorPendingReseed("BENCH_ANCHOR.json",
           SparkEntry.queries.size),
-      "BENCH_ANCHOR.json is absent or recorded at a stale registry size " +
-        "— uniformlyHot is disarmed; re-seed from a clean recording or " +
-        "commit \"pending_n_queries\": <new size> to acknowledge")
+      "BENCH_ANCHOR.json is absent, recorded at a stale registry size, " +
+        "or recorded at a non-canonical config (need cpus=32, sf=" +
+        sfCanon + ") — uniformlyHot is disarmed; re-seed from a clean " +
+        "recording or commit \"pending_n_queries\": <new size> to " +
+        "acknowledge")
   }
 
   test("every declared query has a COVERAGE.md row") {
